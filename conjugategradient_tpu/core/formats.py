@@ -1,0 +1,390 @@
+"""Sparse-matrix storage formats, designed TPU-first.
+
+The reference implements CSR (``Mgcg/cuBlas/Mgcg/SparseMatrix.cs:8-101``),
+ELL with the diagonal stored first (``Mgcg/HandmadeCL/MgcgCL/SparseMatrix.cs:8-385``),
+a DOK builder (``Mgcg/ViennaCL/MgcgCL/CompressedMatrix.cs:8-69``) and dense
+(``R/CG.R:4-24``).  We keep all of those *plus* DIA (diagonal) storage, which is
+the natural TPU format: every reference workload is banded, and a banded SpMV in
+DIA form is a sum of element-wise products with *statically shifted* windows of
+``x`` — pure VPU work with zero gathers, which is exactly what XLA/Pallas want.
+
+All device containers are registered JAX pytrees, so they pass transparently
+through ``jit`` / ``shard_map`` / ``lax.while_loop`` carries.  Static structure
+(shape, diagonal offsets, pad width) is pytree *metadata*, mirroring how the
+reference specialises its OpenCL kernels with compile-time defines
+(``-D REAL=double -D MAX_NONZERO_COUNT=n``,
+``Mgcg/HandmadeCL/MgcgCL/ConjugateGradientSingleGpu.cs:160-166``): dtype and
+row-width are baked into the compiled program, not runtime values.
+
+Conversions are host-side numpy (optionally accelerated by the C++ kit in
+``conjugategradient_tpu.native``); device math lives in
+``conjugategradient_tpu.ops``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import numpy as np
+
+Shape = Tuple[int, int]
+
+
+def _register(cls, data_fields, meta_fields):
+    jax.tree_util.register_dataclass(cls, data_fields=list(data_fields), meta_fields=list(meta_fields))
+    return cls
+
+
+@dataclasses.dataclass(frozen=True)
+class DiaMatrix:
+    """Diagonal (banded) storage.
+
+    ``data[k, i] == A[i, i + offsets[k]]`` and is exactly zero whenever
+    ``i + offsets[k]`` falls outside ``[0, n)``.  ``offsets`` is static
+    metadata (a tuple of python ints), so the SpMV lowers to a fixed set of
+    statically-shifted fused multiply-adds.
+
+    The zero padding outside the matrix is load-bearing for the distributed
+    path: ring-wrapped halo values from ``ppermute`` at the global edges are
+    multiplied by these structural zeros (see ``parallel/sharded_cg.py``),
+    the same trick the reference gets from its exact ``minJ/maxJ`` halo ranges
+    (``Mgcg/cuBlas/MgcgGpu/Mgcg.cu:82-84``).
+    """
+
+    data: jax.Array | np.ndarray  # (ndiags, n)
+    offsets: Tuple[int, ...]
+    shape: Shape
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ndiags(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def bandwidth(self) -> int:
+        """Largest |offset| — the halo width the distributed solver needs."""
+        return max((abs(o) for o in self.offsets), default=0)
+
+    @property
+    def nnz(self) -> int:
+        """Stored entries that can be structurally nonzero (diagonal lengths)."""
+        n = self.n
+        return int(sum(n - abs(o) for o in self.offsets))
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dtype) -> "DiaMatrix":
+        return DiaMatrix(self.data.astype(dtype), self.offsets, self.shape)
+
+    def device_put(self, dtype=None) -> "DiaMatrix":
+        data = np.asarray(self.data)
+        if dtype is not None:
+            data = data.astype(dtype)
+        import jax.numpy as jnp
+
+        return DiaMatrix(jnp.asarray(data), self.offsets, self.shape)
+
+
+_register(DiaMatrix, ["data"], ["offsets", "shape"])
+
+
+@dataclasses.dataclass(frozen=True)
+class EllMatrix:
+    """ELLPACK storage: fixed width ``k`` per row, padded.
+
+    Equivalent of the reference's ELL matrix with per-row ``NonzeroCounts``
+    (``Mgcg/HandmadeCL/MgcgCL/SparseMatrix.cs:23,71-88``).  Padding convention:
+    ``cols`` of padding slots point at the row's own index and ``data`` is 0,
+    so a gather-based SpMV needs no masking.  Exceeding ``k`` at build time
+    raises, the TPU-shaped version of the reference's overflow exception
+    (``SparseMatrix.cs:138-141``).
+    """
+
+    data: jax.Array | np.ndarray  # (n, k)
+    cols: jax.Array | np.ndarray  # (n, k) int32
+    shape: Shape
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def k(self) -> int:
+        return int(self.data.shape[1])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dtype) -> "EllMatrix":
+        return EllMatrix(self.data.astype(dtype), self.cols, self.shape)
+
+    def device_put(self, dtype=None) -> "EllMatrix":
+        import jax.numpy as jnp
+
+        data = np.asarray(self.data)
+        if dtype is not None:
+            data = data.astype(dtype)
+        return EllMatrix(jnp.asarray(data), jnp.asarray(np.asarray(self.cols, dtype=np.int32)), self.shape)
+
+
+_register(EllMatrix, ["data", "cols"], ["shape"])
+
+
+@dataclasses.dataclass(frozen=True)
+class CsrMatrix:
+    """Compressed sparse row, as in ``Mgcg/cuBlas/Mgcg/SparseMatrix.cs:13-23``.
+
+    ``row_ids`` (the COO row index of every stored entry) is precomputed so the
+    XLA SpMV is a single ``segment_sum`` over ``data * x[indices]`` — the
+    TPU-friendly formulation of cusparseDcsrmv (``Mgcg/cuBlas/MgcgGpu/Mgcg.cu:10-19``).
+    """
+
+    data: jax.Array | np.ndarray  # (nnz,)
+    indices: jax.Array | np.ndarray  # (nnz,) int32 column indices
+    indptr: jax.Array | np.ndarray  # (n+1,) int32
+    row_ids: jax.Array | np.ndarray  # (nnz,) int32
+    shape: Shape
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dtype) -> "CsrMatrix":
+        return CsrMatrix(self.data.astype(dtype), self.indices, self.indptr, self.row_ids, self.shape)
+
+    def device_put(self, dtype=None) -> "CsrMatrix":
+        import jax.numpy as jnp
+
+        data = np.asarray(self.data)
+        if dtype is not None:
+            data = data.astype(dtype)
+        as_i32 = lambda a: jnp.asarray(np.asarray(a, dtype=np.int32))
+        return CsrMatrix(jnp.asarray(data), as_i32(self.indices), as_i32(self.indptr), as_i32(self.row_ids), self.shape)
+
+
+_register(CsrMatrix, ["data", "indices", "indptr", "row_ids"], ["shape"])
+
+
+@dataclasses.dataclass(frozen=True)
+class CooMatrix:
+    """Coordinate triplets (build/interchange format)."""
+
+    data: jax.Array | np.ndarray  # (nnz,)
+    rows: jax.Array | np.ndarray  # (nnz,) int32
+    cols: jax.Array | np.ndarray  # (nnz,) int32
+    shape: Shape
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+
+_register(CooMatrix, ["data", "rows", "cols"], ["shape"])
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseMatrix:
+    """Dense SPD matrix (the R prototype path, ``R/CG.R:4-24``); SpMV on the MXU."""
+
+    data: jax.Array | np.ndarray  # (n, n)
+
+    @property
+    def shape(self) -> Shape:
+        return (int(self.data.shape[0]), int(self.data.shape[1]))
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dtype) -> "DenseMatrix":
+        return DenseMatrix(self.data.astype(dtype))
+
+    def device_put(self, dtype=None) -> "DenseMatrix":
+        import jax.numpy as jnp
+
+        data = np.asarray(self.data)
+        if dtype is not None:
+            data = data.astype(dtype)
+        return DenseMatrix(jnp.asarray(data))
+
+
+_register(DenseMatrix, ["data"], [])
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) conversions.
+# ---------------------------------------------------------------------------
+
+
+def coo_to_csr(coo: CooMatrix, sum_duplicates: bool = True) -> CsrMatrix:
+    """Sort COO triplets into CSR, summing duplicates (DOK-builder backend)."""
+    n, m = coo.shape
+    rows = np.asarray(coo.rows, dtype=np.int64)
+    cols = np.asarray(coo.cols, dtype=np.int64)
+    data = np.asarray(coo.data)
+    order = np.lexsort((cols, rows))
+    rows, cols, data = rows[order], cols[order], data[order]
+    if sum_duplicates and len(rows) > 0:
+        # Collapse runs of identical (row, col).
+        keys = rows * m + cols
+        first = np.concatenate(([True], keys[1:] != keys[:-1]))
+        group = np.cumsum(first) - 1
+        data = np.bincount(group, weights=data, minlength=int(group[-1]) + 1).astype(data.dtype)
+        rows, cols = rows[first], cols[first]
+    indptr = np.zeros(n + 1, dtype=np.int32)
+    np.add.at(indptr, rows + 1, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+    return CsrMatrix(
+        data=data,
+        indices=cols.astype(np.int32),
+        indptr=indptr,
+        row_ids=rows.astype(np.int32),
+        shape=(n, m),
+    )
+
+
+def csr_from_parts(data, indices, indptr, shape: Shape) -> CsrMatrix:
+    indptr = np.asarray(indptr, dtype=np.int32)
+    n = shape[0]
+    row_ids = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
+    return CsrMatrix(np.asarray(data), np.asarray(indices, dtype=np.int32), indptr, row_ids, shape)
+
+
+def csr_to_dense(csr: CsrMatrix) -> DenseMatrix:
+    n, m = csr.shape
+    out = np.zeros((n, m), dtype=np.asarray(csr.data).dtype)
+    np.add.at(out, (np.asarray(csr.row_ids), np.asarray(csr.indices)), np.asarray(csr.data))
+    return DenseMatrix(out)
+
+
+def dense_to_csr(dense: DenseMatrix, tol: float = 0.0) -> CsrMatrix:
+    a = np.asarray(dense.data)
+    rows, cols = np.nonzero(np.abs(a) > tol)
+    return coo_to_csr(CooMatrix(a[rows, cols], rows.astype(np.int32), cols.astype(np.int32), dense.shape))
+
+
+def csr_to_ell(csr: CsrMatrix, k: int | None = None) -> EllMatrix:
+    """CSR -> ELL with the diagonal entry stored first when present.
+
+    Mirrors the reference's diag-first ELL layout
+    (``Mgcg/HandmadeCL/MgcgCL/SparseMatrix.cs:71-88``); raises if any row has
+    more than ``k`` entries (its overflow rule, ``SparseMatrix.cs:138-141``).
+    """
+    n, m = csr.shape
+    indptr = np.asarray(csr.indptr)
+    counts = np.diff(indptr)
+    kmax = int(counts.max()) if n else 0
+    if k is None:
+        k = kmax
+    if kmax > k:
+        raise ValueError(f"row with {kmax} nonzeros exceeds ELL width k={k}")
+    data = np.zeros((n, k), dtype=np.asarray(csr.data).dtype)
+    cols = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, k)) % max(m, 1)
+    cdat = np.asarray(csr.data)
+    cidx = np.asarray(csr.indices)
+    for i in range(n):
+        lo, hi = int(indptr[i]), int(indptr[i + 1])
+        row_cols = cidx[lo:hi]
+        row_vals = cdat[lo:hi]
+        diag_pos = np.nonzero(row_cols == i)[0]
+        order = list(diag_pos) + [j for j in range(hi - lo) if j not in set(diag_pos.tolist())]
+        for slot, j in enumerate(order):
+            data[i, slot] = row_vals[j]
+            cols[i, slot] = row_cols[j]
+    return EllMatrix(data, cols, (n, m))
+
+
+def ell_to_csr(ell: EllMatrix) -> CsrMatrix:
+    n, m = ell.shape
+    data = np.asarray(ell.data)
+    cols = np.asarray(ell.cols)
+    mask = data != 0
+    rows = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, ell.k))
+    return coo_to_csr(CooMatrix(data[mask], rows[mask], cols[mask].astype(np.int32), (n, m)))
+
+
+def csr_to_dia(csr: CsrMatrix, offsets: Tuple[int, ...] | None = None) -> DiaMatrix:
+    """CSR -> DIA.  ``offsets`` defaults to every structurally present diagonal."""
+    n, m = csr.shape
+    if n != m:
+        raise ValueError("DIA requires a square matrix")
+    rows = np.asarray(csr.row_ids, dtype=np.int64)
+    cols = np.asarray(csr.indices, dtype=np.int64)
+    vals = np.asarray(csr.data)
+    diag = cols - rows
+    if offsets is None:
+        offsets = tuple(int(o) for o in np.unique(diag))
+    off_arr = np.asarray(offsets, dtype=np.int64)
+    pos = np.searchsorted(off_arr, diag)
+    ok = (pos < len(off_arr)) & (off_arr[np.minimum(pos, len(off_arr) - 1)] == diag)
+    if not np.all(ok):
+        raise ValueError("matrix has entries outside the requested diagonal set")
+    data = np.zeros((len(offsets), n), dtype=vals.dtype)
+    np.add.at(data, (pos, rows), vals)
+    return DiaMatrix(data, tuple(offsets), (n, n))
+
+
+def dia_to_dense(dia: DiaMatrix) -> DenseMatrix:
+    n = dia.n
+    out = np.zeros((n, n), dtype=np.asarray(dia.data).dtype)
+    data = np.asarray(dia.data)
+    for k, off in enumerate(dia.offsets):
+        i = np.arange(max(0, -off), min(n, n - off))
+        out[i, i + off] = data[k, i]
+    return DenseMatrix(out)
+
+
+def dia_to_csr(dia: DiaMatrix) -> CsrMatrix:
+    n = dia.n
+    data = np.asarray(dia.data)
+    rows_l, cols_l, vals_l = [], [], []
+    for k, off in enumerate(dia.offsets):
+        i = np.arange(max(0, -off), min(n, n - off))
+        rows_l.append(i)
+        cols_l.append(i + off)
+        vals_l.append(data[k, i])
+    if rows_l:
+        rows = np.concatenate(rows_l)
+        cols = np.concatenate(cols_l)
+        vals = np.concatenate(vals_l)
+        keep = vals != 0
+        rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    else:
+        rows = cols = np.zeros(0, dtype=np.int64)
+        vals = np.zeros(0, dtype=data.dtype)
+    return coo_to_csr(CooMatrix(vals, rows.astype(np.int32), cols.astype(np.int32), (n, n)))
+
+
+def dia_diagonal(dia: DiaMatrix) -> np.ndarray:
+    """The main diagonal (for Jacobi preconditioning / smoothers)."""
+    if 0 not in dia.offsets:
+        return np.zeros(dia.n, dtype=np.asarray(dia.data).dtype)
+    return np.asarray(dia.data)[dia.offsets.index(0)].copy()

@@ -1,0 +1,223 @@
+"""ctypes loader for the native C++ host kit, with numpy fallbacks.
+
+The shared library is built on demand from ``src/csrkit.cpp`` with the local
+toolchain and cached next to this file.  Every entry point has a pure-numpy
+fallback so the framework works (slower) when no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "csrkit.cpp")
+_LIB_PATH = os.path.join(_HERE, "_csrkit.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cxx = os.environ.get("CXX", "g++")
+    cmd = [
+        cxx,
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-fopenmp",
+        "-march=native",
+        _SRC,
+        "-o",
+        _LIB_PATH,
+    ]
+    try:
+        res = subprocess.run(cmd, capture_output=True, timeout=120)
+        if res.returncode != 0:
+            # retry without -march/-fopenmp for maximum portability
+            cmd2 = [c for c in cmd if c not in ("-march=native", "-fopenmp")]
+            res = subprocess.run(cmd2, capture_output=True, timeout=120)
+        return res.returncode == 0 and os.path.exists(_LIB_PATH)
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("CGT_DISABLE_NATIVE"):
+            return None
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        c_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        c_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        c_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        c_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.csrkit_coo_to_csr.restype = ctypes.c_int64
+        lib.csrkit_coo_to_csr.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, c_i32p, c_i32p, c_f64p,
+            c_i32p, c_i32p, c_f64p, c_i32p,
+        ]
+        lib.csrkit_spmv.restype = None
+        lib.csrkit_spmv.argtypes = [ctypes.c_int64, c_i32p, c_i32p, c_f64p, c_f64p, c_f64p]
+        lib.csrkit_halo_ranges.restype = None
+        lib.csrkit_halo_ranges.argtypes = [
+            ctypes.c_int64, c_i64p, c_i64p, c_i32p, c_i32p, c_i32p, c_i32p,
+        ]
+        lib.csrkit_diag_census.restype = ctypes.c_int64
+        lib.csrkit_diag_census.argtypes = [ctypes.c_int64, c_i32p, c_i32p, c_u8p]
+        lib.csrkit_csr_to_dia.restype = ctypes.c_int32
+        lib.csrkit_csr_to_dia.argtypes = [
+            ctypes.c_int64, c_i32p, c_i32p, c_f64p, ctypes.c_int64, c_i64p, c_f64p,
+        ]
+        lib.csrkit_csr_to_ell.restype = ctypes.c_int32
+        lib.csrkit_csr_to_ell.argtypes = [
+            ctypes.c_int64, c_i32p, c_i32p, c_f64p, ctypes.c_int64, c_f64p, c_i32p,
+        ]
+        lib.csrkit_banded_sin_dia.restype = None
+        lib.csrkit_banded_sin_dia.argtypes = [ctypes.c_int64, ctypes.c_int64, c_f64p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# High-level wrappers (with fallback to the numpy implementations in core).
+# ---------------------------------------------------------------------------
+
+
+def coo_to_csr(coo):
+    from conjugategradient_tpu.core import formats
+
+    lib = _load()
+    if lib is None or np.asarray(coo.data).dtype != np.float64:
+        return formats.coo_to_csr(coo)
+    n = coo.shape[0]
+    nnz = coo.nnz
+    rows = np.ascontiguousarray(coo.rows, dtype=np.int32)
+    cols = np.ascontiguousarray(coo.cols, dtype=np.int32)
+    vals = np.ascontiguousarray(coo.data, dtype=np.float64)
+    indptr = np.zeros(n + 1, dtype=np.int32)
+    indices = np.empty(nnz, dtype=np.int32)
+    data = np.empty(nnz, dtype=np.float64)
+    rowids = np.empty(nnz, dtype=np.int32)
+    m = int(lib.csrkit_coo_to_csr(n, nnz, rows, cols, vals, indptr, indices, data, rowids))
+    return formats.CsrMatrix(data[:m].copy(), indices[:m].copy(), indptr, rowids[:m].copy(), coo.shape)
+
+
+def csr_spmv(csr, x: np.ndarray) -> np.ndarray:
+    lib = _load()
+    if lib is None or np.asarray(csr.data).dtype != np.float64:
+        from conjugategradient_tpu.core import oracle
+
+        return oracle.spmv(csr, x)
+    y = np.empty(csr.n, dtype=np.float64)
+    lib.csrkit_spmv(
+        csr.n,
+        np.ascontiguousarray(csr.indptr, dtype=np.int32),
+        np.ascontiguousarray(csr.indices, dtype=np.int32),
+        np.ascontiguousarray(csr.data, dtype=np.float64),
+        np.ascontiguousarray(x, dtype=np.float64),
+        y,
+    )
+    return y
+
+
+def halo_ranges(csr, part):
+    lib = _load()
+    if lib is None:
+        from conjugategradient_tpu.core.partition import halo_ranges_from_csr
+
+        return halo_ranges_from_csr(csr, part)
+    s = part.num_shards
+    minj = np.empty(s, dtype=np.int32)
+    maxj = np.empty(s, dtype=np.int32)
+    lib.csrkit_halo_ranges(
+        s,
+        np.asarray(part.offsets, dtype=np.int64),
+        np.asarray(part.counts, dtype=np.int64),
+        np.ascontiguousarray(csr.indptr, dtype=np.int32),
+        np.ascontiguousarray(csr.indices, dtype=np.int32),
+        minj,
+        maxj,
+    )
+    return tuple((int(a), int(b)) for a, b in zip(minj, maxj))
+
+
+def csr_to_dia(csr, offsets=None):
+    from conjugategradient_tpu.core import formats
+
+    lib = _load()
+    if lib is None or np.asarray(csr.data).dtype != np.float64:
+        return formats.csr_to_dia(csr, offsets)
+    n = csr.n
+    indptr = np.ascontiguousarray(csr.indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(csr.indices, dtype=np.int32)
+    vals = np.ascontiguousarray(csr.data, dtype=np.float64)
+    if offsets is None:
+        present = np.zeros(2 * n - 1, dtype=np.uint8)
+        lib.csrkit_diag_census(n, indptr, indices, present)
+        offsets = tuple(int(d) - (n - 1) for d in np.nonzero(present)[0])
+    off = np.asarray(offsets, dtype=np.int64)
+    data = np.zeros((len(offsets), n), dtype=np.float64)
+    if lib.csrkit_csr_to_dia(n, indptr, indices, vals, len(offsets), off, data) != 0:
+        raise ValueError("matrix has entries outside the requested diagonal set")
+    return formats.DiaMatrix(data, tuple(offsets), (n, n))
+
+
+def csr_to_ell(csr, k=None):
+    from conjugategradient_tpu.core import formats
+
+    lib = _load()
+    if lib is None or np.asarray(csr.data).dtype != np.float64:
+        return formats.csr_to_ell(csr, k)
+    n, m = csr.shape
+    counts = np.diff(np.asarray(csr.indptr))
+    kmax = int(counts.max()) if n else 0
+    width = kmax if k is None else k
+    if kmax > width:
+        raise ValueError(f"row with {kmax} nonzeros exceeds ELL width k={width}")
+    data = np.zeros((n, width), dtype=np.float64)
+    cols = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, width))
+    rc = lib.csrkit_csr_to_ell(
+        n,
+        np.ascontiguousarray(csr.indptr, dtype=np.int32),
+        np.ascontiguousarray(csr.indices, dtype=np.int32),
+        np.ascontiguousarray(csr.data, dtype=np.float64),
+        width,
+        data,
+        cols,
+    )
+    if rc != 0:
+        raise ValueError("row exceeds ELL width")
+    return formats.EllMatrix(data, cols, (n, m))
+
+
+def banded_sin_dia(n: int, band: int):
+    from conjugategradient_tpu.core import formats, generators
+
+    lib = _load()
+    if lib is None:
+        return generators.banded_sin_matrix(n, band)
+    h = band // 2 - 1
+    data = np.zeros((2 * h + 1, n), dtype=np.float64)
+    lib.csrkit_banded_sin_dia(n, band, data)
+    return formats.DiaMatrix(data, tuple(range(-h, h + 1)), (n, n))

@@ -1,0 +1,191 @@
+"""Device-resident (preconditioned) Conjugate Gradient.
+
+The single most important architectural lesson of the reference (SURVEY.md §3,
+"hot-loop summary") is *where the loop control lives*: its fastest variant
+keeps the whole CG loop in native device code with only two scalar
+device→host reads per iteration (``Mgcg/cuBlas/MgcgGpu/Mgcg.cu:201-270``),
+while its slowest drives ~10 kernel launches and 3 blocking scalar reads per
+iteration from the host (``Mgcg/HandmadeCL/MgcgCL/ConjugateGradientSingleGpu.cs:226-296``).
+
+On TPU the answer is final: the entire loop is a ``lax.while_loop`` inside one
+jitted program.  Scalars (alpha, beta, the residual, the iteration counter)
+never leave the chip; the convergence predicate itself is evaluated on-device.
+Per iteration: 1 SpMV + 2 dots + 3 fused vector updates — exactly the
+reference recurrence (``R/CG.R:38-58``), with zero host round-trips.
+
+Supports plain CG and preconditioned CG (pass ``M``: z = M(r) must be an SPD
+preconditioner application, e.g. a multigrid V-cycle from
+``conjugategradient_tpu.precond``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from conjugategradient_tpu.ops.blas import dot as _dot
+from conjugategradient_tpu.ops.blas import residual_norm
+from conjugategradient_tpu.ops.spmv import as_operator
+from conjugategradient_tpu.solvers.policy import ConvergencePolicy, NotConvergedError
+
+
+@dataclasses.dataclass(frozen=True)
+class CGResult:
+    """Solve outcome; a pytree so it can cross ``jit`` boundaries intact.
+
+    ``converged=False`` means max_iteration was exhausted — the XLA-legal
+    encoding of the reference's ApplicationException
+    (``ConjugateGradient.cs:73``); call ``raise_if_diverged()`` to get the
+    throwing behaviour back on the host.
+    """
+
+    x: jax.Array
+    iterations: jax.Array  # int32
+    residual: jax.Array
+    converged: jax.Array  # bool
+
+    def raise_if_diverged(self) -> "CGResult":
+        if not bool(self.converged):
+            raise NotConvergedError(
+                f"CG did not converge within {int(self.iterations)} iterations "
+                f"(residual={float(self.residual):.3e})"
+            )
+        return self
+
+
+jax.tree_util.register_dataclass(
+    CGResult, data_fields=["x", "iterations", "residual", "converged"], meta_fields=[]
+)
+
+
+def _safe_div(num, den):
+    """num/den with 0 when den == 0 (keeps the loop NaN-free when the initial
+    guess is already exact and min_iteration forces extra sweeps)."""
+    ok = den != 0
+    return jnp.where(ok, num, 0.0) / jnp.where(ok, den, 1.0)
+
+
+def cg_solve(
+    A,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    M: Optional[Callable] = None,
+    precise_dot: bool = False,
+    use_pallas: bool = False,
+) -> CGResult:
+    """Solve A x = b by (preconditioned) CG, fully on device.
+
+    Traceable: call under ``jax.jit`` (and inside ``shard_map`` — see
+    ``conjugategradient_tpu.parallel`` for the collective-dot variant).
+    """
+    op = as_operator(A, use_pallas=use_pallas)
+    n = b.shape[0]
+    dtype = b.dtype
+    tol = jnp.asarray(policy.tol, dtype)
+    min_iter = jnp.int32(policy.min_iteration)
+    max_iter = jnp.int32(policy.resolve_max(n))
+    dot = lambda u, v: _dot(u, v, precise=precise_dot)
+
+    x = jnp.zeros(n, dtype) if x0 is None else x0.astype(dtype)
+    r = b - op(x)
+    z = M(r) if M is not None else r
+    p = z
+    rz = dot(r, z)
+    rr = dot(r, r)
+    rr0 = rr
+
+    def res_of(r, rr):
+        return residual_norm(r, rr, rr0, policy.norm)
+
+    def cond(state):
+        _, r, _, _, rr, it = state
+        res = res_of(r, rr)
+        unconverged = jnp.logical_or(it < min_iter, res >= tol)
+        return jnp.logical_and(unconverged, it < max_iter)
+
+    def body(state):
+        x, r, p, rz, rr, it = state
+        Ap = op(p)
+        alpha = _safe_div(rz, dot(p, Ap))
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r) if M is not None else r
+        rz_new = dot(r, z)
+        rr_new = dot(r, r)
+        beta = _safe_div(rz_new, rz)
+        p = z + beta * p
+        return (x, r, p, rz_new, rr_new, it + 1)
+
+    x, r, p, rz, rr, it = jax.lax.while_loop(cond, body, (x, r, p, rz, rr, jnp.int32(0)))
+    res = res_of(r, rr)
+    converged = jnp.logical_and(res < tol, it >= min_iter)
+    return CGResult(x=x, iterations=it, residual=res, converged=converged)
+
+
+def cg_solve_traced(
+    A,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    M: Optional[Callable] = None,
+    num_steps: int = 100,
+    precise_dot: bool = False,
+    use_pallas: bool = False,
+):
+    """Fixed-length CG that records the residual at every iteration.
+
+    The structured observability the reference only had as per-iteration
+    ``Console.WriteLine`` traces (SURVEY.md §5.5) — here a dense
+    ``(num_steps,)`` residual history comes back as a device array from a
+    single ``lax.scan``.  Iterations after convergence freeze the state, so
+    the trailing history is flat.
+
+    Returns ``(CGResult, residual_history)``.
+    """
+    op = as_operator(A, use_pallas=use_pallas)
+    n = b.shape[0]
+    dtype = b.dtype
+    tol = jnp.asarray(policy.tol, dtype)
+    min_iter = jnp.int32(policy.min_iteration)
+    dot = lambda u, v: _dot(u, v, precise=precise_dot)
+
+    x = jnp.zeros(n, dtype) if x0 is None else x0.astype(dtype)
+    r = b - op(x)
+    z = M(r) if M is not None else r
+    p = z
+    rz = dot(r, z)
+    rr = dot(r, r)
+    rr0 = rr
+
+    def res_of(r, rr):
+        return residual_norm(r, rr, rr0, policy.norm)
+
+    def step(state, _):
+        x, r, p, rz, rr, it = state
+        res = res_of(r, rr)
+        active = jnp.logical_or(it < min_iter, res >= tol)
+
+        Ap = op(p)
+        alpha = jnp.where(active, _safe_div(rz, dot(p, Ap)), 0.0)
+        x = x + alpha * p
+        r2 = r - alpha * Ap
+        z2 = M(r2) if M is not None else r2
+        rz2 = dot(r2, z2)
+        rr2 = dot(r2, r2)
+        beta = jnp.where(active, _safe_div(rz2, rz), 0.0)
+        p2 = jnp.where(active, z2 + beta * p, p)
+        rz2 = jnp.where(active, rz2, rz)
+        rr2 = jnp.where(active, rr2, rr)
+        it2 = it + active.astype(jnp.int32)
+        new_state = (x, r2, p2, rz2, rr2, it2)
+        return new_state, res_of(r2, rr2)
+
+    state, history = jax.lax.scan(step, (x, r, p, rz, rr, jnp.int32(0)), None, length=num_steps)
+    x, r, p, rz, rr, it = state
+    res = res_of(r, rr)
+    converged = jnp.logical_and(res < tol, it >= min_iter)
+    return CGResult(x=x, iterations=it, residual=res, converged=converged), history

@@ -1,0 +1,134 @@
+"""Device-resident CG vs the numpy oracle and direct solves — the core
+differential-testing discipline of the reference (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conjugategradient_tpu.core import formats, oracle
+from conjugategradient_tpu.core.generators import (
+    banded_sin_system,
+    poisson_system,
+    tridiagonal_system,
+)
+from conjugategradient_tpu.solvers.cg import cg_solve, cg_solve_traced
+from conjugategradient_tpu.solvers.policy import ConvergencePolicy, NotConvergedError
+
+
+def _solve(system, policy, **kw):
+    A = system.A.device_put()
+    return jax.jit(lambda b, x0: cg_solve(A, b, x0, policy, **kw))(
+        jnp.asarray(system.b), jnp.asarray(system.x0)
+    )
+
+
+@pytest.mark.parametrize("norm", ["l2", "linf", "rel_l2"])
+def test_cg_matches_direct_solve(norm):
+    sys_ = banded_sin_system(80, 8)
+    res = _solve(sys_, ConvergencePolicy(tol=1e-10, norm=norm, max_iteration=2000))
+    assert bool(res.converged)
+    x_direct = oracle.direct_solve(sys_.A, sys_.b)
+    np.testing.assert_allclose(np.asarray(res.x), x_direct, rtol=1e-6, atol=1e-8)
+
+
+def test_cg_matches_oracle_iteration_count():
+    """Same recurrence, same policy -> same trajectory (fp64, modest tol)."""
+    sys_ = tridiagonal_system(64)
+    res = _solve(sys_, ConvergencePolicy(tol=1e-8, max_iteration=200))
+    ref = oracle.cg(sys_.A, sys_.b, sys_.x0, tol=1e-8, max_iteration=200)
+    assert abs(int(res.iterations) - ref.iterations) <= 1
+    np.testing.assert_allclose(np.asarray(res.x), ref.x, rtol=1e-8, atol=1e-10)
+
+
+def test_cg_min_iteration_enforced():
+    sys_ = tridiagonal_system(32)
+    r1 = _solve(sys_, ConvergencePolicy(tol=1e-8, max_iteration=500))
+    forced = int(r1.iterations) + 5
+    r2 = _solve(sys_, ConvergencePolicy(tol=1e-8, min_iteration=forced, max_iteration=500))
+    assert int(r2.iterations) >= forced
+    assert bool(r2.converged)
+
+
+def test_cg_max_iteration_flags_divergence():
+    sys_ = banded_sin_system(64, 8)
+    res = _solve(sys_, ConvergencePolicy(tol=1e-15, max_iteration=3))
+    assert not bool(res.converged)
+    assert int(res.iterations) == 3
+    with pytest.raises(NotConvergedError):
+        res.raise_if_diverged()
+
+
+def test_cg_exact_initial_guess_is_nan_free():
+    sys_ = tridiagonal_system(16)
+    x_exact = oracle.direct_solve(sys_.A, sys_.b)
+    A = sys_.A.device_put()
+    res = cg_solve(
+        A,
+        jnp.asarray(sys_.b),
+        jnp.asarray(x_exact),
+        ConvergencePolicy(tol=1e-8, min_iteration=3, max_iteration=50),
+    )
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    np.testing.assert_allclose(np.asarray(res.x), x_exact, rtol=1e-10)
+
+
+@pytest.mark.parametrize("fmt", ["csr", "ell", "dense"])
+def test_cg_all_formats(fmt):
+    sys_ = banded_sin_system(48, 6)
+    if fmt == "csr":
+        A = formats.dia_to_csr(sys_.A).device_put()
+    elif fmt == "ell":
+        A = formats.csr_to_ell(formats.dia_to_csr(sys_.A)).device_put()
+    else:
+        A = formats.dia_to_dense(sys_.A).device_put()
+    res = jax.jit(lambda b, x0: cg_solve(A, b, x0, ConvergencePolicy(tol=1e-10, max_iteration=1000)))(
+        jnp.asarray(sys_.b), jnp.asarray(sys_.x0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.x), oracle.direct_solve(sys_.A, sys_.b), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_cg_callable_operator():
+    """Matrix-free operators work (the multigrid path depends on this)."""
+    sys_ = poisson_system((10, 10))
+    A = sys_.A.device_put()
+    from conjugategradient_tpu.ops.spmv import spmv_dia
+
+    res = cg_solve(lambda v: spmv_dia(A, v), jnp.asarray(sys_.b), policy=ConvergencePolicy(tol=1e-10, max_iteration=500))
+    assert bool(res.converged)
+    np.testing.assert_allclose(
+        np.asarray(res.x), oracle.direct_solve(sys_.A, sys_.b), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_cg_traced_history_monotone_tail():
+    sys_ = poisson_system((12, 12))
+    A = sys_.A.device_put()
+    res, hist = jax.jit(
+        lambda b: cg_solve_traced(A, b, policy=ConvergencePolicy(tol=1e-10, max_iteration=400), num_steps=400)
+    )(jnp.asarray(sys_.b))
+    hist = np.asarray(hist)
+    assert bool(res.converged)
+    it = int(res.iterations)
+    # after convergence the recorded residual freezes
+    assert np.allclose(hist[it:], hist[it])
+    assert hist[it] < 1e-10
+    # the CG residual history reaches the same count as the untraced solver
+    res2 = cg_solve(A, jnp.asarray(sys_.b), policy=ConvergencePolicy(tol=1e-10, max_iteration=400))
+    assert int(res2.iterations) == it
+
+
+def test_cg_fp32_with_precise_dot():
+    """fp32 storage + compensated dots still reaches a tight tolerance."""
+    sys_ = poisson_system((16, 16))
+    A = sys_.A.device_put(dtype=jnp.float32)
+    b = jnp.asarray(sys_.b, dtype=jnp.float32)
+    res = jax.jit(
+        lambda b: cg_solve(A, b, policy=ConvergencePolicy(tol=2e-5, norm="rel_l2", max_iteration=2000), precise_dot=True)
+    )(b)
+    assert bool(res.converged)
+    x64 = oracle.direct_solve(sys_.A, sys_.b)
+    rel = np.linalg.norm(np.asarray(res.x, dtype=np.float64) - x64) / np.linalg.norm(x64)
+    assert rel < 1e-3

@@ -1,0 +1,114 @@
+"""Format containers and conversions: every round trip must be exact."""
+
+import numpy as np
+import pytest
+
+from conjugategradient_tpu.core import formats
+from conjugategradient_tpu.core.builder import DokBuilder
+from conjugategradient_tpu.core.generators import (
+    banded_sin_matrix,
+    poisson2d_matrix,
+    tridiagonal_matrix,
+)
+
+
+def _random_banded_dense(n, h, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n, n))
+    mask = np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= h
+    a = np.where(mask, a, 0.0)
+    return formats.DenseMatrix(a + a.T + 4 * h * np.eye(n))
+
+
+@pytest.mark.parametrize("gen", [
+    lambda: banded_sin_matrix(40, 8),
+    lambda: tridiagonal_matrix(17),
+    lambda: poisson2d_matrix(5, 7),
+])
+def test_dia_dense_roundtrip(gen):
+    dia = gen()
+    dense = formats.dia_to_dense(dia)
+    back = formats.csr_to_dia(formats.dense_to_csr(dense))
+    np.testing.assert_allclose(
+        np.asarray(formats.dia_to_dense(back).data), np.asarray(dense.data)
+    )
+
+
+def test_csr_roundtrips():
+    dense = _random_banded_dense(30, 4)
+    csr = formats.dense_to_csr(dense)
+    np.testing.assert_allclose(np.asarray(formats.csr_to_dense(csr).data), dense.data)
+    # ELL round trip
+    ell = formats.csr_to_ell(csr)
+    np.testing.assert_allclose(
+        np.asarray(formats.csr_to_dense(formats.ell_to_csr(ell)).data), dense.data
+    )
+    # DIA round trip
+    dia = formats.csr_to_dia(csr)
+    np.testing.assert_allclose(np.asarray(formats.dia_to_dense(dia).data), dense.data)
+
+
+def test_ell_diag_first_layout():
+    """The diagonal entry must occupy slot 0, as in the reference's ELL."""
+    dia = banded_sin_matrix(20, 6)
+    csr = formats.dia_to_csr(dia)
+    ell = formats.csr_to_ell(csr)
+    cols = np.asarray(ell.cols)
+    data = np.asarray(ell.data)
+    for i in range(20):
+        assert cols[i, 0] == i
+        assert data[i, 0] > 0  # row-sum diagonal is strictly positive here
+
+
+def test_ell_overflow_raises():
+    dia = banded_sin_matrix(20, 6)
+    csr = formats.dia_to_csr(dia)
+    with pytest.raises(ValueError):
+        formats.csr_to_ell(csr, k=2)
+
+
+def test_dok_builder():
+    b = DokBuilder(4)
+    b[0, 0] = 2.0
+    b[0, 1] = 1.0
+    b[1, 1] = 3.0
+    b.add(0, 0, 0.5)
+    assert b[0, 0] == 2.5
+    assert b[3, 3] == 0.0  # auto-zero reads, like the reference DOK
+    csr = b.to_csr()
+    dense = np.asarray(formats.csr_to_dense(csr).data)
+    assert dense[0, 0] == 2.5 and dense[0, 1] == 1.0 and dense[1, 1] == 3.0
+    with pytest.raises(IndexError):
+        b[4, 0] = 1.0
+
+
+def test_coo_duplicate_summing():
+    coo = formats.CooMatrix(
+        data=np.array([1.0, 2.0, 3.0]),
+        rows=np.array([0, 0, 1], dtype=np.int32),
+        cols=np.array([1, 1, 0], dtype=np.int32),
+        shape=(2, 2),
+    )
+    csr = formats.coo_to_csr(coo)
+    dense = np.asarray(formats.csr_to_dense(csr).data)
+    assert dense[0, 1] == 3.0 and dense[1, 0] == 3.0
+
+
+def test_dia_metadata():
+    dia = banded_sin_matrix(40, 8)
+    assert dia.bandwidth == 3
+    assert dia.ndiags == 7
+    assert 0 in dia.offsets
+    diag = formats.dia_diagonal(dia)
+    offsum = np.asarray(dia.data).sum(axis=0) - diag
+    np.testing.assert_allclose(diag, offsum)  # diagonal == row-sum of off-diagonals
+
+
+def test_pytree_flatten():
+    import jax
+
+    dia = banded_sin_matrix(16, 4).device_put()
+    leaves, treedef = jax.tree_util.tree_flatten(dia)
+    assert len(leaves) == 1
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert rebuilt.offsets == dia.offsets and rebuilt.shape == dia.shape

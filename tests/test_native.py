@@ -1,0 +1,65 @@
+"""Native C++ kit vs the numpy implementations (differential, like everything)."""
+
+import numpy as np
+import pytest
+
+from conjugategradient_tpu import native
+from conjugategradient_tpu.core import formats, oracle
+from conjugategradient_tpu.core.generators import banded_sin_matrix, banded_sin_system
+from conjugategradient_tpu.core.partition import RowBlockPartition, halo_ranges_from_csr
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native kit unavailable")
+
+
+def test_native_coo_to_csr_matches_numpy():
+    rng = np.random.default_rng(3)
+    nnz, n = 300, 40
+    coo = formats.CooMatrix(
+        rng.normal(size=nnz),
+        rng.integers(0, n, nnz).astype(np.int32),
+        rng.integers(0, n, nnz).astype(np.int32),
+        (n, n),
+    )
+    a = native.coo_to_csr(coo)
+    b = formats.coo_to_csr(coo)
+    np.testing.assert_allclose(
+        np.asarray(formats.csr_to_dense(a).data), np.asarray(formats.csr_to_dense(b).data)
+    )
+    np.testing.assert_array_equal(np.asarray(a.indptr), np.asarray(b.indptr))
+
+
+def test_native_spmv_matches_oracle():
+    A = formats.dia_to_csr(banded_sin_matrix(120, 10))
+    x = np.sin(np.arange(120.0))
+    np.testing.assert_allclose(native.csr_spmv(A, x), oracle.spmv(A, x), rtol=1e-14)
+
+
+def test_native_halo_ranges_match_numpy():
+    A = formats.dia_to_csr(banded_sin_matrix(97, 12))
+    part = RowBlockPartition.equal(97, 4)
+    assert native.halo_ranges(A, part) == halo_ranges_from_csr(A, part)
+
+
+def test_native_csr_to_dia_and_ell_match():
+    dia0 = banded_sin_matrix(64, 8)
+    csr = formats.dia_to_csr(dia0)
+    dia_n = native.csr_to_dia(csr)
+    dia_p = formats.csr_to_dia(csr)
+    np.testing.assert_allclose(
+        np.asarray(formats.dia_to_dense(dia_n).data),
+        np.asarray(formats.dia_to_dense(dia_p).data),
+    )
+    ell_n = native.csr_to_ell(csr)
+    ell_p = formats.csr_to_ell(csr)
+    np.testing.assert_allclose(
+        np.asarray(formats.csr_to_dense(formats.ell_to_csr(ell_n)).data),
+        np.asarray(formats.csr_to_dense(formats.ell_to_csr(ell_p)).data),
+    )
+    np.testing.assert_array_equal(np.asarray(ell_n.cols)[:, 0], np.arange(64))
+
+
+def test_native_banded_sin_generator_matches():
+    a = native.banded_sin_dia(80, 10)
+    b = banded_sin_system(80, 10).A
+    np.testing.assert_allclose(np.asarray(a.data), np.asarray(b.data), rtol=1e-15)
+    assert a.offsets == b.offsets
