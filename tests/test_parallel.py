@@ -1,0 +1,131 @@
+"""Distributed layer on the 8-device virtual CPU mesh.
+
+Tests the properties SURVEY.md §7 flags as the hard parts: halo math at shard
+boundaries, shard-count invariance (1/2/4/8 shards -> same solution), masked
+ring wraparound, and collective-dot equivalence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from conjugategradient_tpu.core import oracle
+from conjugategradient_tpu.core.generators import (
+    banded_sin_system,
+    poisson2d_matrix,
+    poisson_system,
+)
+from conjugategradient_tpu.core.partition import pad_system
+from conjugategradient_tpu.parallel import make_mesh
+from conjugategradient_tpu.parallel.halo import halo_exchange, spmv_dia_local
+from conjugategradient_tpu.parallel.sharded_cg import make_sharded_cg, sharded_cg_solve
+from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+
+def _sharded_spmv(A, x, num_shards, axis="x"):
+    mesh = make_mesh(num_shards, axis=axis)
+    halo = A.bandwidth
+    fn = jax.shard_map(
+        lambda data, p: spmv_dia_local(data, A.offsets, halo_exchange(p, halo, axis, num_shards), halo),
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis)),
+        out_specs=P(axis),
+    )
+    return np.asarray(jax.jit(fn)(jnp.asarray(np.asarray(A.data)), jnp.asarray(x)))
+
+
+@pytest.mark.parametrize("num_shards", [2, 4, 8])
+def test_sharded_spmv_matches_oracle(num_shards):
+    A = poisson2d_matrix(8, 16)  # n=128, bandwidth 8, n_local >= 16
+    x = np.sin(np.arange(128.0))
+    np.testing.assert_allclose(_sharded_spmv(A, x, num_shards), oracle.spmv(A, x), rtol=1e-13)
+
+
+def test_wraparound_halo_is_masked():
+    """Ring-wrapped halo values at the global edges must never leak: DIA's
+    structural zeros outside [0, n) multiply them away."""
+    A = banded_sin_system(64, 8).A
+    x = np.full(64, 7.3)  # any wrap leakage would show up at the ends
+    got = _sharded_spmv(A, x, 8)
+    np.testing.assert_allclose(got, oracle.spmv(A, x), rtol=1e-13)
+
+
+@pytest.mark.parametrize("num_shards", [1, 2, 4, 8])
+def test_shard_count_invariance(num_shards):
+    """Same system, any shard count -> same solution and iteration count
+    (the property test SURVEY.md §7 'hard parts' #3 calls for)."""
+    sys_ = poisson_system((16, 16))
+    mesh = make_mesh(num_shards)
+    res = sharded_cg_solve(
+        sys_.A, sys_.b, sys_.x0, ConvergencePolicy(tol=1e-10, max_iteration=2000), mesh
+    )
+    ref = oracle.cg(sys_.A, sys_.b, sys_.x0, tol=1e-10, max_iteration=2000)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - ref.iterations) <= 1
+    np.testing.assert_allclose(np.asarray(res.x), ref.x, rtol=1e-7, atol=1e-10)
+
+
+@pytest.mark.parametrize("norm", ["l2", "linf", "rel_l2"])
+def test_sharded_norm_conventions(norm):
+    sys_ = banded_sin_system(512, 16)
+    res = sharded_cg_solve(
+        sys_.A, sys_.b, sys_.x0, ConvergencePolicy(tol=1e-9, norm=norm, max_iteration=2000), make_mesh(8)
+    )
+    assert bool(res.converged)
+    r = sys_.b - oracle.spmv(sys_.A, np.asarray(res.x, dtype=np.float64))
+    if norm == "linf":
+        assert np.max(np.abs(r)) < 1e-9
+    elif norm == "l2":
+        assert np.linalg.norm(r) < 1e-9
+    else:
+        assert float(res.residual) < 1e-9
+
+
+def test_pad_system_roundtrip_through_sharded_solver():
+    """Non-divisible n: identity-padded rows keep the solution exact."""
+    sys_raw = banded_sin_system(100, 6)  # 100 not divisible by 8
+    sys_pad, n_orig = pad_system(sys_raw, 8)
+    assert sys_pad.n == 104 and n_orig == 100
+    res = sharded_cg_solve(
+        sys_pad.A, sys_pad.b, sys_pad.x0, ConvergencePolicy(tol=1e-10, max_iteration=1000), make_mesh(8)
+    )
+    ref = oracle.cg(sys_raw.A, sys_raw.b, sys_raw.x0, tol=1e-10, max_iteration=1000)
+    np.testing.assert_allclose(np.asarray(res.x)[:n_orig], ref.x, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(res.x)[n_orig:], 0.0, atol=1e-12)
+
+
+def test_sharded_divergence_flag():
+    sys_ = banded_sin_system(256, 8)
+    res = sharded_cg_solve(
+        sys_.A, sys_.b, sys_.x0, ConvergencePolicy(tol=1e-15, max_iteration=3), make_mesh(4)
+    )
+    assert not bool(res.converged)
+    assert int(res.iterations) == 3
+
+
+def test_sharded_jacobi_preconditioner():
+    """A local (row-sharded) Jacobi preconditioner matches the oracle's PCG
+    trajectory and never loses to plain CG."""
+    from conjugategradient_tpu.core.formats import dia_diagonal
+
+    sys_ = banded_sin_system(512, 16)
+    mesh = make_mesh(8)
+    pol = ConvergencePolicy(tol=1e-9, max_iteration=4000)
+    inv_diag = 1.0 / np.asarray(dia_diagonal(sys_.A))
+
+    plain = sharded_cg_solve(sys_.A, sys_.b, sys_.x0, pol, mesh)
+    pc = sharded_cg_solve(
+        sys_.A, sys_.b, sys_.x0, pol, mesh,
+        M_local=lambda r, d: r * d, M_aux=inv_diag,
+    )
+    assert bool(pc.converged)
+    ref = oracle.cg(
+        sys_.A, sys_.b, sys_.x0, tol=1e-9, max_iteration=4000,
+        M=lambda r: r * inv_diag,
+    )
+    assert abs(int(pc.iterations) - ref.iterations) <= 1
+    np.testing.assert_allclose(np.asarray(pc.x), ref.x, rtol=1e-6, atol=1e-9)
+    assert int(pc.iterations) <= int(plain.iterations)
