@@ -1,0 +1,21 @@
+"""Preconditioners: point Jacobi, Chebyshev smoothing, geometric multigrid.
+
+The "Mg" the reference's name promises but never ships (SURVEY.md §0); built
+fresh, TPU-first (static hierarchies, traced V-cycles, MXU coarse solves).
+"""
+
+from conjugategradient_tpu.precond import smoothers, transfer  # noqa: F401
+from conjugategradient_tpu.precond.multigrid import (  # noqa: F401
+    MgHierarchy,
+    MgLevel,
+    as_preconditioner,
+    build_hierarchy,
+    galerkin_coarse,
+    mgcg_solve,
+    v_cycle,
+)
+from conjugategradient_tpu.precond.smoothers import (  # noqa: F401
+    chebyshev_smooth,
+    jacobi_preconditioner,
+    jacobi_smooth,
+)

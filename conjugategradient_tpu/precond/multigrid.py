@@ -1,0 +1,225 @@
+"""Geometric multigrid: hierarchy setup, V-cycle, and the MGCG preconditioner.
+
+This is the capability the reference's name promises but never implements
+(SURVEY.md §0 "naming caveat": "Mgcg" = multigrid-preconditioned CG per
+``Mgcg/cuBlas/Mgcg/MgcgMain.cs:8``, yet every solver in the repo is plain CG).
+Designed TPU-first:
+
+- **Setup is host-side and static.**  Coarse operators are the Galerkin
+  products ``A_c = R A P`` computed once with scipy.sparse and converted back
+  to DIA — so every level's offsets/shapes are compile-time metadata, exactly
+  like the fine level.
+- **The cycle is one traced program.**  Levels form a static python list; the
+  V-cycle recursion unrolls at trace time into a fixed DAG of SpMVs,
+  restrictions, prolongations and smoother sweeps — no data-dependent control
+  flow, everything fused by XLA, MXU for the coarsest (dense) solve.
+- **Symmetric by construction.**  R = P^T / 2^d, identical pre/post smoothing
+  — the V-cycle is then a symmetric positive definite operator, a valid PCG
+  preconditioner (plug ``as_preconditioner`` into ``cg_solve(..., M=...)``).
+
+Smoothers: weighted Jacobi or Chebyshev (``precond.smoothers``), with spectral
+bounds estimated at setup by ``solvers.eigen``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from conjugategradient_tpu.core import formats
+from conjugategradient_tpu.core.formats import DiaMatrix, dia_diagonal
+from conjugategradient_tpu.precond import transfer
+from conjugategradient_tpu.precond.smoothers import chebyshev_smooth, jacobi_smooth
+from conjugategradient_tpu.solvers import eigen
+
+GridShape = Tuple[int, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class MgLevel:
+    """One level: operator + smoother data + its grid geometry (static)."""
+
+    A: DiaMatrix  # device DIA operator at this level
+    inv_diag: jnp.ndarray  # (n,) 1/diag(A)
+    grid: GridShape  # this level's grid shape (prod == A.n)
+    cheb_bounds: Tuple[float, float]  # spectral bounds of D^{-1}A (static floats)
+
+
+@dataclasses.dataclass(frozen=True)
+class MgHierarchy:
+    """Static multigrid hierarchy.  ``levels[0]`` is the fine grid; the
+    coarsest level is solved directly with a precomputed dense inverse
+    (an MXU matvec — the TPU-friendly coarse solve)."""
+
+    levels: Tuple[MgLevel, ...]
+    coarse_inv: jnp.ndarray  # (nc, nc) dense inverse of the coarsest A
+    smoother: str  # "jacobi" | "chebyshev"
+    pre: int  # pre-smooth sweeps / chebyshev degree
+    post: int  # post-smooth sweeps / chebyshev degree
+    omega: float  # jacobi damping
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels) + 1  # + coarsest direct level
+
+
+def _dia_to_scipy(A: DiaMatrix) -> sp.csr_matrix:
+    csr = formats.dia_to_csr(A)
+    return sp.csr_matrix(
+        (np.asarray(csr.data), np.asarray(csr.indices), np.asarray(csr.indptr)), shape=csr.shape
+    )
+
+
+def _scipy_to_dia(S: sp.spmatrix, prune_tol: float = 0.0) -> DiaMatrix:
+    S = sp.csr_matrix(S)
+    S.sum_duplicates()
+    csr = formats.csr_from_parts(S.data, S.indices, S.indptr, S.shape)
+    return formats.csr_to_dia(csr)
+
+
+def galerkin_coarse(A: DiaMatrix, fine: GridShape) -> DiaMatrix:
+    """A_c = R A P on the host (setup-time scipy triple product)."""
+    P = transfer.prolong_matrix(fine)
+    R = (P.T * (0.5 ** len(fine))).tocsr()
+    Ac = R @ _dia_to_scipy(A) @ P
+    return _scipy_to_dia(Ac)
+
+
+def build_hierarchy(
+    A: DiaMatrix,
+    grid: GridShape,
+    smoother: str = "chebyshev",
+    pre: int = 2,
+    post: int = 2,
+    omega: float = 2.0 / 3.0,
+    max_coarse: int = 1025,
+    max_levels: int = 25,
+    dtype=None,
+) -> MgHierarchy:
+    """Build the static hierarchy from the fine operator.
+
+    ``grid`` is the tensor-grid shape of the unknowns (prod(grid) == A.n);
+    1-D problems (tridiagonal, the banded |sin| family) use ``(n,)``.  Axes
+    must be odd to coarsen; coarsening stops at ``max_coarse`` unknowns or
+    when an axis becomes even.
+    """
+    if int(np.prod(grid)) != A.n:
+        raise ValueError(f"prod(grid)={int(np.prod(grid))} != n={A.n}")
+    if smoother not in ("jacobi", "chebyshev"):
+        raise ValueError(f"unknown smoother {smoother!r}")
+
+    levels = []
+    A_h = A  # host-side numpy DIA
+    g = tuple(grid)
+    while A_h.n > max_coarse and transfer.can_coarsen(g) and len(levels) < max_levels - 1:
+        diag = dia_diagonal(A_h)
+        if np.any(diag <= 0):
+            raise ValueError("non-positive diagonal; not SPD-compatible with Jacobi scaling")
+        if smoother == "chebyshev":
+            bounds = eigen.scaled_spectrum_bounds(A_h)
+        else:
+            bounds = (0.0, 0.0)
+        dt = dtype or np.asarray(A_h.data).dtype
+        levels.append(
+            MgLevel(
+                A=A_h.device_put(dt),
+                inv_diag=jnp.asarray((1.0 / diag).astype(dt)),
+                grid=g,
+                cheb_bounds=bounds,
+            )
+        )
+        A_h = galerkin_coarse(A_h, g)
+        g = transfer.coarse_shape(g)
+
+    dt = dtype or np.asarray(A_h.data).dtype
+    dense = formats.dia_to_dense(A_h)
+    coarse_inv = jnp.asarray(np.linalg.inv(np.asarray(dense.data, dtype=np.float64)).astype(dt))
+    return MgHierarchy(
+        levels=tuple(levels),
+        coarse_inv=coarse_inv,
+        smoother=smoother,
+        pre=pre,
+        post=post,
+        omega=omega,
+    )
+
+
+def _smooth(h: MgHierarchy, lvl: MgLevel, op, b, x, sweeps: int):
+    if sweeps <= 0:
+        return x
+    if h.smoother == "chebyshev":
+        lo, hi = lvl.cheb_bounds
+        return chebyshev_smooth(op, lvl.inv_diag, b, x, sweeps, hi, lo)
+    return jacobi_smooth(op, lvl.inv_diag, b, x, sweeps, h.omega)
+
+
+def v_cycle(h: MgHierarchy, b: jnp.ndarray, level: int = 0, use_pallas: bool = False) -> jnp.ndarray:
+    """One V(pre, post)-cycle for A_level e = b with zero initial guess.
+
+    Static recursion — unrolls completely at trace time.
+    """
+    from conjugategradient_tpu.ops.spmv import as_operator
+
+    if level == len(h.levels):
+        return jnp.dot(h.coarse_inv, b, preferred_element_type=b.dtype)
+    lvl = h.levels[level]
+    op = as_operator(lvl.A, use_pallas=use_pallas)
+    x = jnp.zeros_like(b)
+    x = _smooth(h, lvl, op, b, x, h.pre)
+    r = b - op(x)
+    rc = transfer.restrict(r, lvl.grid)
+    ec = v_cycle(h, rc, level + 1, use_pallas)
+    x = x + transfer.prolong(ec, lvl.grid)
+    x = _smooth(h, lvl, op, b, x, h.post)
+    return x
+
+
+def as_preconditioner(h: MgHierarchy, use_pallas: bool = False) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """M(r) = one V-cycle — the "Mg" in MGCG.  SPD by symmetric construction,
+    so valid for ``cg_solve(..., M=...)``."""
+    return partial(v_cycle, h, level=0, use_pallas=use_pallas)
+
+
+def mgcg_solve(
+    A: DiaMatrix,
+    b,
+    grid: GridShape,
+    x0=None,
+    policy=None,
+    smoother: str = "chebyshev",
+    pre: int = 2,
+    post: int = 2,
+    hierarchy: Optional[MgHierarchy] = None,
+    use_pallas: bool = False,
+    precise_dot: bool = False,
+):
+    """Multigrid-preconditioned CG — the solver the reference's name promised.
+
+    Convenience wrapper: builds (or reuses) the hierarchy, then runs the
+    device-resident PCG loop with one V-cycle per iteration as M.
+    Returns ``(CGResult, MgHierarchy)`` so the hierarchy can be reused across
+    solves with the same sparsity (the expensive part is setup).
+    """
+    from conjugategradient_tpu.solvers.cg import cg_solve
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    policy = policy or ConvergencePolicy()
+    h = hierarchy or build_hierarchy(A, grid, smoother=smoother, pre=pre, post=post)
+    A_dev = A.device_put() if isinstance(A.data, np.ndarray) else A
+    b = jnp.asarray(np.asarray(b))
+    x0 = None if x0 is None else jnp.asarray(np.asarray(x0))
+    result = cg_solve(
+        A_dev,
+        b,
+        x0,
+        policy,
+        M=as_preconditioner(h, use_pallas=use_pallas),
+        use_pallas=use_pallas,
+        precise_dot=precise_dot,
+    )
+    return result, h

@@ -1,0 +1,108 @@
+"""Grid-transfer operators: full-weighting restriction / linear prolongation.
+
+New capability (SURVEY.md §7 layer 5): the reference's "Mgcg" name promises
+multigrid (マルチグリッド前処理付き共役勾配法, ``Mgcg/cuBlas/Mgcg/MgcgMain.cs:8``)
+but implements none — these operators are designed fresh for TPU.
+
+Geometry: a d-dimensional tensor grid of *interior* points (Dirichlet), each
+axis of odd size ``n = 2m + 1``; the coarse axis keeps the ``m`` odd-indexed
+points.  1-D stencils (the classics):
+
+- prolongation ``P``: ``ef[2j+1] = ec[j]``, ``ef[2j] = (ec[j-1] + ec[j])/2``
+  (boundary neighbours are zero),
+- restriction ``R = P^T / 2`` per axis: ``rc[j] = (rf[2j] + 2 rf[2j+1] + rf[2j+2]) / 4``.
+
+d-dimensional operators are the per-axis tensor (Kronecker) products, applied
+axis-by-axis on the device as *static strided slices* — pure VPU traffic, no
+gathers, fully fused by XLA.  The same operators are assembled as scipy
+sparse matrices host-side for the Galerkin coarse-operator product
+(``coarse.py``), guaranteeing the device transfers and the coarse operators
+are exact transposes of each other (which is what keeps the V-cycle symmetric
+and hence a valid PCG preconditioner).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+GridShape = Tuple[int, ...]
+
+
+def coarse_shape(fine: GridShape) -> GridShape:
+    """Coarse grid shape; every axis must be odd and >= 3."""
+    for n in fine:
+        if n < 3 or n % 2 == 0:
+            raise ValueError(f"axis size {n} not coarsenable (need odd >= 3); shape={fine}")
+    return tuple((n - 1) // 2 for n in fine)
+
+
+def can_coarsen(fine: GridShape) -> bool:
+    return all(n >= 3 and n % 2 == 1 for n in fine)
+
+
+def _restrict_axis(v: jnp.ndarray) -> jnp.ndarray:
+    """Full weighting along the last axis (odd size n -> (n-1)//2)."""
+    n = v.shape[-1]
+    return 0.25 * v[..., 0 : n - 2 : 2] + 0.5 * v[..., 1 : n - 1 : 2] + 0.25 * v[..., 2:n:2]
+
+
+def _prolong_axis(e: jnp.ndarray, n_fine: int) -> jnp.ndarray:
+    """Linear interpolation along the last axis ((n-1)//2 -> n)."""
+    pad = [(0, 0)] * (e.ndim - 1) + [(1, 1)]
+    ep = jnp.pad(e, pad)
+    even = 0.5 * (ep[..., :-1] + ep[..., 1:])  # length m+1, values at fine 0,2,...,2m
+    out = jnp.zeros(e.shape[:-1] + (n_fine,), e.dtype)
+    out = out.at[..., 1::2].set(e)
+    out = out.at[..., 0::2].set(even)
+    return out
+
+
+def restrict(r: jnp.ndarray, fine: GridShape) -> jnp.ndarray:
+    """Restrict a flat residual vector from ``fine`` to ``coarse_shape(fine)``."""
+    v = r.reshape(fine)
+    for ax in range(len(fine)):
+        v = jnp.moveaxis(_restrict_axis(jnp.moveaxis(v, ax, -1)), -1, ax)
+    return v.reshape(-1)
+
+
+def prolong(e: jnp.ndarray, fine: GridShape) -> jnp.ndarray:
+    """Prolong a flat coarse correction up to the flat ``fine`` grid."""
+    coarse = coarse_shape(fine)
+    v = e.reshape(coarse)
+    for ax in range(len(fine)):
+        v = jnp.moveaxis(_prolong_axis(jnp.moveaxis(v, ax, -1), fine[ax]), -1, ax)
+    return v.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Host-side (scipy) assembly — for the Galerkin product R A P.
+# ---------------------------------------------------------------------------
+
+
+def prolong_matrix_1d(n_fine: int) -> sp.csr_matrix:
+    """The 1-D P as a (n_fine, m) sparse matrix."""
+    m = (n_fine - 1) // 2
+    rows, cols, vals = [], [], []
+    for j in range(m):
+        rows += [2 * j, 2 * j + 1, 2 * j + 2]
+        cols += [j, j, j]
+        vals += [0.5, 1.0, 0.5]
+    return sp.csr_matrix((vals, (rows, cols)), shape=(n_fine, m))
+
+
+def prolong_matrix(fine: GridShape) -> sp.csr_matrix:
+    """d-D P as the Kronecker product over axes (row-major vector ordering:
+    axis 0 is outermost, matching ``reshape(fine)``)."""
+    P = prolong_matrix_1d(fine[0])
+    for n in fine[1:]:
+        P = sp.kron(P, prolong_matrix_1d(n), format="csr")
+    return P
+
+
+def restrict_matrix(fine: GridShape) -> sp.csr_matrix:
+    """R = P^T / 2^d (full weighting)."""
+    return (prolong_matrix(fine).T * (0.5 ** len(fine))).tocsr()
