@@ -189,3 +189,116 @@ def cg_solve_traced(
     res = res_of(r, rr)
     converged = jnp.logical_and(res < tol, it >= min_iter)
     return CGResult(x=x, iterations=it, residual=res, converged=converged), history
+
+
+def cg_solve_chunked(
+    A,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    M: Optional[Callable] = None,
+    chunk: int = 200,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = True,
+    callback: Optional[Callable] = None,
+    precise_dot: bool = False,
+    use_pallas: bool = False,
+) -> CGResult:
+    """Checkpointable CG: runs in jitted ``chunk``-iteration scans with a host
+    touchpoint between chunks.
+
+    The aux subsystem the reference lacks (SURVEY.md §5.4): between chunks the
+    full recurrence state is downloaded and (optionally) persisted to
+    ``checkpoint_path`` — a later call with the same path resumes the *same*
+    Krylov sequence, surviving process death mid-solve.  ``callback(state)``
+    receives a ``utils.checkpoint.CGState`` per chunk (structured progress
+    stream).  Per-chunk host cost is one small sync — amortised over ``chunk``
+    device-resident iterations.
+    """
+    import numpy as np
+
+    from conjugategradient_tpu.utils import checkpoint as ckpt
+
+    op = as_operator(A, use_pallas=use_pallas)
+    n = b.shape[0]
+    dtype = b.dtype
+    tol = jnp.asarray(policy.tol, dtype)
+    min_iter = jnp.int32(policy.min_iteration)
+    max_iter = policy.resolve_max(n)
+    dot = lambda u, v: _dot(u, v, precise=precise_dot)
+
+    prev = ckpt.maybe_resume(checkpoint_path) if resume else None
+    if prev is not None:
+        x = jnp.asarray(prev.x, dtype)
+        r = jnp.asarray(prev.r, dtype)
+        p = jnp.asarray(prev.p, dtype)
+        rz = jnp.asarray(prev.rz, dtype)
+        rr = jnp.asarray(prev.rr, dtype)
+        rr0 = jnp.asarray(prev.rr0, dtype)
+        it = jnp.int32(prev.iteration)
+    else:
+        x = jnp.zeros(n, dtype) if x0 is None else x0.astype(dtype)
+        r = b - op(x)
+        z = M(r) if M is not None else r
+        p = z
+        rz = dot(r, z)
+        rr = dot(r, r)
+        rr0 = rr
+        it = jnp.int32(0)
+
+    def res_of(r, rr, rr0):
+        return residual_norm(r, rr, rr0, policy.norm)
+
+    @jax.jit
+    def run_chunk(x, r, p, rz, rr, rr0, it):
+        def step(state, _):
+            x, r, p, rz, rr, it = state
+            res = res_of(r, rr, rr0)
+            active = jnp.logical_and(
+                jnp.logical_or(it < min_iter, res >= tol), it < jnp.int32(max_iter)
+            )
+            Ap = op(p)
+            alpha = jnp.where(active, _safe_div(rz, dot(p, Ap)), 0.0)
+            x = x + alpha * p
+            r2 = r - alpha * Ap
+            z2 = M(r2) if M is not None else r2
+            rz2 = dot(r2, z2)
+            rr2 = dot(r2, r2)
+            beta = jnp.where(active, _safe_div(rz2, rz), 0.0)
+            p2 = jnp.where(active, z2 + beta * p, p)
+            rz2 = jnp.where(active, rz2, rz)
+            rr2 = jnp.where(active, rr2, rr)
+            return (x, r2, p2, rz2, rr2, it + active.astype(jnp.int32)), None
+
+        (x, r, p, rz, rr, it), _ = jax.lax.scan(
+            step, (x, r, p, rz, rr, it), None, length=chunk
+        )
+        return x, r, p, rz, rr, it, res_of(r, rr, rr0)
+
+    while True:
+        x, r, p, rz, rr, it, res = run_chunk(x, r, p, rz, rr, rr0, it)
+        it_host = int(it)
+        res_host = float(res)
+        state = ckpt.CGState(
+            x=np.asarray(x),
+            r=np.asarray(r),
+            p=np.asarray(p),
+            rz=float(rz),
+            rr=float(rr),
+            rr0=float(rr0),
+            iteration=it_host,
+        )
+        if checkpoint_path:
+            ckpt.save_state(checkpoint_path, state)
+        if callback is not None:
+            callback(state)
+        converged = res_host < float(policy.tol) and it_host >= policy.min_iteration
+        if converged or it_host >= max_iter:
+            break
+
+    return CGResult(
+        x=x,
+        iterations=it,
+        residual=res,
+        converged=jnp.logical_and(res < tol, it >= min_iter),
+    )

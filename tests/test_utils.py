@@ -1,0 +1,118 @@
+"""Aux-subsystem tests: timers, residual logs, checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conjugategradient_tpu.core import oracle
+from conjugategradient_tpu.core.generators import banded_sin_system, tridiagonal_system
+from conjugategradient_tpu.solvers.cg import cg_solve, cg_solve_chunked, cg_solve_traced
+from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+from conjugategradient_tpu.utils import (
+    CGState,
+    PhaseTimer,
+    load_state,
+    records_from_history,
+    save_state,
+)
+from conjugategradient_tpu.utils.reslog import convergence_rate, write_csv, write_jsonl
+
+
+def test_phase_timer_sync_and_report():
+    import jax.numpy as jnp
+
+    t = PhaseTimer()
+    with t.phase("input"):
+        x = jnp.arange(1000.0)
+    with t.phase("solve", sync=lambda: y):
+        y = x * 2.0
+    rep = t.report(iterations=10)
+    assert "input" in rep and "solve" in rep and "us/it" in rep
+    assert t["solve"] >= 0 and t.total >= t["solve"]
+    assert set(t.as_dict()) == {"input", "solve"}
+
+
+def test_residual_records_roundtrip(tmp_path):
+    sys_ = banded_sin_system(512, 8)
+    res, hist = cg_solve_traced(
+        sys_.A.device_put(), np.asarray(sys_.b), np.asarray(sys_.x0),
+        ConvergencePolicy(tol=1e-8), num_steps=60,
+    )
+    recs = records_from_history(hist, iterations=int(res.iterations))
+    assert len(recs) == int(res.iterations)
+    assert recs[-1].l2 < recs[0].l2
+    assert 0 < convergence_rate(recs) < 1
+    jp, cp = str(tmp_path / "r.jsonl"), str(tmp_path / "r.csv")
+    write_jsonl(jp, recs)
+    write_csv(cp, recs)
+    assert len(open(jp).readlines()) == len(recs)
+    assert open(cp).readline().startswith("iteration,")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    st = CGState(
+        x=rng.standard_normal(16), r=rng.standard_normal(16), p=rng.standard_normal(16),
+        rz=1.5, rr=2.5, rr0=3.5, iteration=7,
+    )
+    path = str(tmp_path / "cg.npz")
+    save_state(path, st)
+    got = load_state(path)
+    np.testing.assert_array_equal(got.x, st.x)
+    assert (got.rz, got.rr, got.rr0, got.iteration) == (1.5, 2.5, 3.5, 7)
+
+
+def test_chunked_cg_matches_plain():
+    sys_ = banded_sin_system(1024, 16)
+    pol = ConvergencePolicy(tol=1e-8)
+    plain = cg_solve(sys_.A.device_put(), np.asarray(sys_.b), np.asarray(sys_.x0), pol)
+    chunked = cg_solve_chunked(
+        sys_.A.device_put(), np.asarray(sys_.b), np.asarray(sys_.x0), pol, chunk=7
+    )
+    assert bool(chunked.converged)
+    # chunked runs whole chunks, so it may take a few extra (frozen) iterations
+    assert abs(int(chunked.iterations) - int(plain.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(chunked.x), np.asarray(plain.x), rtol=1e-9, atol=1e-12)
+
+
+def test_chunked_cg_resume_continues_sequence(tmp_path):
+    sys_ = tridiagonal_system(2048)
+    pol = ConvergencePolicy(tol=1e-8, max_iteration=8192)
+    path = str(tmp_path / "state.npz")
+    seen = []
+
+    class Stop(Exception):
+        pass
+
+    def bail(state):
+        seen.append(state.iteration)
+        if state.iteration >= 200:
+            raise Stop  # simulate process death mid-solve
+
+    with pytest.raises(Stop):
+        cg_solve_chunked(
+            sys_.A.device_put(), np.asarray(sys_.b), policy=pol,
+            chunk=100, checkpoint_path=path, callback=bail,
+        )
+    assert os.path.exists(path)
+    mid = load_state(path)
+    assert mid.iteration >= 200
+
+    # resume and finish
+    res = cg_solve_chunked(
+        sys_.A.device_put(), np.asarray(sys_.b), policy=pol, chunk=500, checkpoint_path=path
+    )
+    assert bool(res.converged)
+    assert int(res.iterations) > mid.iteration
+    ref = oracle.cg(sys_.A, sys_.b, tol=1e-8, max_iteration=8192)
+    denom = np.maximum(np.abs(ref.x), 1e-3 * np.abs(ref.x).max())
+    assert np.max(np.abs(np.asarray(res.x) - ref.x) / denom) < 1e-5
+
+
+def test_chunked_cg_nonconvergence_flag():
+    sys_ = tridiagonal_system(512)
+    pol = ConvergencePolicy(tol=1e-30, max_iteration=50)
+    res = cg_solve_chunked(sys_.A.device_put(), np.asarray(sys_.b), policy=pol, chunk=20)
+    assert not bool(res.converged)
+    assert int(res.iterations) == 50  # max_iter respected inside chunks
