@@ -51,6 +51,21 @@ def spmv_dia(A: DiaMatrix, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def spmv_dia_roll(A: DiaMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """DIA SpMV with the shift expressed as a *cyclic roll*.
+
+    Numerically identical to ``spmv_dia`` (the wraparound lands on DIA's
+    structural zeros), but under GSPMD a roll partitions into a neighbor
+    collective-permute of the boundary slice — the formulation the
+    mesh-partitioned solvers (``parallel.gspmd``) use so XLA derives the halo
+    exchange automatically.
+    """
+    y = jnp.zeros(A.n, dtype=jnp.result_type(A.data.dtype, x.dtype))
+    for k, off in enumerate(A.offsets):
+        y = y + A.data[k] * jnp.roll(x, -off)
+    return y
+
+
 def spmv_ell(A: EllMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """Gather-based ELL SpMV; padding slots carry data==0 so no masking."""
     return (A.data * x[A.cols]).sum(axis=1)
@@ -86,11 +101,14 @@ def spmv(A, x: jnp.ndarray) -> jnp.ndarray:
     raise TypeError(f"unsupported matrix type {type(A)}")
 
 
-def as_operator(A, use_pallas: bool = False) -> Callable[[jnp.ndarray], jnp.ndarray]:
+def as_operator(
+    A, use_pallas: bool = False, roll: bool = False
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Wrap a matrix container (or pass through a callable) as ``x -> A@x``.
 
     ``use_pallas=True`` selects the hand-written TPU kernel where one exists
-    (currently DIA), falling back to the XLA path elsewhere.
+    (currently DIA); ``roll=True`` selects the GSPMD-friendly cyclic-roll DIA
+    formulation.  Both fall back to the XLA path elsewhere.
     """
     if callable(A) and not isinstance(
         A, (DiaMatrix, EllMatrix, CsrMatrix, CooMatrix, DenseMatrix)
@@ -100,4 +118,6 @@ def as_operator(A, use_pallas: bool = False) -> Callable[[jnp.ndarray], jnp.ndar
         from conjugategradient_tpu.ops.pallas_spmv import spmv_dia_pallas
 
         return partial(spmv_dia_pallas, A)
+    if roll and isinstance(A, DiaMatrix):
+        return partial(spmv_dia_roll, A)
     return partial(spmv, A)

@@ -158,31 +158,40 @@ def _smooth(h: MgHierarchy, lvl: MgLevel, op, b, x, sweeps: int):
     return jacobi_smooth(op, lvl.inv_diag, b, x, sweeps, h.omega)
 
 
-def v_cycle(h: MgHierarchy, b: jnp.ndarray, level: int = 0, use_pallas: bool = False) -> jnp.ndarray:
+def v_cycle(
+    h: MgHierarchy,
+    b: jnp.ndarray,
+    level: int = 0,
+    use_pallas: bool = False,
+    roll: bool = False,
+) -> jnp.ndarray:
     """One V(pre, post)-cycle for A_level e = b with zero initial guess.
 
-    Static recursion — unrolls completely at trace time.
+    Static recursion — unrolls completely at trace time.  ``roll=True``
+    selects the GSPMD-friendly cyclic-roll SpMV (see ``parallel.gspmd``).
     """
     from conjugategradient_tpu.ops.spmv import as_operator
 
     if level == len(h.levels):
         return jnp.dot(h.coarse_inv, b, preferred_element_type=b.dtype)
     lvl = h.levels[level]
-    op = as_operator(lvl.A, use_pallas=use_pallas)
+    op = as_operator(lvl.A, use_pallas=use_pallas, roll=roll)
     x = jnp.zeros_like(b)
     x = _smooth(h, lvl, op, b, x, h.pre)
     r = b - op(x)
     rc = transfer.restrict(r, lvl.grid)
-    ec = v_cycle(h, rc, level + 1, use_pallas)
+    ec = v_cycle(h, rc, level + 1, use_pallas, roll)
     x = x + transfer.prolong(ec, lvl.grid)
     x = _smooth(h, lvl, op, b, x, h.post)
     return x
 
 
-def as_preconditioner(h: MgHierarchy, use_pallas: bool = False) -> Callable[[jnp.ndarray], jnp.ndarray]:
+def as_preconditioner(
+    h: MgHierarchy, use_pallas: bool = False, roll: bool = False
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """M(r) = one V-cycle — the "Mg" in MGCG.  SPD by symmetric construction,
     so valid for ``cg_solve(..., M=...)``."""
-    return partial(v_cycle, h, level=0, use_pallas=use_pallas)
+    return partial(v_cycle, h, level=0, use_pallas=use_pallas, roll=roll)
 
 
 def mgcg_solve(
