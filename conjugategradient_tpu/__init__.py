@@ -34,6 +34,7 @@ reference and citations of each capability being re-designed here.
 __version__ = "0.1.0"
 
 from conjugategradient_tpu.core.formats import (  # noqa: F401
+    BsrMatrix,
     CooMatrix,
     CsrMatrix,
     DenseMatrix,

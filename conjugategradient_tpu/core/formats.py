@@ -207,6 +207,62 @@ _register(CooMatrix, ["data", "rows", "cols"], ["shape"])
 
 
 @dataclasses.dataclass(frozen=True)
+class BsrMatrix:
+    """Block CSR: dense (R, C) blocks in CSR layout over the block grid.
+
+    The MXU-friendly sparse format (new vs the reference, required by the
+    BASELINE north-star's "CSR/COO/BSR storage"): the per-block work is a
+    dense (R, C) x (C,) product, so SpMV/SpMM batch onto the matrix unit
+    instead of the VPU.  ``block_row_ids`` is precomputed (like CSR's
+    ``row_ids``) so the reduction is one ``segment_sum``.
+    """
+
+    data: jax.Array | np.ndarray  # (nblocks, R, C)
+    indices: jax.Array | np.ndarray  # (nblocks,) int32 block-column ids
+    indptr: jax.Array | np.ndarray  # (n_block_rows + 1,) int32
+    block_row_ids: jax.Array | np.ndarray  # (nblocks,) int32
+    shape: Shape  # element shape (n, m); must divide by block shape
+
+    @property
+    def block_shape(self) -> Shape:
+        return (int(self.data.shape[1]), int(self.data.shape[2]))
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def nblocks(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def nnz(self) -> int:
+        r, c = self.block_shape
+        return self.nblocks * r * c  # stored entries (incl. explicit zeros)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dtype) -> "BsrMatrix":
+        return BsrMatrix(self.data.astype(dtype), self.indices, self.indptr, self.block_row_ids, self.shape)
+
+    def device_put(self, dtype=None) -> "BsrMatrix":
+        import jax.numpy as jnp
+
+        data = np.asarray(self.data)
+        if dtype is not None:
+            data = data.astype(dtype)
+        as_i32 = lambda a: jnp.asarray(np.asarray(a, dtype=np.int32))
+        return BsrMatrix(
+            jnp.asarray(data), as_i32(self.indices), as_i32(self.indptr), as_i32(self.block_row_ids), self.shape
+        )
+
+
+_register(BsrMatrix, ["data", "indices", "indptr", "block_row_ids"], ["shape"])
+
+
+@dataclasses.dataclass(frozen=True)
 class DenseMatrix:
     """Dense SPD matrix (the R prototype path, ``R/CG.R:4-24``); SpMV on the MXU."""
 
@@ -381,6 +437,49 @@ def dia_to_csr(dia: DiaMatrix) -> CsrMatrix:
         rows = cols = np.zeros(0, dtype=np.int64)
         vals = np.zeros(0, dtype=data.dtype)
     return coo_to_csr(CooMatrix(vals, rows.astype(np.int32), cols.astype(np.int32), (n, n)))
+
+
+def csr_to_bsr(csr: CsrMatrix, block_shape: Tuple[int, int] = (8, 8)) -> BsrMatrix:
+    """CSR -> block CSR.  Rows/cols must divide by the block shape (pad the
+    system first otherwise); blocks with any nonzero are stored dense."""
+    n, m = csr.shape
+    R, C = block_shape
+    if n % R or m % C:
+        raise ValueError(f"shape {csr.shape} not divisible by block {block_shape}")
+    rows = np.asarray(csr.row_ids, dtype=np.int64)
+    cols = np.asarray(csr.indices, dtype=np.int64)
+    vals = np.asarray(csr.data)
+    brow, bcol = rows // R, cols // C
+    keys = brow * (m // C) + bcol
+    order = np.argsort(keys, kind="stable")
+    keys_s = keys[order]
+    uniq, start = np.unique(keys_s, return_index=True)
+    nblocks = len(uniq)
+    data = np.zeros((nblocks, R, C), dtype=vals.dtype)
+    block_of = np.searchsorted(uniq, keys)
+    data[block_of, rows % R, cols % C] = vals
+    b_rows = (uniq // (m // C)).astype(np.int32)
+    b_cols = (uniq % (m // C)).astype(np.int32)
+    indptr = np.zeros(n // R + 1, dtype=np.int32)
+    np.add.at(indptr, b_rows + 1, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+    return BsrMatrix(data, b_cols, indptr, b_rows, (n, m))
+
+
+def bsr_to_csr(bsr: BsrMatrix) -> CsrMatrix:
+    R, C = bsr.block_shape
+    n, m = bsr.shape
+    data = np.asarray(bsr.data)
+    brows = np.asarray(bsr.block_row_ids, dtype=np.int64)
+    bcols = np.asarray(bsr.indices, dtype=np.int64)
+    rr, cc = np.meshgrid(np.arange(R), np.arange(C), indexing="ij")
+    rows = (brows[:, None, None] * R + rr[None]).ravel()
+    cols = (bcols[:, None, None] * C + cc[None]).ravel()
+    vals = data.ravel()
+    keep = vals != 0
+    return coo_to_csr(
+        CooMatrix(vals[keep], rows[keep].astype(np.int32), cols[keep].astype(np.int32), (n, m))
+    )
 
 
 def dia_diagonal(dia: DiaMatrix) -> np.ndarray:

@@ -19,6 +19,7 @@ import numpy as np
 
 from conjugategradient_tpu.core import formats
 from conjugategradient_tpu.core.formats import (
+    BsrMatrix,
     CooMatrix,
     CsrMatrix,
     DenseMatrix,
@@ -68,6 +69,8 @@ def spmv(A, x: np.ndarray) -> np.ndarray:
         y = np.zeros(A.n, dtype=prods.dtype)
         np.add.at(y, np.asarray(A.rows), prods)
         return y
+    if isinstance(A, BsrMatrix):
+        return spmv(formats.bsr_to_csr(A), x)
     if isinstance(A, DenseMatrix):
         return np.asarray(A.data) @ x
     raise TypeError(f"unsupported matrix type {type(A)}")

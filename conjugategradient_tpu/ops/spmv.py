@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from conjugategradient_tpu.core.formats import (
+    BsrMatrix,
     CooMatrix,
     CsrMatrix,
     DenseMatrix,
@@ -96,6 +97,10 @@ def spmv(A, x: jnp.ndarray) -> jnp.ndarray:
         return spmv_csr(A, x)
     if isinstance(A, CooMatrix):
         return spmv_coo(A, x)
+    if isinstance(A, BsrMatrix):
+        from conjugategradient_tpu.ops.spmm import spmv_bsr
+
+        return spmv_bsr(A, x)
     if isinstance(A, DenseMatrix):
         return spmv_dense(A, x)
     raise TypeError(f"unsupported matrix type {type(A)}")
@@ -111,7 +116,7 @@ def as_operator(
     formulation.  Both fall back to the XLA path elsewhere.
     """
     if callable(A) and not isinstance(
-        A, (DiaMatrix, EllMatrix, CsrMatrix, CooMatrix, DenseMatrix)
+        A, (DiaMatrix, EllMatrix, CsrMatrix, CooMatrix, BsrMatrix, DenseMatrix)
     ):
         return A
     if use_pallas and isinstance(A, DiaMatrix):
