@@ -51,16 +51,21 @@ def main() -> None:
     system = generators.poisson_system(grid, dtype=dtype)
     n = system.n
     policy = ConvergencePolicy(tol=tol, norm="rel_l2", max_iteration=8 * n)
-    A = system.A.device_put(dtype=dtype)
-    b = jnp.asarray(system.b, dtype=dtype)
+    # grid-stencil layout: the TPU roofline path (see ops/stencil.py)
+    from conjugategradient_tpu.core.formats import dia_to_stencil
+
+    A = dia_to_stencil(system.A, grid).device_put(dtype=dtype)
+    b = jnp.asarray(system.b, dtype=dtype).reshape(grid)
     precise = dtype == np.float32
 
-    def timed(solve):
+    def timed(solve, reps: int = 5):
         jax.block_until_ready(solve(b).x)  # compile + warm
         t0 = time.perf_counter()
-        res = solve(b)
+        for _ in range(reps):
+            res = solve(b)
         jax.block_until_ready(res.x)
-        return time.perf_counter() - t0, res
+        # repeated dispatches pipeline, amortising per-call host/tunnel latency
+        return (time.perf_counter() - t0) / reps, res
 
     plain_solve = jax.jit(lambda b: cg_solve(A, b, policy=policy, precise_dot=precise))
     t_plain, plain = timed(plain_solve)

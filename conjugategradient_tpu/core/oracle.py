@@ -20,6 +20,7 @@ import numpy as np
 from conjugategradient_tpu.core import formats
 from conjugategradient_tpu.core.formats import (
     BsrMatrix,
+    StencilMatrix,
     CooMatrix,
     CsrMatrix,
     DenseMatrix,
@@ -71,6 +72,8 @@ def spmv(A, x: np.ndarray) -> np.ndarray:
         return y
     if isinstance(A, BsrMatrix):
         return spmv(formats.bsr_to_csr(A), x)
+    if isinstance(A, StencilMatrix):
+        return spmv(formats.stencil_to_dia(A), x)
     if isinstance(A, DenseMatrix):
         return np.asarray(A.data) @ x
     raise TypeError(f"unsupported matrix type {type(A)}")

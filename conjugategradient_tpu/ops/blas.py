@@ -26,7 +26,9 @@ def dot(a: jnp.ndarray, b: jnp.ndarray, precise: bool = False):
         from conjugategradient_tpu.ops.precision import kahan_dot
 
         return kahan_dot(a, b)
-    return jnp.dot(a, b, preferred_element_type=a.dtype)
+    # vdot reduces over *all* axes, so grid-shaped solver state (the stencil
+    # fast path) and flat vectors share one code path
+    return jnp.vdot(a, b, preferred_element_type=a.dtype)
 
 
 def axpy(alpha, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

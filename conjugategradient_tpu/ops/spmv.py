@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from conjugategradient_tpu.core.formats import (
     BsrMatrix,
+    StencilMatrix,
     CooMatrix,
     CsrMatrix,
     DenseMatrix,
@@ -89,6 +90,10 @@ def spmv_dense(A: DenseMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def spmv(A, x: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(A, StencilMatrix):
+        from conjugategradient_tpu.ops.stencil import spmv_stencil
+
+        return spmv_stencil(A, x)
     if isinstance(A, DiaMatrix):
         return spmv_dia(A, x)
     if isinstance(A, EllMatrix):
@@ -116,9 +121,13 @@ def as_operator(
     formulation.  Both fall back to the XLA path elsewhere.
     """
     if callable(A) and not isinstance(
-        A, (DiaMatrix, EllMatrix, CsrMatrix, CooMatrix, BsrMatrix, DenseMatrix)
+        A, (DiaMatrix, EllMatrix, CsrMatrix, CooMatrix, BsrMatrix, DenseMatrix, StencilMatrix)
     ):
         return A
+    if roll and isinstance(A, StencilMatrix):
+        from conjugategradient_tpu.ops.stencil import spmv_stencil_roll
+
+        return partial(spmv_stencil_roll, A)
     if use_pallas and isinstance(A, DiaMatrix):
         from conjugategradient_tpu.ops.pallas_spmv import spmv_dia_pallas
 

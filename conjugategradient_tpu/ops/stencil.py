@@ -1,0 +1,70 @@
+"""Grid-stencil SpMV — the TPU speed-of-light path for structured matrices.
+
+Why this exists (measured on a real chip, 1M-row 2-D Poisson, fp32):
+
+=====================  =========  ==========
+formulation             time       GFLOP/s
+=====================  =========  ==========
+flat DIA, XLA slices     995 us      10.5
+flat DIA, XLA rolls      779 us      13.4
+flat DIA, Pallas         427 us      24.5
+**2-D grid stencil**    **31 us**  **342** (~950 GB/s = HBM roofline)
+=====================  =========  ==========
+
+Flat 1-D layouts starve the VPU's (8, 128) registers; keeping unknowns in
+their natural grid shape makes every shifted window a 2-D tiled array and XLA
+fuses the whole stencil into one roofline-bound streaming loop.  All
+grid-stencil ops therefore take and return *grid-shaped* arrays; the solver
+stack is shape-agnostic (dots/norms reduce over all axes), so CG state simply
+stays grid-shaped end-to-end.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from conjugategradient_tpu.core.formats import StencilMatrix
+
+
+def spmv_stencil(A: StencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x on grid-shaped ``x`` via zero-pad + static slices."""
+    halo = A.halo
+    xp = jnp.pad(x, [(h, h) for h in halo])
+    y = None
+    for k, shift in enumerate(A.shifts):
+        sl = tuple(
+            slice(h + s, h + s + g) for h, s, g in zip(halo, shift, A.grid)
+        )
+        term = A.data[k] * xp[sl]
+        y = term if y is None else y + term
+    return y
+
+
+def spmv_stencil_roll(A: StencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """Same product with cyclic rolls per axis — the GSPMD-friendly variant
+    (rolls partition into neighbor collective-permutes; wraparound lands on
+    the legs' structural zeros, as in ``ops.spmv.spmv_dia_roll``)."""
+    y = None
+    for k, shift in enumerate(A.shifts):
+        xs = x
+        for ax, s in enumerate(shift):
+            if s:
+                xs = jnp.roll(xs, -s, axis=ax)
+        term = A.data[k] * xs
+        y = term if y is None else y + term
+    return y
+
+
+def spmm_stencil(A: StencilMatrix, B: jnp.ndarray) -> jnp.ndarray:
+    """A @ B for B of shape (*grid, k) — k right-hand sides at once."""
+    halo = A.halo
+    pad = [(h, h) for h in halo] + [(0, 0)]
+    Bp = jnp.pad(B, pad)
+    y = None
+    for k, shift in enumerate(A.shifts):
+        sl = tuple(
+            slice(h + s, h + s + g) for h, s, g in zip(halo, shift, A.grid)
+        ) + (slice(None),)
+        term = A.data[k][..., None] * Bp[sl]
+        y = term if y is None else y + term
+    return y

@@ -82,25 +82,30 @@ def make_gspmd_mgcg(
     dots become global reductions, and roll-SpMV halos become
     collective-permutes.  ``inputs = (b, x0)`` pre-placed on the mesh.
     """
+    from conjugategradient_tpu.core.formats import StencilMatrix
     from conjugategradient_tpu.precond import build_hierarchy
     from conjugategradient_tpu.precond.multigrid import MgHierarchy, MgLevel
 
     num = mesh.shape[axis]
     dt = dtype or np.asarray(system.A.data).dtype
-    h = hierarchy or build_hierarchy(system.A, grid, smoother=smoother, pre=pre, post=post, dtype=dt)
+    h = hierarchy or build_hierarchy(
+        system.A, grid, smoother=smoother, pre=pre, post=post, dtype=dt, layout="stencil"
+    )
 
-    # Re-place every level's arrays with row sharding where divisible.
     def put(arr, spec):
         return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
 
+    # Shard every level on grid axis 0 where it divides the mesh axis; tiny
+    # coarse levels fall back to replicated.
+    nd = len(grid)
     levels = []
     for lvl in h.levels:
-        n_l = lvl.A.n
-        vspec = P(axis) if n_l % num == 0 else P()
-        dspec = P(None, axis) if n_l % num == 0 else P()
+        ok = lvl.grid[0] % num == 0
+        dspec = P(None, axis, *([None] * (nd - 1))) if ok else P()
+        vspec = P(axis, *([None] * (nd - 1))) if ok else P()
         levels.append(
             MgLevel(
-                A=DiaMatrix(put(lvl.A.data, dspec), lvl.A.offsets, lvl.A.shape),
+                A=StencilMatrix(put(lvl.A.data, dspec), lvl.A.shifts, lvl.A.grid),
                 inv_diag=put(lvl.inv_diag, vspec),
                 grid=lvl.grid,
                 cheb_bounds=lvl.cheb_bounds,
@@ -115,8 +120,20 @@ def make_gspmd_mgcg(
         omega=h.omega,
     )
 
-    A_dev, b_dev, x0_dev = shard_system(system, mesh, axis=axis, dtype=dt)
-    op = as_operator(A_dev, roll=True)
+    vspec0 = P(axis, *([None] * (nd - 1))) if grid[0] % num == 0 else P()
+    if h_sharded.levels:
+        fine_A = h_sharded.levels[0].A
+    else:
+        # below max_coarse the hierarchy is just the direct solve; build the
+        # fine stencil operator separately
+        from conjugategradient_tpu.core.formats import dia_to_stencil
+
+        st = dia_to_stencil(system.A, tuple(grid)).astype(dt)
+        dspec0 = P(None, axis, *([None] * (nd - 1))) if grid[0] % num == 0 else P()
+        fine_A = StencilMatrix(put(st.data, dspec0), st.shifts, st.grid)
+    op = as_operator(fine_A, roll=True)
+    b_dev = put(np.asarray(system.b, dtype=dt).reshape(grid), vspec0)
+    x0_dev = put(np.asarray(system.x0, dtype=dt).reshape(grid), vspec0)
 
     def M(r):
         from conjugategradient_tpu.precond.multigrid import v_cycle
@@ -124,7 +141,13 @@ def make_gspmd_mgcg(
         return v_cycle(h_sharded, r, roll=True)
 
     def solve(b, x0):
-        return cg_solve(op, b, x0, policy, M=M)
+        res = cg_solve(op, b, x0, policy, M=M)
+        return CGResult(
+            x=res.x.reshape(-1),
+            iterations=res.iterations,
+            residual=res.residual,
+            converged=res.converged,
+        )
 
     return jax.jit(solve), (b_dev, x0_dev)
 

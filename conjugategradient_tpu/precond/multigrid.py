@@ -32,7 +32,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from conjugategradient_tpu.core import formats
-from conjugategradient_tpu.core.formats import DiaMatrix, dia_diagonal
+from conjugategradient_tpu.core.formats import DiaMatrix, StencilMatrix, dia_diagonal, dia_to_stencil
 from conjugategradient_tpu.precond import transfer
 from conjugategradient_tpu.precond.smoothers import chebyshev_smooth, jacobi_smooth
 from conjugategradient_tpu.solvers import eigen
@@ -100,6 +100,7 @@ def build_hierarchy(
     max_coarse: int = 1025,
     max_levels: int = 25,
     dtype=None,
+    layout: str = "stencil",
 ) -> MgHierarchy:
     """Build the static hierarchy from the fine operator.
 
@@ -107,7 +108,14 @@ def build_hierarchy(
     1-D problems (tridiagonal, the banded |sin| family) use ``(n,)``.  Axes
     must be odd to coarsen; coarsening stops at ``max_coarse`` unknowns or
     when an axis becomes even.
+
+    ``layout="stencil"`` (default) stores each level as a grid
+    ``StencilMatrix`` and the V-cycle runs on grid-shaped arrays — the TPU
+    roofline path (see ``ops.stencil``).  ``layout="dia"`` keeps flat DIA
+    levels and flat vectors.
     """
+    if layout not in ("stencil", "dia"):
+        raise ValueError(f"unknown layout {layout!r}")
     if int(np.prod(grid)) != A.n:
         raise ValueError(f"prod(grid)={int(np.prod(grid))} != n={A.n}")
     if smoother not in ("jacobi", "chebyshev"):
@@ -125,10 +133,16 @@ def build_hierarchy(
         else:
             bounds = (0.0, 0.0)
         dt = dtype or np.asarray(A_h.data).dtype
+        if layout == "stencil":
+            A_dev = dia_to_stencil(A_h, g).device_put(dt)
+            inv_d = jnp.asarray((1.0 / diag).astype(dt).reshape(g))
+        else:
+            A_dev = A_h.device_put(dt)
+            inv_d = jnp.asarray((1.0 / diag).astype(dt))
         levels.append(
             MgLevel(
-                A=A_h.device_put(dt),
-                inv_diag=jnp.asarray((1.0 / diag).astype(dt)),
+                A=A_dev,
+                inv_diag=inv_d,
                 grid=g,
                 cheb_bounds=bounds,
             )
@@ -173,15 +187,25 @@ def v_cycle(
     from conjugategradient_tpu.ops.spmv import as_operator
 
     if level == len(h.levels):
-        return jnp.dot(h.coarse_inv, b, preferred_element_type=b.dtype)
+        y = jnp.dot(h.coarse_inv, b.reshape(-1), preferred_element_type=b.dtype)
+        return y.reshape(b.shape)
     lvl = h.levels[level]
     op = as_operator(lvl.A, use_pallas=use_pallas, roll=roll)
+    grid_native = isinstance(lvl.A, StencilMatrix)
+    if grid_native and tuple(b.shape) != tuple(lvl.grid):
+        # flat caller with a stencil hierarchy: run grid-shaped, return flat
+        return v_cycle(h, b.reshape(lvl.grid), level, use_pallas, roll).reshape(-1)
     x = jnp.zeros_like(b)
     x = _smooth(h, lvl, op, b, x, h.pre)
     r = b - op(x)
-    rc = transfer.restrict(r, lvl.grid)
-    ec = v_cycle(h, rc, level + 1, use_pallas, roll)
-    x = x + transfer.prolong(ec, lvl.grid)
+    if grid_native:
+        rc = transfer.restrict_grid(r)
+        ec = v_cycle(h, rc, level + 1, use_pallas, roll)
+        x = x + transfer.prolong_grid(ec, lvl.grid)
+    else:
+        rc = transfer.restrict(r, lvl.grid)
+        ec = v_cycle(h, rc, level + 1, use_pallas, roll)
+        x = x + transfer.prolong(ec, lvl.grid)
     x = _smooth(h, lvl, op, b, x, h.post)
     return x
 
@@ -206,6 +230,7 @@ def mgcg_solve(
     hierarchy: Optional[MgHierarchy] = None,
     use_pallas: bool = False,
     precise_dot: bool = False,
+    layout: str = "stencil",
 ):
     """Multigrid-preconditioned CG — the solver the reference's name promised.
 
@@ -214,14 +239,20 @@ def mgcg_solve(
     Returns ``(CGResult, MgHierarchy)`` so the hierarchy can be reused across
     solves with the same sparsity (the expensive part is setup).
     """
-    from conjugategradient_tpu.solvers.cg import cg_solve
+    from conjugategradient_tpu.solvers.cg import CGResult, cg_solve
     from conjugategradient_tpu.solvers.policy import ConvergencePolicy
 
     policy = policy or ConvergencePolicy()
-    h = hierarchy or build_hierarchy(A, grid, smoother=smoother, pre=pre, post=post)
-    A_dev = A.device_put() if isinstance(A.data, np.ndarray) else A
-    b = jnp.asarray(np.asarray(b))
-    x0 = None if x0 is None else jnp.asarray(np.asarray(x0))
+    h = hierarchy or build_hierarchy(A, grid, smoother=smoother, pre=pre, post=post, layout=layout)
+    stencil = len(h.levels) > 0 and isinstance(h.levels[0].A, StencilMatrix)
+    if stencil:
+        A_dev = h.levels[0].A  # fine-level stencil operator (same matrix)
+        b = jnp.asarray(np.asarray(b)).reshape(grid)
+        x0 = None if x0 is None else jnp.asarray(np.asarray(x0)).reshape(grid)
+    else:
+        A_dev = A.device_put() if isinstance(A.data, np.ndarray) else A
+        b = jnp.asarray(np.asarray(b))
+        x0 = None if x0 is None else jnp.asarray(np.asarray(x0))
     result = cg_solve(
         A_dev,
         b,
@@ -231,4 +262,11 @@ def mgcg_solve(
         use_pallas=use_pallas,
         precise_dot=precise_dot,
     )
+    if stencil:
+        result = CGResult(
+            x=result.x.reshape(-1),
+            iterations=result.iterations,
+            residual=result.residual,
+            converged=result.converged,
+        )
     return result, h

@@ -61,21 +61,28 @@ def _prolong_axis(e: jnp.ndarray, n_fine: int) -> jnp.ndarray:
     return out
 
 
+def restrict_grid(v: jnp.ndarray) -> jnp.ndarray:
+    """Grid-shaped full-weighting restriction along every axis."""
+    for ax in range(v.ndim):
+        v = jnp.moveaxis(_restrict_axis(jnp.moveaxis(v, ax, -1)), -1, ax)
+    return v
+
+
+def prolong_grid(v: jnp.ndarray, fine: GridShape) -> jnp.ndarray:
+    """Grid-shaped linear prolongation up to ``fine``."""
+    for ax in range(len(fine)):
+        v = jnp.moveaxis(_prolong_axis(jnp.moveaxis(v, ax, -1), fine[ax]), -1, ax)
+    return v
+
+
 def restrict(r: jnp.ndarray, fine: GridShape) -> jnp.ndarray:
     """Restrict a flat residual vector from ``fine`` to ``coarse_shape(fine)``."""
-    v = r.reshape(fine)
-    for ax in range(len(fine)):
-        v = jnp.moveaxis(_restrict_axis(jnp.moveaxis(v, ax, -1)), -1, ax)
-    return v.reshape(-1)
+    return restrict_grid(r.reshape(fine)).reshape(-1)
 
 
 def prolong(e: jnp.ndarray, fine: GridShape) -> jnp.ndarray:
     """Prolong a flat coarse correction up to the flat ``fine`` grid."""
-    coarse = coarse_shape(fine)
-    v = e.reshape(coarse)
-    for ax in range(len(fine)):
-        v = jnp.moveaxis(_prolong_axis(jnp.moveaxis(v, ax, -1), fine[ax]), -1, ax)
-    return v.reshape(-1)
+    return prolong_grid(e.reshape(coarse_shape(fine)), fine).reshape(-1)
 
 
 # ---------------------------------------------------------------------------

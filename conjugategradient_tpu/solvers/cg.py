@@ -83,14 +83,14 @@ def cg_solve(
     ``conjugategradient_tpu.parallel`` for the collective-dot variant).
     """
     op = as_operator(A, use_pallas=use_pallas)
-    n = b.shape[0]
+    n = b.size
     dtype = b.dtype
     tol = jnp.asarray(policy.tol, dtype)
     min_iter = jnp.int32(policy.min_iteration)
     max_iter = jnp.int32(policy.resolve_max(n))
     dot = lambda u, v: _dot(u, v, precise=precise_dot)
 
-    x = jnp.zeros(n, dtype) if x0 is None else x0.astype(dtype)
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
     r = b - op(x)
     z = M(r) if M is not None else r
     p = z
@@ -147,13 +147,13 @@ def cg_solve_traced(
     Returns ``(CGResult, residual_history)``.
     """
     op = as_operator(A, use_pallas=use_pallas)
-    n = b.shape[0]
+    n = b.size
     dtype = b.dtype
     tol = jnp.asarray(policy.tol, dtype)
     min_iter = jnp.int32(policy.min_iteration)
     dot = lambda u, v: _dot(u, v, precise=precise_dot)
 
-    x = jnp.zeros(n, dtype) if x0 is None else x0.astype(dtype)
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
     r = b - op(x)
     z = M(r) if M is not None else r
     p = z
@@ -220,7 +220,7 @@ def cg_solve_chunked(
     from conjugategradient_tpu.utils import checkpoint as ckpt
 
     op = as_operator(A, use_pallas=use_pallas)
-    n = b.shape[0]
+    n = b.size
     dtype = b.dtype
     tol = jnp.asarray(policy.tol, dtype)
     min_iter = jnp.int32(policy.min_iteration)
@@ -237,7 +237,7 @@ def cg_solve_chunked(
         rr0 = jnp.asarray(prev.rr0, dtype)
         it = jnp.int32(prev.iteration)
     else:
-        x = jnp.zeros(n, dtype) if x0 is None else x0.astype(dtype)
+        x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
         r = b - op(x)
         z = M(r) if M is not None else r
         p = z

@@ -1,0 +1,99 @@
+"""Grid-stencil format: conversions, SpMV/SpMM variants, MGCG stencil layout."""
+
+import numpy as np
+import pytest
+
+from conjugategradient_tpu.core import formats, oracle
+from conjugategradient_tpu.core.formats import dia_to_stencil, stencil_to_dia
+from conjugategradient_tpu.core.generators import (
+    poisson1d_matrix,
+    poisson2d_matrix,
+    poisson3d_matrix,
+    poisson_system,
+    tridiagonal_matrix,
+)
+from conjugategradient_tpu.ops.stencil import spmm_stencil, spmv_stencil, spmv_stencil_roll
+from conjugategradient_tpu.precond import build_hierarchy, galerkin_coarse, mgcg_solve
+from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+
+@pytest.mark.parametrize(
+    "A,grid",
+    [
+        (tridiagonal_matrix(100), (100,)),
+        (poisson2d_matrix(13, 9), (9, 13)),
+        (poisson3d_matrix(5, 7, 6), (6, 7, 5)),
+    ],
+)
+def test_dia_stencil_roundtrip(A, grid):
+    st = dia_to_stencil(A, grid)
+    back = stencil_to_dia(st)
+    np.testing.assert_allclose(
+        np.asarray(formats.dia_to_dense(back).data),
+        np.asarray(formats.dia_to_dense(A).data),
+        atol=1e-14,
+    )
+    assert st.n == A.n
+    # grid masking makes the stencil count exact (DIA's counts diagonal
+    # lengths, which overcount across row seams)
+    assert st.nnz == np.count_nonzero(formats.dia_to_dense(A).data)
+
+
+def test_galerkin_coarse_is_stencil_too():
+    # coarse 9-point operator decomposes onto the coarse grid
+    A = poisson2d_matrix(17)
+    Ac = galerkin_coarse(A, (17, 17))
+    st = dia_to_stencil(Ac, (8, 8))
+    assert len(st.shifts) == 9  # 9-point stencil after full-weighting Galerkin
+    x = np.random.default_rng(0).standard_normal(64)
+    np.testing.assert_allclose(
+        np.asarray(spmv_stencil(st.device_put(), x.reshape(8, 8))).reshape(-1),
+        oracle.spmv(Ac, x),
+        rtol=1e-12,
+    )
+
+
+@pytest.mark.parametrize("fn", [spmv_stencil, spmv_stencil_roll])
+def test_stencil_spmv_matches_dia(fn):
+    A = poisson2d_matrix(23, 17)
+    st = dia_to_stencil(A, (17, 23)).device_put()
+    x = np.random.default_rng(1).standard_normal(A.n)
+    got = np.asarray(fn(st, x.reshape(17, 23))).reshape(-1)
+    np.testing.assert_allclose(got, oracle.spmv(A, x), rtol=1e-12, atol=1e-12)
+
+
+def test_stencil_spmm():
+    A = poisson2d_matrix(9)
+    st = dia_to_stencil(A, (9, 9)).device_put()
+    B = np.random.default_rng(2).standard_normal((81, 4))
+    got = np.asarray(spmm_stencil(st, B.reshape(9, 9, 4))).reshape(81, 4)
+    want = np.stack([oracle.spmv(A, B[:, j]) for j in range(4)], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_stencil_rejects_wrapping_matrix():
+    # the banded |sin| matrix on a 2-D grid it doesn't match must raise
+    from conjugategradient_tpu.core.generators import banded_sin_matrix
+
+    A = banded_sin_matrix(64, 8)
+    with pytest.raises(ValueError):
+        dia_to_stencil(A, (8, 8))
+
+
+def test_mgcg_stencil_layout_matches_dia_layout():
+    grid = (31, 31)
+    sys_ = poisson_system(grid)
+    pol = ConvergencePolicy(tol=1e-10)
+    r_st, _ = mgcg_solve(sys_.A, sys_.b, grid, policy=pol, layout="stencil")
+    r_dia, _ = mgcg_solve(sys_.A, sys_.b, grid, policy=pol, layout="dia")
+    assert bool(r_st.converged) and bool(r_dia.converged)
+    assert int(r_st.iterations) == int(r_dia.iterations)
+    np.testing.assert_allclose(np.asarray(r_st.x), np.asarray(r_dia.x), rtol=1e-9, atol=1e-12)
+
+
+def test_hierarchy_stencil_levels_have_grid_shapes():
+    sys_ = poisson_system((31, 31))
+    h = build_hierarchy(sys_.A, (31, 31), max_coarse=64, layout="stencil")
+    for lvl in h.levels:
+        assert isinstance(lvl.A, formats.StencilMatrix)
+        assert lvl.inv_diag.shape == lvl.grid
