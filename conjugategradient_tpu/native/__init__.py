@@ -91,6 +91,12 @@ def _load():
         ]
         lib.csrkit_banded_sin_dia.restype = None
         lib.csrkit_banded_sin_dia.argtypes = [ctypes.c_int64, ctypes.c_int64, c_f64p]
+        lib.csrkit_cg.restype = ctypes.c_int64
+        lib.csrkit_cg.argtypes = [
+            ctypes.c_int64, c_i32p, c_i32p, c_f64p, c_f64p, c_f64p,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
         return _lib
 
@@ -209,6 +215,44 @@ def csr_to_ell(csr, k=None):
     if rc != 0:
         raise ValueError("row exceeds ELL width")
     return formats.EllMatrix(data, cols, (n, m))
+
+
+_NORM_CODE = {"l2": 0, "linf": 1, "rel_l2": 2}
+
+
+def cg(csr, b, x0=None, tol: float = 1e-8, norm: str = "l2",
+       min_iteration: int = 0, max_iteration=None, raise_on_divergence: bool = True):
+    """OpenMP CSR CG — native counterpart of ``core.oracle.cg`` (same policy
+    semantics, L2/Linf/relative norms).  Falls back to the numpy oracle when
+    the native kit is unavailable."""
+    from conjugategradient_tpu.core import oracle
+
+    lib = _load()
+    if lib is None or np.asarray(csr.data).dtype != np.float64:
+        return oracle.cg(csr, b, x0, tol=tol, norm=norm, min_iteration=min_iteration,
+                         max_iteration=max_iteration, raise_on_divergence=raise_on_divergence)
+    n = csr.n
+    if max_iteration is None:
+        max_iteration = n
+    x = (np.zeros(n) if x0 is None else np.asarray(x0, dtype=np.float64).copy())
+    res = ctypes.c_double(0.0)
+    it = int(lib.csrkit_cg(
+        n,
+        np.ascontiguousarray(csr.indptr, dtype=np.int32),
+        np.ascontiguousarray(csr.indices, dtype=np.int32),
+        np.ascontiguousarray(csr.data, dtype=np.float64),
+        np.ascontiguousarray(b, dtype=np.float64),
+        x,
+        float(tol), _NORM_CODE[norm], int(min_iteration), int(max_iteration),
+        ctypes.byref(res),
+    ))
+    if it < 0:
+        if raise_on_divergence:
+            raise oracle.NotConvergedError(
+                f"native CG did not converge in {-it - 1} iterations (residual={res.value:.3e})"
+            )
+        return oracle.OracleResult(x, -it - 1, res.value, False, [])
+    return oracle.OracleResult(x, it, res.value, True, [])
 
 
 def banded_sin_dia(n: int, band: int):

@@ -184,6 +184,79 @@ void csrkit_banded_sin_dia(int64_t n, int64_t band, double* data) {
   }
 }
 
-int32_t csrkit_version() { return 1; }
+// Full CG solve over CSR, OpenMP-parallel — the completed native CPU
+// computer the reference left dangling (SimpleConjugateGradientCpu.cpp:35 is
+// the whole "loop") and the uBLAS computer's capability
+// (Mgcg/ViennaCL/Mgcg/ComputerCpu.cpp:42-98), with the policy contract of
+// ConjugateGradient.cs:56-79.  norm: 0 = L2, 1 = Linf, 2 = relative L2.
+// Returns iterations on convergence, -(iterations) - 1 if max_iter exhausted.
+int64_t csrkit_cg(int64_t n, const int32_t* indptr, const int32_t* indices,
+                  const double* data, const double* b, double* x /* in: x0, out */,
+                  double tol, int32_t norm, int64_t min_iter, int64_t max_iter,
+                  double* out_residual) {
+  std::vector<double> r(n), p(n), ap(n);
+  auto spmv = [&](const double* v, double* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+      double acc = 0.0;
+      for (int32_t k = indptr[i]; k < indptr[i + 1]; ++k)
+        acc += data[k] * v[indices[k]];
+      out[i] = acc;
+    }
+  };
+  auto dot = [&](const double* u, const double* v) {
+    double acc = 0.0;
+#pragma omp parallel for schedule(static) reduction(+ : acc)
+    for (int64_t i = 0; i < n; ++i) acc += u[i] * v[i];
+    return acc;
+  };
+  auto max_abs = [&](const double* u) {
+    double m = 0.0;
+#pragma omp parallel for schedule(static) reduction(max : m)
+    for (int64_t i = 0; i < n; ++i) m = std::max(m, std::fabs(u[i]));
+    return m;
+  };
+
+  spmv(x, ap.data());
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    r[i] = b[i] - ap[i];
+    p[i] = r[i];
+  }
+  double rr = dot(r.data(), r.data());
+  const double rr0 = rr;
+  auto residual = [&](double rr_now) {
+    if (norm == 1) return max_abs(r.data());
+    if (norm == 2) return rr0 > 0 ? std::sqrt(rr_now / rr0) : 0.0;
+    return std::sqrt(rr_now);
+  };
+
+  int64_t it = 0;
+  double res = residual(rr);
+  while (!(it >= min_iter && res < tol)) {
+    if (it >= max_iter) {
+      *out_residual = res;
+      return -it - 1;
+    }
+    spmv(p.data(), ap.data());
+    const double alpha = rr / dot(p.data(), ap.data());
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+      x[i] += alpha * p[i];
+      r[i] -= alpha * ap[i];
+    }
+    const double rr_new = dot(r.data(), r.data());
+    const double beta = rr_new / rr;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) p[i] = r[i] + beta * p[i];
+    rr = rr_new;
+    ++it;
+    res = residual(rr);
+  }
+  *out_residual = res;
+  return it;
+}
+
+int32_t csrkit_version() { return 2; }
 
 }  // extern "C"

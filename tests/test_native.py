@@ -63,3 +63,58 @@ def test_native_banded_sin_generator_matches():
     b = banded_sin_system(80, 10).A
     np.testing.assert_allclose(np.asarray(a.data), np.asarray(b.data), rtol=1e-15)
     assert a.offsets == b.offsets
+
+
+def test_native_cg_matches_numpy_oracle():
+    import numpy as np
+
+    from conjugategradient_tpu import native
+    from conjugategradient_tpu.core import formats, oracle
+    from conjugategradient_tpu.core.generators import banded_sin_system
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native kit unavailable")
+    sys_ = banded_sin_system(2048, 16)
+    csr = formats.dia_to_csr(sys_.A)
+    got = native.cg(csr, sys_.b, sys_.x0, tol=1e-8, norm="l2")
+    ref = oracle.cg(sys_.A, sys_.b, sys_.x0, tol=1e-8, norm="l2")
+    assert got.converged
+    assert abs(got.iterations - ref.iterations) <= 2
+    np.testing.assert_allclose(got.x, ref.x, rtol=1e-8, atol=1e-10)
+
+
+def test_native_cg_nonconvergence_policy():
+    import pytest
+
+    from conjugategradient_tpu import native
+    from conjugategradient_tpu.core import formats, oracle
+    from conjugategradient_tpu.core.generators import tridiagonal_system
+
+    if not native.available():
+        pytest.skip("native kit unavailable")
+    sys_ = tridiagonal_system(512)
+    csr = formats.dia_to_csr(sys_.A)
+    with pytest.raises(oracle.NotConvergedError):
+        native.cg(csr, sys_.b, tol=1e-30, max_iteration=10)
+    res = native.cg(csr, sys_.b, tol=1e-30, max_iteration=10, raise_on_divergence=False)
+    assert not res.converged and res.iterations == 10
+
+
+def test_native_cg_linf_and_rel_norms():
+    import pytest
+
+    from conjugategradient_tpu import native
+    from conjugategradient_tpu.core import formats, oracle
+    from conjugategradient_tpu.core.generators import banded_sin_system
+
+    if not native.available():
+        pytest.skip("native kit unavailable")
+    sys_ = banded_sin_system(1024, 8)
+    csr = formats.dia_to_csr(sys_.A)
+    for norm in ("linf", "rel_l2"):
+        got = native.cg(csr, sys_.b, sys_.x0, tol=1e-6, norm=norm)
+        ref = oracle.cg(sys_.A, sys_.b, sys_.x0, tol=1e-6, norm=norm)
+        assert got.converged
+        assert got.iterations == ref.iterations
