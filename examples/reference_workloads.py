@@ -1,0 +1,113 @@
+"""Run every reference driver workload end-to-end, exactly as configured.
+
+The reference has four mains + the R prototype (SURVEY.md §3, BASELINE.md
+workload table).  This driver replays all of them through this framework:
+build the exact system, solve on device (CG), solve with the CPU oracle,
+validate element-wise with the reference's own 1% rule
+(``Mgcg/cuBlas/Mgcg/MgcgMain.cs:129-140``), and report phase timings in the
+reference's formats.
+
+Run:  python examples/reference_workloads.py [--cpu] [--quick] [--only NAME]
+``--quick`` scales every N down ~20x (CI-sized); default is the reference's
+exact sizes.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUICK_SIZES = {
+    "cublas_flagship": 10_368,
+    "handmade_cl": 17_280,
+    "simple_cuda": 4_096,
+    "viennacl_small": 10,
+    "viennacl_large": 8_640,
+    "r_prototype": 21,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_ENABLE_X64"] = "true"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu import ConvergencePolicy, cg_solve, native
+    from conjugategradient_tpu.core import formats, oracle
+    from conjugategradient_tpu.models import WORKLOADS
+    from conjugategradient_tpu.utils import PhaseTimer
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = np.float32 if (on_tpu or not jax.config.jax_enable_x64) else np.float64
+    print(f"backend={jax.devices()[0].platform} dtype={np.dtype(dtype).name} "
+          f"sizes={'quick' if args.quick else 'reference-exact'}")
+
+    failures = 0
+    for name, w in WORKLOADS.items():
+        if name.startswith("ladder_"):
+            continue  # BASELINE ladder runs in bench.py / mgcg_demo.py
+        if args.only and name != args.only:
+            continue
+        if args.quick:
+            w = dataclasses.replace(w, n=QUICK_SIZES[name])
+        pol = w.policy
+        # fp32 storage cannot hit fp64 absolute tolerances; keep each
+        # workload's own norm but floor the tolerance at fp32-reachable levels.
+        tol = pol.tol if dtype == np.float64 else max(pol.tol, 1e-4)
+
+        t = PhaseTimer()
+        with t.phase("build"):
+            system = w.build(dtype=np.float64)
+        with t.phase("oracle"):
+            csr = formats.dia_to_csr(system.A)
+            ref = native.cg(csr, system.b, system.x0, tol=pol.tol, norm=pol.norm,
+                            min_iteration=pol.min_iteration, max_iteration=4 * system.n)
+        with t.phase("input"):
+            A = system.A.device_put(dtype=dtype)
+            b = jnp.asarray(system.b, dtype=dtype)
+            x0 = jnp.asarray(system.x0, dtype=dtype)
+        policy = ConvergencePolicy(tol=tol, norm=pol.norm,
+                                   min_iteration=pol.min_iteration,
+                                   max_iteration=4 * system.n)
+        solve = jax.jit(lambda b, x0: cg_solve(A, b, x0, policy,
+                                               precise_dot=dtype == np.float32))
+        with t.phase("compile+first", sync=lambda: res.x):
+            res = solve(b, x0)
+        with t.phase("solve", sync=lambda: res.x):
+            res = solve(b, x0)
+
+        with t.phase("output"):
+            x_dev = np.asarray(res.x, dtype=np.float64)
+        # the reference's own validation: elementwise relative error > 1% flags
+        denom = np.maximum(np.abs(ref.x), 1e-3 * np.max(np.abs(ref.x)) + 1e-300)
+        rel = np.max(np.abs(x_dev - ref.x) / denom)
+        ok = bool(res.converged) and rel < 1e-2
+        failures += 0 if ok else 1
+        it = int(res.iterations)
+        print(f"[{name:16s}] n={system.n:>8d} {'OK ' if ok else 'MISMATCH'} "
+              f"dev {it:5d} it (res {float(res.residual):.2e}, norm {pol.norm}) | "
+              f"oracle {ref.iterations:5d} it | rel err {rel:.2e}")
+        print(f"  {t.report(iterations=it)}")
+    print("ALL OK" if failures == 0 else f"{failures} MISMATCHES")
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
