@@ -29,6 +29,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeated bench runs skip the (slow) TPU compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"
     if not on_tpu:
@@ -58,7 +62,7 @@ def main() -> None:
     b = jnp.asarray(system.b, dtype=dtype).reshape(grid)
     precise = dtype == np.float32
 
-    def timed(solve, reps: int = 5):
+    def timed(solve, reps: int = 20):
         jax.block_until_ready(solve(b).x)  # compile + warm
         t0 = time.perf_counter()
         for _ in range(reps):
