@@ -51,33 +51,52 @@ def _two_sum(a, b):
     return s, e
 
 
+def dd_sum(p: jnp.ndarray, e: jnp.ndarray | None = None):
+    """Double-float (hi, lo) binary-tree sum — vectorized, log2(n) steps.
+
+    Maintains a compensated (s, c) pair through a halving tree: every level is
+    one vectorized TwoSum over the full remaining width, so the whole
+    reduction is ~4n element ops with error O(n * eps^2) — fp64-grade
+    accuracy from fp32 lanes, with no sequential scan.
+    """
+    s = p.reshape(-1)
+    c = jnp.zeros_like(s) if e is None else e.reshape(-1)
+    while s.shape[0] > 1:
+        m = s.shape[0]
+        if m % 2:
+            s = jnp.pad(s, (0, 1))
+            c = jnp.pad(c, (0, 1))
+            m += 1
+        s2 = s.reshape(m // 2, 2)
+        c2 = c.reshape(m // 2, 2)
+        t, err = _two_sum(s2[:, 0], s2[:, 1])
+        s = t
+        c = c2[:, 0] + c2[:, 1] + err
+    return s[0] + c[0]
+
+
 def dot2(a: jnp.ndarray, b: jnp.ndarray):
-    """Compensated inner product, fully vectorized (see module docstring)."""
+    """Compensated inner product for the solver hot path: error-free products,
+    plain tree accumulation of (p, e).  One fused pass, ~3x a naive dot,
+    error ~ tree-sum error — ample for recurrence dots (ultimate accuracy is
+    the iterative-refinement outer loop's job, ``solvers/refine.py``)."""
     p, e = two_prod(a, b)
     return jnp.sum(p) + jnp.sum(e)
 
 
+def dd_dot(a: jnp.ndarray, b: jnp.ndarray):
+    """Near-fp64 inner product: error-free products + double-float tree
+    accumulation (error O(n * eps^2)).  ~2x dot2's cost; use when the dot
+    itself is the deliverable (norm reporting, validation)."""
+    p, e = two_prod(a, b)
+    return dd_sum(p, e)
+
+
 def kahan_sum(x: jnp.ndarray):
-    """Neumaier-compensated sum via a scan over lane-width chunks.
-
-    Exact-leaning but *sequential* in n/chunk — use for modest n or when the
-    compensation itself must be error-free; the solver hot path uses ``dot2``.
-    """
-    x = x.reshape(-1)
-    n = x.shape[0]
-    chunk = 2048
-    pad = (-n) % chunk
-    if pad:
-        x = jnp.pad(x, (0, pad))
-    parts = x.reshape(-1, chunk).sum(axis=1)
-
-    def step(carry, p):
-        s, c = carry
-        s2, e = _two_sum(s, p)
-        return (s2, c + e), None
-
-    (s, c), _ = jax.lax.scan(step, (jnp.zeros((), x.dtype), jnp.zeros((), x.dtype)), parts)
-    return s + c
+    """Compensated sum — delegates to the ``dd_sum`` tree (every pairwise add
+    is an error-free TwoSum, so large/small cancellation survives exactly;
+    strictly more accurate than chunked Neumaier and fully parallel)."""
+    return dd_sum(x)
 
 
 def kahan_dot(a: jnp.ndarray, b: jnp.ndarray):

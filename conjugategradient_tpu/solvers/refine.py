@@ -1,0 +1,135 @@
+"""Mixed-precision iterative refinement: fp64 accuracy from an fp32 TPU.
+
+The reference is fp64 end-to-end and its flagship tolerance is *absolute*
+1e-8 (``Mgcg/cuBlas/Mgcg/MgcgMain.cs:29``).  TPU vector units have no native
+fp64, and fp32 storage caps the attainable true residual around 1e-7
+relative — so a single fp32 device solve cannot honour the reference's
+contract.  Classic mixed-precision iterative refinement closes the gap:
+
+    repeat:
+        r = b - A x            (fp64, host — numpy or the native C++ kit)
+        stop when ||r|| < tol  (fp64 check: the *true* residual, not the
+                                recurrence estimate)
+        d = solve(A, r/s)      (fp32, on device — MGCG or CG, relative tol;
+                                s = ||r||_inf scaling keeps fp32 in range)
+        x = x + s * d          (fp64, host)
+
+Each outer pass multiplies the error by roughly the inner relative tolerance,
+so 2-4 passes reach 1e-8 absolute from any starting point.  The expensive
+part (the Krylov iteration) runs entirely on-chip in fp32; the fp64 work is
+one SpMV + one axpy per outer pass on the host.
+
+This is also the checkpointable outer loop for very long solves: ``x`` lives
+host-side in fp64 between passes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from conjugategradient_tpu.core import oracle
+from conjugategradient_tpu.core.formats import DiaMatrix, dia_to_stencil
+from conjugategradient_tpu.solvers.policy import ConvergencePolicy, NotConvergedError
+
+
+@dataclasses.dataclass
+class RefineResult:
+    x: np.ndarray  # fp64 solution
+    outer_iterations: int
+    inner_iterations: int  # total device iterations across passes
+    residual: float  # true fp64 residual (selected norm)
+    converged: bool
+    history: list  # fp64 residual after each outer pass
+
+
+def refined_solve(
+    A: DiaMatrix,
+    b: np.ndarray,
+    x0: Optional[np.ndarray] = None,
+    tol: float = 1e-8,
+    norm: str = "l2",
+    grid: Optional[Tuple[int, ...]] = None,
+    inner_tol: float = 1e-5,
+    max_outer: int = 40,
+    device_dtype=np.float32,
+    hierarchy=None,
+    smoother: str = "chebyshev",
+    raise_on_divergence: bool = False,
+) -> RefineResult:
+    """Solve A x = b to an fp64 tolerance using fp32 device inner solves.
+
+    ``A``/``b`` are host fp64.  When ``grid`` is given the inner solver is
+    stencil-layout MGCG (built once, reused across passes); otherwise plain
+    device CG on DIA.  The returned residual is the *true* fp64 residual.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.solvers.cg import cg_solve
+
+    n = A.n
+    b64 = np.asarray(b, dtype=np.float64)
+    x = np.zeros(n) if x0 is None else np.asarray(x0, dtype=np.float64).copy()
+
+    # --- build the fp32 inner solver once -------------------------------
+    M = None
+    if grid is not None:
+        from conjugategradient_tpu.precond import as_preconditioner, build_hierarchy
+
+        h = hierarchy or build_hierarchy(
+            A, grid, smoother=smoother, dtype=device_dtype, layout="stencil"
+        )
+        A_dev = (
+            h.levels[0].A
+            if h.levels
+            else dia_to_stencil(A, tuple(grid)).device_put(device_dtype)
+        )
+        M = as_preconditioner(h)
+        shape = tuple(grid)
+    else:
+        A_dev = A.device_put(device_dtype)
+        shape = (n,)
+
+    inner_policy = ConvergencePolicy(
+        tol=inner_tol, norm="rel_l2", max_iteration=min(4 * n, 100_000)
+    )
+    solve = jax.jit(
+        lambda r: cg_solve(
+            A_dev, r, policy=inner_policy, M=M, precise_dot=device_dtype == np.float32
+        )
+    )
+
+    def true_residual(x):
+        r = b64 - oracle.spmv(A, x)
+        rr = float(r @ r)
+        return r, oracle.residual_norm(r, rr, rr0, norm)
+
+    r0 = b64 - oracle.spmv(A, x)
+    rr0 = float(r0 @ r0)
+
+    history = []
+    inner_total = 0
+    for outer in range(max_outer):
+        r, res = true_residual(x)
+        history.append(res)
+        if res < tol:
+            return RefineResult(x, outer, inner_total, res, True, history)
+        s = float(np.max(np.abs(r)))
+        if s == 0.0:
+            return RefineResult(x, outer, inner_total, 0.0, True, history)
+        r_dev = jnp.asarray((r / s).astype(device_dtype)).reshape(shape)
+        dres = solve(r_dev)
+        inner_total += int(dres.iterations)
+        d = np.asarray(dres.x, dtype=np.float64).reshape(-1)
+        x = x + s * d
+
+    r, res = true_residual(x)
+    history.append(res)
+    if raise_on_divergence:
+        raise NotConvergedError(
+            f"iterative refinement: {max_outer} outer passes, residual {res:.3e}"
+        )
+    return RefineResult(x, max_outer, inner_total, res, res < tol, history)

@@ -1,0 +1,53 @@
+"""Mixed-precision iterative refinement: fp64 tolerances from fp32 devices."""
+
+import numpy as np
+import pytest
+
+from conjugategradient_tpu.core import oracle
+from conjugategradient_tpu.core.generators import (
+    banded_sin_system,
+    poisson_system,
+    tridiagonal_system,
+)
+from conjugategradient_tpu.solvers.policy import NotConvergedError
+from conjugategradient_tpu.solvers.refine import refined_solve
+
+
+def test_refinement_reaches_fp64_tolerance_with_fp32_inner():
+    grid = (63, 63)
+    sys_ = poisson_system(grid)
+    res = refined_solve(sys_.A, sys_.b, tol=1e-10, grid=grid, device_dtype=np.float32)
+    assert res.converged
+    # the claim: true fp64 residual below what fp32 storage alone can reach
+    r = sys_.b - oracle.spmv(sys_.A, res.x)
+    assert np.linalg.norm(r) < 1e-10
+    assert res.outer_iterations <= 10
+    assert all(b <= a * 1.01 for a, b in zip(res.history, res.history[1:]))
+
+
+def test_refinement_flagship_absolute_tolerance():
+    # the reference's flagship contract: absolute 1e-8 on ||r||_2 — met with
+    # fp32 device arithmetic despite ||b|| ~ O(10) and x ~ O(1e-2..1)
+    sys_ = banded_sin_system(4096, 32)
+    res = refined_solve(sys_.A, sys_.b, sys_.x0, tol=1e-8, norm="l2", device_dtype=np.float32)
+    assert res.converged
+    ref = oracle.cg(sys_.A, sys_.b, sys_.x0, tol=1e-8)
+    np.testing.assert_allclose(res.x, ref.x, rtol=1e-6, atol=1e-9)
+
+
+def test_refinement_plain_cg_inner_no_grid():
+    sys_ = tridiagonal_system(1023)
+    res = refined_solve(sys_.A, sys_.b, tol=1e-8, device_dtype=np.float32, inner_tol=1e-4)
+    assert res.converged
+    r = sys_.b - oracle.spmv(sys_.A, res.x)
+    assert np.linalg.norm(r) < 1e-8
+
+
+def test_refinement_divergence_flag():
+    sys_ = tridiagonal_system(255)
+    with pytest.raises(NotConvergedError):
+        refined_solve(
+            sys_.A, sys_.b, tol=1e-300, max_outer=2, raise_on_divergence=True, grid=(255,)
+        )
+    res = refined_solve(sys_.A, sys_.b, tol=1e-300, max_outer=2, grid=(255,))
+    assert not res.converged and res.outer_iterations == 2
