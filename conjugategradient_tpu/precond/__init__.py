@@ -10,6 +10,7 @@ from conjugategradient_tpu.precond.multigrid import (  # noqa: F401
     MgLevel,
     as_preconditioner,
     build_hierarchy,
+    fmg,
     galerkin_coarse,
     mgcg_solve,
     v_cycle,

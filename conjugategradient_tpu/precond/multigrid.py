@@ -178,11 +178,16 @@ def v_cycle(
     level: int = 0,
     use_pallas: bool = False,
     roll: bool = False,
+    gamma: int = 1,
+    x0: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """One V(pre, post)-cycle for A_level e = b with zero initial guess.
+    """One multigrid cycle for A_level e = b (zero initial guess by default).
 
-    Static recursion — unrolls completely at trace time.  ``roll=True``
-    selects the GSPMD-friendly cyclic-roll SpMV (see ``parallel.gspmd``).
+    ``gamma`` is the cycle index: 1 = V-cycle, 2 = W-cycle (the coarse
+    correction recurses twice — stronger per-cycle contraction at ~2x coarse
+    work, still cheap because levels shrink 2^d-fold).  Static recursion —
+    unrolls completely at trace time.  ``roll=True`` selects the
+    GSPMD-friendly cyclic-roll SpMV (see ``parallel.gspmd``).
     """
     from conjugategradient_tpu.ops.spmv import as_operator
 
@@ -194,28 +199,69 @@ def v_cycle(
     grid_native = isinstance(lvl.A, StencilMatrix)
     if grid_native and tuple(b.shape) != tuple(lvl.grid):
         # flat caller with a stencil hierarchy: run grid-shaped, return flat
-        return v_cycle(h, b.reshape(lvl.grid), level, use_pallas, roll).reshape(-1)
-    x = jnp.zeros_like(b)
+        x0g = None if x0 is None else x0.reshape(lvl.grid)
+        return v_cycle(h, b.reshape(lvl.grid), level, use_pallas, roll, gamma, x0g).reshape(-1)
+    x = jnp.zeros_like(b) if x0 is None else x0
     x = _smooth(h, lvl, op, b, x, h.pre)
-    r = b - op(x)
-    if grid_native:
-        rc = transfer.restrict_grid(r)
-        ec = v_cycle(h, rc, level + 1, use_pallas, roll)
-        x = x + transfer.prolong_grid(ec, lvl.grid)
-    else:
+
+    def correct(x):
+        r = b - op(x)
+        if grid_native:
+            rc = transfer.restrict_grid(r)
+            ec = v_cycle(h, rc, level + 1, use_pallas, roll, gamma)
+            return x + transfer.prolong_grid(ec, lvl.grid)
         rc = transfer.restrict(r, lvl.grid)
-        ec = v_cycle(h, rc, level + 1, use_pallas, roll)
-        x = x + transfer.prolong(ec, lvl.grid)
+        ec = v_cycle(h, rc, level + 1, use_pallas, roll, gamma)
+        return x + transfer.prolong(ec, lvl.grid)
+
+    reps = gamma if level > 0 else 1  # cycle index applies below the top
+    for _ in range(reps):
+        x = correct(x)
     x = _smooth(h, lvl, op, b, x, h.post)
     return x
 
 
+def fmg(h: MgHierarchy, b: jnp.ndarray, use_pallas: bool = False, roll: bool = False) -> jnp.ndarray:
+    """Full multigrid: coarsest-first solve, prolong, one V-cycle per level.
+
+    Produces an O(discretisation-accuracy) initial guess in one pass — the
+    classic O(n) solver; pair with 1-3 MGCG iterations for tolerances beyond
+    truncation error.
+    """
+    grid_native = len(h.levels) > 0 and isinstance(h.levels[0].A, StencilMatrix)
+    flat_in = grid_native and len(h.levels) > 0 and tuple(b.shape) != tuple(h.levels[0].grid)
+    if flat_in:
+        b = b.reshape(h.levels[0].grid)
+
+    # restrict b down the hierarchy
+    bs = [b]
+    for lvl in h.levels:
+        bs.append(
+            transfer.restrict_grid(bs[-1])
+            if grid_native
+            else transfer.restrict(bs[-1], lvl.grid)
+        )
+    # coarsest: direct solve
+    bc = bs[-1]
+    x = jnp.dot(h.coarse_inv, bc.reshape(-1), preferred_element_type=b.dtype).reshape(bc.shape)
+    # walk up: prolong + one V-cycle with that initial guess
+    for level in range(len(h.levels) - 1, -1, -1):
+        lvl = h.levels[level]
+        x = (
+            transfer.prolong_grid(x, lvl.grid)
+            if grid_native
+            else transfer.prolong(x, lvl.grid)
+        )
+        x = v_cycle(h, bs[level], level, use_pallas, roll, x0=x)
+    return x.reshape(-1) if flat_in else x
+
+
 def as_preconditioner(
-    h: MgHierarchy, use_pallas: bool = False, roll: bool = False
+    h: MgHierarchy, use_pallas: bool = False, roll: bool = False, gamma: int = 1
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """M(r) = one V-cycle — the "Mg" in MGCG.  SPD by symmetric construction,
-    so valid for ``cg_solve(..., M=...)``."""
-    return partial(v_cycle, h, level=0, use_pallas=use_pallas, roll=roll)
+    """M(r) = one V- (gamma=1) or W- (gamma=2) cycle — the "Mg" in MGCG.
+    SPD by symmetric construction, so valid for ``cg_solve(..., M=...)``."""
+    return partial(v_cycle, h, level=0, use_pallas=use_pallas, roll=roll, gamma=gamma)
 
 
 def mgcg_solve(

@@ -265,3 +265,37 @@ def test_condition_number_poisson():
     A = poisson1d_matrix(127)
     kappa_true = (2 * (1 - np.cos(127 * np.pi / 128))) / (2 * (1 - np.cos(np.pi / 128)))
     assert condition_number(A, k=60) == pytest.approx(kappa_true, rel=0.2)
+
+
+def test_w_cycle_contracts_at_least_as_well_as_v():
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.precond import as_preconditioner
+    from conjugategradient_tpu.solvers.cg import cg_solve
+
+    grid = (63, 63)
+    sys_ = poisson_system(grid)
+    h = build_hierarchy(sys_.A, grid, smoother="jacobi", max_coarse=64)
+    pol = ConvergencePolicy(tol=1e-8)
+    b = jnp.asarray(sys_.b)
+    v = cg_solve(sys_.A.device_put(), b, policy=pol, M=as_preconditioner(h, gamma=1))
+    w = cg_solve(sys_.A.device_put(), b, policy=pol, M=as_preconditioner(h, gamma=2))
+    assert bool(v.converged) and bool(w.converged)
+    assert int(w.iterations) <= int(v.iterations)
+
+
+def test_fmg_initial_guess_accuracy():
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.precond import fmg
+
+    grid = (63, 63)
+    sys_ = poisson_system(grid)
+    h = build_hierarchy(sys_.A, grid, smoother="chebyshev", max_coarse=64)
+    x = np.asarray(fmg(h, jnp.asarray(sys_.b).reshape(grid))).reshape(-1)
+    r = sys_.b - oracle.spmv(sys_.A, x)
+    rel = np.linalg.norm(r) / np.linalg.norm(sys_.b)
+    assert rel < 5e-2  # one FMG pass: discretisation-level accuracy
+    # flat-vector call path too
+    x2 = np.asarray(fmg(h, jnp.asarray(sys_.b)))
+    np.testing.assert_allclose(x2, x, rtol=1e-12)
