@@ -1,0 +1,105 @@
+"""Scaling sweep: sharded CG / GSPMD MGCG across 1..N mesh devices.
+
+The reference's entire multi-device story is "run on however many GPUs exist"
+(SURVEY.md §4.6); this harness is the systematic version: solve the same
+(or proportionally grown, ``--weak``) system at every mesh size, validate
+against the oracle, and report per-size timings and nnz/s.
+
+On this box the mesh is 8 virtual CPU devices (unless run on a real pod), so
+the timings demonstrate the *harness* and the correctness of the sharded
+programs — shard-count invariance is the property under test; real scaling
+efficiency needs real chips (BASELINE north star: >=80% weak-scaling at
+nnz/s on a v5p slice).
+
+Run:  python examples/scaling_sweep.py [--weak] [--base-n 65536]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-n", type=int, default=65536, help="rows per device (weak) or total (strong)")
+    ap.add_argument("--band", type=int, default=32)
+    ap.add_argument("--weak", action="store_true", help="grow n with the mesh")
+    ap.add_argument("--devices", type=int, nargs="+", default=None)
+    ap.add_argument("--tpu", action="store_true",
+                    help="use attached accelerators instead of the virtual CPU mesh")
+    args = ap.parse_args()
+
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    import jax
+
+    # this harness is about the *mesh programs*; by default run on the
+    # 8-device virtual CPU mesh (must be selected before backend init)
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from conjugategradient_tpu import ConvergencePolicy
+    from conjugategradient_tpu.core import generators, oracle
+    from conjugategradient_tpu.core.formats import dia_diagonal
+    from conjugategradient_tpu.parallel.sharded_cg import make_sharded_cg
+
+    dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+    all_devices = jax.devices()
+    sizes = args.devices or [s for s in (1, 2, 4, 8) if s <= len(all_devices)]
+    print(f"platform={all_devices[0].platform} devices={len(all_devices)} "
+          f"dtype={np.dtype(dtype).name} mode={'weak' if args.weak else 'strong'}")
+
+    failures = 0
+    base_time = None
+    for s in sizes:
+        n = args.base_n * (s if args.weak else 1)
+        system = generators.banded_sin_system(n, args.band, dtype=np.float64)
+        mesh = Mesh(np.array(all_devices[:s]), ("x",))
+        policy = ConvergencePolicy(tol=1e-8 if dtype == np.float64 else 1e-5,
+                                   norm="rel_l2", max_iteration=4 * n)
+        solve = make_sharded_cg(system.A, mesh, policy, axis="x",
+                                M_local=lambda r, d: d * r, donate=False)
+        row = NamedSharding(mesh, P("x"))
+        data = jax.device_put(jnp.asarray(system.A.data, dtype=dtype), NamedSharding(mesh, P(None, "x")))
+        b = jax.device_put(jnp.asarray(system.b, dtype=dtype), row)
+        # zero initial guess so the solver's relative-residual target and the
+        # fp64 check below share the same normalisation (||r0|| == ||b||)
+        x0 = jax.device_put(jnp.zeros(n, dtype=dtype), row)
+        invd = jax.device_put(jnp.asarray(1.0 / dia_diagonal(system.A), dtype=dtype), row)
+
+        res = solve(data, b, x0, invd)
+        jax.block_until_ready(res.x)  # compile + warm
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            res = solve(data, b, x0, invd)
+        jax.block_until_ready(res.x)
+        dt = (time.perf_counter() - t0) / reps
+
+        x = np.asarray(res.x, dtype=np.float64)
+        r = system.b - oracle.spmv(system.A, x)
+        rel = np.linalg.norm(r) / np.linalg.norm(system.b)
+        ok = bool(res.converged) and rel < (1e-7 if dtype == np.float64 else 1e-3)
+        failures += 0 if ok else 1
+        it = max(int(res.iterations), 1)
+        nnz_per_s = system.A.nnz * it / dt
+        if base_time is None:
+            base_time = dt
+        eff = (base_time / dt) * (1 if args.weak else 1 / s) * 100 if not args.weak else (base_time / dt) * 100
+        print(f"  {s} dev | n={n:>9d} | {it:5d} it | {dt*1e3:9.1f} ms | "
+              f"{nnz_per_s/1e9:7.2f} Gnnz/s | rel res {rel:.1e} | "
+              f"{'OK' if ok else 'MISMATCH'}")
+    print("ALL OK" if failures == 0 else f"{failures} MISMATCHES")
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
