@@ -1,0 +1,118 @@
+"""High-level one-call API: ``solve(A, b, method=...)``.
+
+The reference's user workflow is ``Initialize() / Solve() / Read()`` on a
+hand-picked backend class (``Mgcg/cuBlas/Mgcg/ConjugateGradientGpu.cs:84-89``);
+here one function routes to the right solver:
+
+- ``method="cg"``     — device-resident plain CG
+- ``method="jacobi_cg"`` — point-Jacobi PCG
+- ``method="mgcg"``   — multigrid-preconditioned CG (needs ``grid``)
+- ``method="refined"``— mixed-precision iterative refinement to fp64 tol
+- ``method="oracle"`` — fp64 numpy CPU oracle
+- ``method="native"`` — C++ OpenMP CPU solver
+
+Accepts any storage format; host numpy arrays in, ``CGResult``-like out.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from conjugategradient_tpu.core import formats, oracle
+from conjugategradient_tpu.core.formats import DiaMatrix
+from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+
+def solve(
+    A,
+    b,
+    x0=None,
+    method: str = "cg",
+    tol: float = 1e-8,
+    norm: str = "l2",
+    min_iteration: int = 0,
+    max_iteration: Optional[int] = None,
+    grid: Optional[Tuple[int, ...]] = None,
+    dtype=None,
+    **kw,
+):
+    """Solve A x = b.  Returns an object with ``.x``, ``.iterations``,
+    ``.residual``, ``.converged`` (device or host depending on method)."""
+    policy = ConvergencePolicy(
+        tol=tol, norm=norm, min_iteration=min_iteration, max_iteration=max_iteration
+    )
+    if method == "oracle":
+        return oracle.cg(
+            A, b, x0, tol=tol, norm=norm, min_iteration=min_iteration,
+            max_iteration=max_iteration, raise_on_divergence=False,
+        )
+    if method == "native":
+        from conjugategradient_tpu import native
+
+        csr = A if isinstance(A, formats.CsrMatrix) else _to_csr(A)
+        return native.cg(
+            csr, b, x0, tol=tol, norm=norm, min_iteration=min_iteration,
+            max_iteration=max_iteration, raise_on_divergence=False,
+        )
+    if method == "refined":
+        from conjugategradient_tpu.solvers.refine import refined_solve
+
+        if not isinstance(A, DiaMatrix):
+            raise TypeError("refined solve requires a DiaMatrix")
+        return refined_solve(A, b, x0, tol=tol, norm=norm, grid=grid, **kw)
+    if method == "mgcg":
+        from conjugategradient_tpu.precond import mgcg_solve
+
+        if grid is None:
+            raise ValueError("mgcg requires grid=")
+        if not isinstance(A, DiaMatrix):
+            raise TypeError("mgcg requires a DiaMatrix")
+        res, _ = mgcg_solve(A, b, grid, x0=x0, policy=policy, **kw)
+        return res
+
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.solvers.cg import cg_solve
+
+    A_dev = A.device_put(dtype=dtype) if hasattr(A, "device_put") else A
+    b_dev = jnp.asarray(np.asarray(b), dtype=dtype)
+    x0_dev = None if x0 is None else jnp.asarray(np.asarray(x0), dtype=dtype)
+    M = None
+    if method == "jacobi_cg":
+        from conjugategradient_tpu.precond import jacobi_preconditioner
+
+        diag = _diagonal(A)
+        M = jacobi_preconditioner(jnp.asarray((1.0 / diag), dtype=b_dev.dtype))
+    elif method != "cg":
+        raise ValueError(f"unknown method {method!r}")
+    return cg_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
+
+
+def _to_csr(A) -> formats.CsrMatrix:
+    if isinstance(A, formats.CsrMatrix):
+        return A
+    if isinstance(A, DiaMatrix):
+        return formats.dia_to_csr(A)
+    if isinstance(A, formats.StencilMatrix):
+        return formats.dia_to_csr(formats.stencil_to_dia(A))
+    if isinstance(A, formats.EllMatrix):
+        return formats.ell_to_csr(A)
+    if isinstance(A, formats.DenseMatrix):
+        return formats.dense_to_csr(A)
+    if isinstance(A, formats.BsrMatrix):
+        return formats.bsr_to_csr(A)
+    raise TypeError(f"cannot convert {type(A)} to CSR")
+
+
+def _diagonal(A) -> np.ndarray:
+    if isinstance(A, DiaMatrix):
+        return formats.dia_diagonal(A)
+    csr = _to_csr(A)
+    d = np.zeros(csr.n)
+    rows = np.asarray(csr.row_ids)
+    cols = np.asarray(csr.indices)
+    on_diag = rows == cols
+    d[rows[on_diag]] = np.asarray(csr.data)[on_diag]
+    return d

@@ -1,0 +1,77 @@
+"""High-level solve() facade + cross-method agreement + determinism.
+
+Determinism doubles as the framework's race-condition sanitizer
+(SURVEY.md §5.2): the reference's latent halo-exchange data race class is
+excluded by SPMD semantics, and this pins it — same inputs, bitwise-same
+outputs, across methods and shard counts.
+"""
+
+import numpy as np
+import pytest
+
+from conjugategradient_tpu import solve
+from conjugategradient_tpu.core import formats
+from conjugategradient_tpu.core.generators import banded_sin_system, poisson_system
+
+
+@pytest.mark.parametrize("method", ["cg", "jacobi_cg", "oracle", "native"])
+def test_all_methods_agree(method):
+    sys_ = banded_sin_system(1024, 16)
+    res = solve(sys_.A, sys_.b, sys_.x0, method=method, tol=1e-8)
+    assert bool(res.converged)
+    ref = solve(sys_.A, sys_.b, sys_.x0, method="oracle", tol=1e-8)
+    np.testing.assert_allclose(np.asarray(res.x), ref.x, rtol=1e-7, atol=1e-9)
+
+
+def test_mgcg_and_refined_methods():
+    grid = (63, 63)
+    sys_ = poisson_system(grid)
+    mg = solve(sys_.A, sys_.b, method="mgcg", grid=grid, tol=1e-8)
+    assert bool(mg.converged) and int(mg.iterations) <= 12
+    rf = solve(sys_.A, sys_.b, method="refined", grid=grid, tol=1e-10,
+               device_dtype=np.float32)
+    assert rf.converged and rf.residual < 1e-10
+
+
+def test_method_validation():
+    sys_ = banded_sin_system(64, 8)
+    with pytest.raises(ValueError):
+        solve(sys_.A, sys_.b, method="nope")
+    with pytest.raises(ValueError):
+        solve(sys_.A, sys_.b, method="mgcg")  # no grid
+
+
+def test_csr_input_through_facade():
+    sys_ = banded_sin_system(512, 8)
+    csr = formats.dia_to_csr(sys_.A)
+    res = solve(csr, sys_.b, method="cg", tol=1e-8)
+    assert bool(res.converged)
+
+
+def test_device_solve_is_deterministic():
+    sys_ = banded_sin_system(2048, 16)
+    a = np.asarray(solve(sys_.A, sys_.b, sys_.x0, method="cg", tol=1e-10).x)
+    b = np.asarray(solve(sys_.A, sys_.b, sys_.x0, method="cg", tol=1e-10).x)
+    np.testing.assert_array_equal(a, b)  # bitwise
+
+
+def test_sharded_solve_is_deterministic():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from conjugategradient_tpu.core.formats import dia_diagonal
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+    from conjugategradient_tpu.parallel.sharded_cg import make_sharded_cg
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    sys_ = banded_sin_system(1024, 8)
+    mesh = make_mesh(8)
+    solve_fn = make_sharded_cg(sys_.A, mesh, ConvergencePolicy(tol=1e-10), donate=False)
+    row = NamedSharding(mesh, P("x"))
+    data = jax.device_put(jnp.asarray(sys_.A.data), NamedSharding(mesh, P(None, "x")))
+    b = jax.device_put(jnp.asarray(sys_.b), row)
+    x0 = jax.device_put(jnp.zeros(1024), row)
+    a = np.asarray(solve_fn(data, b, x0).x)
+    c = np.asarray(solve_fn(data, b, x0).x)
+    np.testing.assert_array_equal(a, c)  # bitwise — the "race sanitizer"
