@@ -145,10 +145,11 @@ WORKLOADS = {
         ),
         Workload(
             name="ladder_mgcg3d_10m",
-            description="ladder 4: MGCG 4+ level Chebyshev on ~10M-row 3D Poisson",
+            description="ladder 4: MGCG 4+ level Chebyshev on ~10M-row-scale 3D Poisson",
             policy=ConvergencePolicy(tol=1e-8, norm="rel_l2"),
             builder="poisson",
-            grid=(215, 215, 215),
+            # 255 = 2^8 - 1: coarsens 255->127->63->31->15 (5 levels); 16.6M rows
+            grid=(255, 255, 255),
             source="BASELINE.json configs[3]",
         ),
         Workload(
@@ -156,7 +157,8 @@ WORKLOADS = {
             description="ladder 5: row-partitioned ~100M-row MGCG, N>=2 hosts",
             policy=ConvergencePolicy(tol=1e-8, norm="rel_l2"),
             builder="poisson",
-            grid=(463, 463, 463),
+            # 511 = 2^9 - 1; 133M rows
+            grid=(511, 511, 511),
             source="BASELINE.json configs[4]",
         ),
     ]

@@ -29,7 +29,7 @@ def test_reference_sizes_exact():
     assert get("handmade_cl").n == 345_678
     assert get("simple_cuda").n == 65_536
     assert get("viennacl_large").n == 172_835  # 34567 * 5
-    assert int(np.prod(get("ladder_mgcg3d_10m").grid)) > 9_900_000
+    assert int(np.prod(get("ladder_mgcg3d_10m").grid)) > 9_900_000  # 255^3 = 16.6M
 
 
 def test_viennacl_small_solves_to_policy():
