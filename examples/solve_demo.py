@@ -67,11 +67,19 @@ def main() -> int:
                     max_iteration=4 * system.n)
     t_oracle = time.perf_counter() - t0
 
-    # Device solve: one jitted program, loop fully on-device.
+    # Device solve: one jitted program, loop fully on-device.  Grid-structured
+    # workloads route through the StencilMatrix roofline path (ops/stencil.py).
     policy = ConvergencePolicy(tol=tol, norm=norm, max_iteration=4 * system.n)
-    A = system.A.device_put(dtype=dtype)
-    b = jnp.asarray(system.b, dtype=dtype)
-    x0 = jnp.asarray(system.x0, dtype=dtype)
+    if args.workload == "poisson2d":
+        from conjugategradient_tpu.core.formats import dia_to_stencil
+
+        shape = (side, side)
+        A = dia_to_stencil(system.A, shape).device_put(dtype=dtype)
+    else:
+        shape = (system.n,)
+        A = system.A.device_put(dtype=dtype)
+    b = jnp.asarray(system.b, dtype=dtype).reshape(shape)
+    x0 = jnp.asarray(system.x0, dtype=dtype).reshape(shape)
     solve = jax.jit(lambda b, x0: cg_solve(A, b, x0, policy, precise_dot=(dtype == np.float32)))
 
     t0 = time.perf_counter()
@@ -84,15 +92,17 @@ def main() -> int:
     t_solve = time.perf_counter() - t0
 
     # Element-wise validation vs the oracle (MgcgMain.cs:129-140 discipline).
-    x_dev = np.asarray(res.x, dtype=np.float64)
+    x_dev = np.asarray(res.x, dtype=np.float64).reshape(-1)
     denom = np.maximum(np.abs(ref.x), 1e-30)
     rel_err = np.max(np.abs(x_dev - ref.x) / denom)
     it_dev, it_ref = int(res.iterations), ref.iterations
 
+    nnz = system.A.nnz
+    gflops = 2.0 * nnz * max(it_dev, 1) / max(t_solve, 1e-12) / 1e9
     print(f"build {t_build*1e3:8.1f} ms | oracle {t_oracle*1e3:8.1f} ms "
           f"({it_ref} it) | device first {t_compile_and_first*1e3:8.1f} ms | "
           f"device steady {t_solve*1e3:8.1f} ms ({it_dev} it, "
-          f"{t_solve/max(it_dev,1)*1e6:.1f} us/it)")
+          f"{t_solve/max(it_dev,1)*1e6:.1f} us/it, {gflops:.1f} SpMV-GFLOP/s)")
     print(f"device residual {float(res.residual):.3e} converged={bool(res.converged)} | "
           f"max elementwise rel err vs oracle {rel_err:.3e}")
 
