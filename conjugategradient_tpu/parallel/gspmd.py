@@ -66,27 +66,31 @@ def make_gspmd_mgcg(
     grid,
     mesh: Mesh,
     policy: ConvergencePolicy = ConvergencePolicy(),
-    axis: str = "x",
+    axes=("x",),
     smoother: str = "chebyshev",
     pre: int = 2,
     post: int = 2,
     dtype=None,
     hierarchy=None,
+    axis: str = None,
 ):
     """Build a jitted, mesh-partitioned MGCG solver.
 
     Returns ``(solve, inputs)`` where ``solve(b, x0) -> CGResult`` runs the
-    full multigrid-preconditioned CG as one SPMD program: fine levels sharded
-    by rows over ``axis`` (axis-divisible levels stay distributed; small
-    coarse levels fall back to replicated — they are tiny by construction),
-    dots become global reductions, and roll-SpMV halos become
-    collective-permutes.  ``inputs = (b, x0)`` pre-placed on the mesh.
+    full multigrid-preconditioned CG as one SPMD program.  ``axes`` names one
+    mesh axis per *grid* axis to shard (e.g. ``("x",)`` = 1-D row blocks,
+    ``("x", "y")`` = 2-D block partition over a 2-D mesh — each device owns a
+    contiguous sub-block, halos become collective-permutes on both axes).
+    Levels whose extents stop dividing the mesh fall back to replicated —
+    they are tiny by construction.  ``inputs = (b, x0)`` pre-placed.
     """
     from conjugategradient_tpu.core.formats import StencilMatrix
     from conjugategradient_tpu.precond import build_hierarchy
     from conjugategradient_tpu.precond.multigrid import MgHierarchy, MgLevel
 
-    num = mesh.shape[axis]
+    if axis is not None:  # back-compat alias
+        axes = (axis,)
+    axes = tuple(axes)
     dt = dtype or np.asarray(system.A.data).dtype
     h = hierarchy or build_hierarchy(
         system.A, grid, smoother=smoother, pre=pre, post=post, dtype=dt, layout="stencil"
@@ -95,14 +99,24 @@ def make_gspmd_mgcg(
     def put(arr, spec):
         return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
 
-    # Shard every level on grid axis 0 where it divides the mesh axis; tiny
-    # coarse levels fall back to replicated.
     nd = len(grid)
+
+    def specs_for(g):
+        """(data_spec, vector_spec) sharding the leading len(axes) grid axes
+        that divide their mesh axes (NamedSharding requires even divisibility);
+        tiny/odd coarse levels replicate — they cost nothing."""
+        names = []
+        for i, ax_name in enumerate(axes):
+            ok = i < len(g) and g[i] % mesh.shape[ax_name] == 0
+            names.append(ax_name if ok else None)
+        if not any(names):
+            return P(), P()
+        tail = [None] * (len(g) - len(names))
+        return P(None, *names, *tail), P(*names, *tail)
+
     levels = []
     for lvl in h.levels:
-        ok = lvl.grid[0] % num == 0
-        dspec = P(None, axis, *([None] * (nd - 1))) if ok else P()
-        vspec = P(axis, *([None] * (nd - 1))) if ok else P()
+        dspec, vspec = specs_for(lvl.grid)
         levels.append(
             MgLevel(
                 A=StencilMatrix(put(lvl.A.data, dspec), lvl.A.shifts, lvl.A.grid),
@@ -120,7 +134,7 @@ def make_gspmd_mgcg(
         omega=h.omega,
     )
 
-    vspec0 = P(axis, *([None] * (nd - 1))) if grid[0] % num == 0 else P()
+    dspec0, vspec0 = specs_for(tuple(grid))
     if h_sharded.levels:
         fine_A = h_sharded.levels[0].A
     else:
@@ -129,7 +143,6 @@ def make_gspmd_mgcg(
         from conjugategradient_tpu.core.formats import dia_to_stencil
 
         st = dia_to_stencil(system.A, tuple(grid)).astype(dt)
-        dspec0 = P(None, axis, *([None] * (nd - 1))) if grid[0] % num == 0 else P()
         fine_A = StencilMatrix(put(st.data, dspec0), st.shifts, st.grid)
     op = as_operator(fine_A, roll=True)
     b_dev = put(np.asarray(system.b, dtype=dt).reshape(grid), vspec0)

@@ -65,3 +65,20 @@ def test_gspmd_solver_reuse():
     r2 = solve(b, x0)
     assert int(r1.iterations) == int(r2.iterations)
     np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
+def test_gspmd_mgcg_2d_mesh_block_partition():
+    """2-D block partition: a (4, 2) mesh shards both grid axes; halos become
+    collective-permutes on both axes.  Result matches the 1-D mesh solve."""
+    import jax
+    from jax.sharding import Mesh
+
+    grid = (64, 64)  # both extents divide their mesh axes (4 and 2)
+    sys_ = poisson_system(grid)
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh2 = Mesh(devices, ("x", "y"))
+    pol = ConvergencePolicy(tol=1e-8)
+    res2 = gspmd_mgcg_solve(sys_, grid, mesh=mesh2, policy=pol, axes=("x", "y"))
+    res1 = gspmd_mgcg_solve(sys_, grid, mesh=make_mesh(8), policy=pol, axes=("x",))
+    assert bool(res2.converged) and bool(res1.converged)
+    np.testing.assert_allclose(np.asarray(res2.x), np.asarray(res1.x), rtol=1e-9, atol=1e-11)
