@@ -1,2 +1,10 @@
 from conjugategradient_tpu.solvers.policy import ConvergencePolicy, Norm  # noqa: F401
-from conjugategradient_tpu.solvers.cg import CGResult, cg_solve, cg_solve_traced  # noqa: F401
+from conjugategradient_tpu.solvers.cg import (  # noqa: F401
+    CGResult,
+    cg_solve,
+    cg_solve_chunked,
+    cg_solve_traced,
+)
+from conjugategradient_tpu.solvers.multi import MultiCGResult, cg_solve_multi  # noqa: F401
+from conjugategradient_tpu.solvers.refine import RefineResult, refined_solve  # noqa: F401
+from conjugategradient_tpu.solvers import eigen  # noqa: F401
