@@ -20,7 +20,6 @@ the entire CG iteration into dot-bound):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 #: Dekker split factors: 2^ceil(m/2) + 1 for an m-bit mantissa.

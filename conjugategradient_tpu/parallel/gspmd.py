@@ -23,7 +23,7 @@ path's ring halos, stated once in the storage format.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from conjugategradient_tpu.core.formats import DiaMatrix
-from conjugategradient_tpu.ops.spmv import as_operator, spmv_dia_roll
+from conjugategradient_tpu.ops.spmv import as_operator
 from conjugategradient_tpu.core.generators import LinearSystem
 from conjugategradient_tpu.solvers.cg import CGResult, cg_solve
 from conjugategradient_tpu.solvers.policy import ConvergencePolicy

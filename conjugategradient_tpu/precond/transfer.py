@@ -26,7 +26,6 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
-import numpy as np
 import scipy.sparse as sp
 
 GridShape = Tuple[int, ...]

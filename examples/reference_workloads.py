@@ -15,7 +15,6 @@ exact sizes.
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -50,7 +49,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from conjugategradient_tpu import ConvergencePolicy, cg_solve, native
-    from conjugategradient_tpu.core import formats, oracle
+    from conjugategradient_tpu.core import formats
     from conjugategradient_tpu.models import WORKLOADS
     from conjugategradient_tpu.utils import PhaseTimer
 

@@ -60,7 +60,6 @@ def test_sharded_solve_is_deterministic():
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from conjugategradient_tpu.core.formats import dia_diagonal
     from conjugategradient_tpu.parallel.mesh import make_mesh
     from conjugategradient_tpu.parallel.sharded_cg import make_sharded_cg
     from conjugategradient_tpu.solvers.policy import ConvergencePolicy

@@ -6,7 +6,6 @@ shard-count invariance being the property the reference could never test
 without racks of GPUs (SURVEY.md §4.6)."""
 
 import numpy as np
-import pytest
 
 from conjugategradient_tpu.core import oracle
 from conjugategradient_tpu.core.generators import banded_sin_system, poisson_system

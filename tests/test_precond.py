@@ -13,7 +13,6 @@ from conjugategradient_tpu.core.generators import (
     banded_sin_system,
     poisson1d_matrix,
     poisson2d_matrix,
-    poisson3d_matrix,
     poisson_system,
     tridiagonal_system,
 )

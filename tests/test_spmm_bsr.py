@@ -5,7 +5,7 @@ import pytest
 
 from conjugategradient_tpu.core import formats, oracle
 from conjugategradient_tpu.core.formats import csr_to_bsr, bsr_to_csr, dia_to_csr
-from conjugategradient_tpu.core.generators import banded_sin_matrix, poisson2d_matrix
+from conjugategradient_tpu.core.generators import banded_sin_matrix
 from conjugategradient_tpu.ops.spmm import spmm, spmv_bsr
 from conjugategradient_tpu.solvers.cg import cg_solve
 from conjugategradient_tpu.solvers.policy import ConvergencePolicy

@@ -6,7 +6,6 @@ import pytest
 from conjugategradient_tpu.core import formats, oracle
 from conjugategradient_tpu.core.formats import dia_to_stencil, stencil_to_dia
 from conjugategradient_tpu.core.generators import (
-    poisson1d_matrix,
     poisson2d_matrix,
     poisson3d_matrix,
     poisson_system,
