@@ -71,14 +71,18 @@ def main() -> None:
         # repeated dispatches pipeline, amortising per-call host/tunnel latency
         return (time.perf_counter() - t0) / reps, res
 
-    plain_solve = jax.jit(lambda b: cg_solve(A, b, policy=policy, precise_dot=precise))
-    t_plain, plain = timed(plain_solve)
+    # matrices/hierarchies pass as jit ARGUMENTS (pytrees), never closure
+    # constants — constants ship with the compile payload and blow up at scale
+    plain_jit = jax.jit(lambda A, b: cg_solve(A, b, policy=policy, precise_dot=precise))
+    t_plain, plain = timed(lambda b: plain_jit(A, b))
 
     h = build_hierarchy(system.A, grid, smoother="chebyshev", dtype=dtype)
-    mg_solve = jax.jit(
-        lambda b: cg_solve(A, b, policy=policy, M=as_preconditioner(h), precise_dot=precise)
+    mg_jit = jax.jit(
+        lambda h, A, b: cg_solve(
+            A, b, policy=policy, M=as_preconditioner(h), precise_dot=precise
+        )
     )
-    t_mg, mg = timed(mg_solve)
+    t_mg, mg = timed(lambda b: mg_jit(h, A, b))
 
     assert bool(mg.converged), f"MGCG failed to converge: residual {float(mg.residual):.3e}"
     print(

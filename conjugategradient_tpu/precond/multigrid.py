@@ -27,6 +27,7 @@ import dataclasses
 from functools import partial
 from typing import Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
@@ -66,6 +67,19 @@ class MgHierarchy:
     @property
     def n_levels(self) -> int:
         return len(self.levels) + 1  # + coarsest direct level
+
+
+# Registered pytrees: hierarchies pass through jit *as arguments* rather than
+# being baked in as closure constants — mandatory at scale (a 16M-row
+# hierarchy embedded as constants produced a ~600 MB XLA payload).
+jax.tree_util.register_dataclass(
+    MgLevel, data_fields=["A", "inv_diag"], meta_fields=["grid", "cheb_bounds"]
+)
+jax.tree_util.register_dataclass(
+    MgHierarchy,
+    data_fields=["levels", "coarse_inv"],
+    meta_fields=["smoother", "pre", "post", "omega"],
+)
 
 
 def _dia_to_scipy(A: DiaMatrix) -> sp.csr_matrix:
