@@ -116,3 +116,17 @@ def test_chunked_cg_nonconvergence_flag():
     res = cg_solve_chunked(sys_.A.device_put(), np.asarray(sys_.b), policy=pol, chunk=20)
     assert not bool(res.converged)
     assert int(res.iterations) == 50  # max_iter respected inside chunks
+
+
+def test_profiler_trace_writes_artifacts(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.utils import profiler_trace
+
+    d = str(tmp_path / "trace")
+    with profiler_trace(d):
+        jax.block_until_ready(jnp.arange(1024.0) * 2.0)
+    assert os.path.isdir(d) and any(os.scandir(d))
+    with profiler_trace(None):  # no-op path
+        pass
