@@ -11,10 +11,18 @@ chip and kernels — plain CG being what the reference actually implements
 capability-times-performance ratio against the reference design.  ``value``
 tracks absolute kernel/solver performance across rounds.
 
+Measurement discipline (learned the hard way on the serving tunnel): repeated
+host-side calls are unreliable — identical executions can be memoized,
+abandoned results dropped, and per-call pytree-argument overhead dominates.
+So the repetition lives *inside* one compiled program: a ``lax.scan`` chains
+K full solves (each consuming the previous solution, so nothing can be
+elided), and two scan lengths are differenced to cancel the fixed
+dispatch/readback overhead exactly.
+
 On TPU: fp32 storage + compensated dots, relative-L2 tolerance 1e-6 (fp32's
-attainable floor; the reference's absolute 1e-8 is an fp64 number).  On CPU
-fallback (no TPU attached): fp64, same tolerances, smaller grid to keep
-runtime sane.
+attainable floor; the reference's absolute 1e-8 is an fp64 number — see
+``solvers/refine.py`` for meeting it via iterative refinement).  On CPU
+fallback: fp64, tol 1e-8, smaller grid to keep runtime sane.
 """
 
 from __future__ import annotations
@@ -39,6 +47,7 @@ def main() -> None:
         jax.config.update("jax_enable_x64", True)
 
     from conjugategradient_tpu.core import generators
+    from conjugategradient_tpu.core.formats import dia_to_stencil
     from conjugategradient_tpu.precond import as_preconditioner, build_hierarchy
     from conjugategradient_tpu.solvers.cg import cg_solve
     from conjugategradient_tpu.solvers.policy import ConvergencePolicy
@@ -47,44 +56,66 @@ def main() -> None:
         grid = (1023, 1023)
         dtype = np.float32
         tol = 1e-6
+        k_short, k_long = 1, 9
     else:
         grid = (511, 511)
         dtype = np.float64
         tol = 1e-8
+        k_short, k_long = 1, 3
 
     system = generators.poisson_system(grid, dtype=dtype)
     n = system.n
     policy = ConvergencePolicy(tol=tol, norm="rel_l2", max_iteration=8 * n)
-    # grid-stencil layout: the TPU roofline path (see ops/stencil.py)
-    from conjugategradient_tpu.core.formats import dia_to_stencil
-
     A = dia_to_stencil(system.A, grid).device_put(dtype=dtype)
     b = jnp.asarray(system.b, dtype=dtype).reshape(grid)
     precise = dtype == np.float32
+    rng = np.random.default_rng()
 
-    def timed(solve, reps: int = 20):
-        jax.block_until_ready(solve(b).x)  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            res = solve(b)
-        jax.block_until_ready(res.x)
-        # repeated dispatches pipeline, amortising per-call host/tunnel latency
-        return (time.perf_counter() - t0) / reps, res
+    def make_scan(with_mg: bool):
+        """One jitted program running scales.shape[0] chained full solves."""
 
-    # matrices/hierarchies pass as jit ARGUMENTS (pytrees), never closure
-    # constants — constants ship with the compile payload and blow up at scale
-    plain_jit = jax.jit(lambda A, b: cg_solve(A, b, policy=policy, precise_dot=precise))
-    t_plain, plain = timed(lambda b: plain_jit(A, b))
+        def run(h, A, b, scales):
+            M = as_preconditioner(h) if with_mg else None
+
+            def step(prev_x, s):
+                res = cg_solve(
+                    A, b * s + 1e-30 * prev_x, policy=policy, M=M, precise_dot=precise
+                )
+                return res.x, (res.iterations, res.residual, res.converged)
+
+            x, (its, ress, convs) = jax.lax.scan(step, jnp.zeros_like(b), scales)
+            return x, its, ress, convs
+
+        return jax.jit(run)
+
+    def timed(run, h, K_pair):
+        """Difference two scan lengths; scales drawn fresh (anti-memoization)."""
+        k1, k2 = K_pair
+        times = {}
+        out = None
+        for k in (k1, k2):
+            scales = jnp.asarray(
+                1.0 + rng.uniform(1e-5, 1e-3, k).astype(dtype)
+            )
+            run(h, A, b, scales)  # compile + warm (fresh scales at timing below)
+            scales = jnp.asarray(1.0 + rng.uniform(1e-5, 1e-3, k).astype(dtype))
+            t0 = time.perf_counter()
+            x, its, ress, convs = run(h, A, b, scales)
+            final = float(ress[-1])  # scalar readback forces the whole chain
+            times[k] = time.perf_counter() - t0
+            out = (its, ress, convs)
+        per_solve = (times[k2] - times[k1]) / (k2 - k1)
+        return max(per_solve, 1e-9), out
 
     h = build_hierarchy(system.A, grid, smoother="chebyshev", dtype=dtype)
-    mg_jit = jax.jit(
-        lambda h, A, b: cg_solve(
-            A, b, policy=policy, M=as_preconditioner(h), precise_dot=precise
-        )
-    )
-    t_mg, mg = timed(lambda b: mg_jit(h, A, b))
 
-    assert bool(mg.converged), f"MGCG failed to converge: residual {float(mg.residual):.3e}"
+    plain_run = make_scan(with_mg=False)
+    t_plain, (p_its, p_ress, p_convs) = timed(plain_run, h, (k_short, k_long))
+
+    mg_run = make_scan(with_mg=True)
+    t_mg, (m_its, m_ress, m_convs) = timed(mg_run, h, (k_short, k_long))
+
+    assert bool(np.asarray(m_convs).all()), f"MGCG failed: residuals {np.asarray(m_ress)}"
     print(
         json.dumps(
             {
@@ -94,8 +125,8 @@ def main() -> None:
                 "vs_baseline": round(t_plain / t_mg, 3),
                 "platform": platform,
                 "n": n,
-                "mgcg_iters": int(mg.iterations),
-                "plain_cg_iters": int(plain.iterations),
+                "mgcg_iters": int(np.asarray(m_its)[-1]),
+                "plain_cg_iters": int(np.asarray(p_its)[-1]),
                 "plain_cg_s": round(t_plain, 6),
             }
         )
