@@ -35,7 +35,13 @@ import scipy.sparse as sp
 from conjugategradient_tpu.core import formats
 from conjugategradient_tpu.core.formats import DiaMatrix, StencilMatrix, dia_diagonal, dia_to_stencil
 from conjugategradient_tpu.precond import transfer
-from conjugategradient_tpu.precond.smoothers import chebyshev_smooth, jacobi_smooth
+from conjugategradient_tpu.precond.smoothers import (
+    chebyshev_smooth,
+    jacobi_smooth,
+    parity_mask,
+    redblack_gs_smooth,
+    redblack_gs_smooth_reversed,
+)
 from conjugategradient_tpu.solvers import eigen
 
 GridShape = Tuple[int, ...]
@@ -45,10 +51,11 @@ GridShape = Tuple[int, ...]
 class MgLevel:
     """One level: operator + smoother data + its grid geometry (static)."""
 
-    A: DiaMatrix  # device DIA operator at this level
-    inv_diag: jnp.ndarray  # (n,) 1/diag(A)
+    A: DiaMatrix  # device DIA/Stencil operator at this level
+    inv_diag: jnp.ndarray  # (n,) or grid-shaped 1/diag(A)
     grid: GridShape  # this level's grid shape (prod == A.n)
     cheb_bounds: Tuple[float, float]  # spectral bounds of D^{-1}A (static floats)
+    mask: Optional[jnp.ndarray] = None  # checkerboard parity (rbgs smoother)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,7 +80,7 @@ class MgHierarchy:
 # being baked in as closure constants — mandatory at scale (a 16M-row
 # hierarchy embedded as constants produced a ~600 MB XLA payload).
 jax.tree_util.register_dataclass(
-    MgLevel, data_fields=["A", "inv_diag"], meta_fields=["grid", "cheb_bounds"]
+    MgLevel, data_fields=["A", "inv_diag", "mask"], meta_fields=["grid", "cheb_bounds"]
 )
 jax.tree_util.register_dataclass(
     MgHierarchy,
@@ -154,7 +161,7 @@ def build_hierarchy(
         raise ValueError(f"unknown layout {layout!r}")
     if int(np.prod(grid)) != A.n:
         raise ValueError(f"prod(grid)={int(np.prod(grid))} != n={A.n}")
-    if smoother not in ("jacobi", "chebyshev"):
+    if smoother not in ("jacobi", "chebyshev", "rbgs"):
         raise ValueError(f"unknown smoother {smoother!r}")
 
     levels = []
@@ -172,15 +179,18 @@ def build_hierarchy(
         if layout == "stencil":
             A_dev = dia_to_stencil(A_h, g).device_put(dt)
             inv_d = jnp.asarray((1.0 / diag).astype(dt).reshape(g))
+            mask = parity_mask(g) if smoother == "rbgs" else None
         else:
             A_dev = A_h.device_put(dt)
             inv_d = jnp.asarray((1.0 / diag).astype(dt))
+            mask = parity_mask((A_h.n,)) if smoother == "rbgs" else None
         levels.append(
             MgLevel(
                 A=A_dev,
                 inv_diag=inv_d,
                 grid=g,
                 cheb_bounds=bounds,
+                mask=mask,
             )
         )
         A_h = galerkin_coarse(A_h, g)
@@ -199,12 +209,15 @@ def build_hierarchy(
     )
 
 
-def _smooth(h: MgHierarchy, lvl: MgLevel, op, b, x, sweeps: int):
+def _smooth(h: MgHierarchy, lvl: MgLevel, op, b, x, sweeps: int, post: bool = False):
     if sweeps <= 0:
         return x
     if h.smoother == "chebyshev":
         lo, hi = lvl.cheb_bounds
         return chebyshev_smooth(op, lvl.inv_diag, b, x, sweeps, hi, lo)
+    if h.smoother == "rbgs":
+        fn = redblack_gs_smooth_reversed if post else redblack_gs_smooth
+        return fn(op, lvl.inv_diag, b, x, sweeps, lvl.mask)
     return jacobi_smooth(op, lvl.inv_diag, b, x, sweeps, h.omega)
 
 
@@ -253,7 +266,7 @@ def v_cycle(
     reps = gamma if level > 0 else 1  # cycle index applies below the top
     for _ in range(reps):
         x = correct(x)
-    x = _smooth(h, lvl, op, b, x, h.post)
+    x = _smooth(h, lvl, op, b, x, h.post, post=True)
     return x
 
 

@@ -298,3 +298,35 @@ def test_fmg_initial_guess_accuracy():
     # flat-vector call path too
     x2 = np.asarray(fmg(h, jnp.asarray(sys_.b)))
     np.testing.assert_allclose(x2, x, rtol=1e-12)
+
+
+def test_rbgs_smoother_mgcg():
+    """Red-black Gauss-Seidel smoothing: symmetric V-cycle, competitive
+    iteration counts, matching solutions."""
+    grid = (63, 63)
+    sys_ = poisson_system(grid)
+    pol = ConvergencePolicy(tol=1e-8)
+    rb, h = mgcg_solve(sys_.A, sys_.b, grid, policy=pol, smoother="rbgs")
+    assert bool(rb.converged)
+    assert int(rb.iterations) <= 10
+    x_ref = oracle.cg(sys_.A, sys_.b, tol=1e-8).x
+    denom = np.maximum(np.abs(x_ref), 1e-3 * np.abs(x_ref).max())
+    assert np.max(np.abs(np.asarray(rb.x) - x_ref) / denom) < 1e-4
+    # symmetry of the rbgs V-cycle (PCG validity)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    r = rng.standard_normal(sys_.n)
+    s = rng.standard_normal(sys_.n)
+    Mr = np.asarray(v_cycle(h, jnp.asarray(r)))
+    Ms = np.asarray(v_cycle(h, jnp.asarray(s)))
+    np.testing.assert_allclose(Mr @ s, r @ Ms, rtol=1e-8)
+
+
+def test_rbgs_beats_jacobi_iterations():
+    grid = (63, 63)
+    sys_ = poisson_system(grid)
+    pol = ConvergencePolicy(tol=1e-8)
+    rb, _ = mgcg_solve(sys_.A, sys_.b, grid, policy=pol, smoother="rbgs", pre=1, post=1)
+    ja, _ = mgcg_solve(sys_.A, sys_.b, grid, policy=pol, smoother="jacobi", pre=1, post=1)
+    assert int(rb.iterations) <= int(ja.iterations)
