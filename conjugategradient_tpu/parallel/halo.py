@@ -65,3 +65,57 @@ def spmv_dia_local(
     for k, off in enumerate(offsets):
         y = y + data_local[k] * jax.lax.dynamic_slice(p_padded, (halo + off,), (n_local,))
     return y
+
+
+def exchange_halos(p: jnp.ndarray, halo: int, axis: str, num_shards: int):
+    """The two neighbor slices only (not concatenated) — returned separately
+    so callers can keep interior compute independent of the communication."""
+    fwd = [(i, (i + 1) % num_shards) for i in range(num_shards)]
+    bwd = [(i, (i - 1) % num_shards) for i in range(num_shards)]
+    left_halo = jax.lax.ppermute(p[-halo:], axis, fwd)
+    right_halo = jax.lax.ppermute(p[:halo], axis, bwd)
+    return left_halo, right_halo
+
+
+def spmv_dia_local_overlap(
+    data_local: jnp.ndarray,
+    offsets: Tuple[int, ...],
+    p: jnp.ndarray,
+    halo: int,
+    axis: str,
+    num_shards: int,
+) -> jnp.ndarray:
+    """Halo-overlap SpMV: communication rides under the interior compute.
+
+    The reference's halo exchange is fully synchronous — ``SyncP`` completes
+    before any SpMV work starts (``ConjugateGradientParallelGpu.cs:427,469``).
+    Here the dependency structure *tells* XLA's latency-hiding scheduler what
+    can overlap: interior rows ``[halo, n_local - halo)`` read only local
+    ``p``, so their (dominant) compute has no data dependence on the
+    ``ppermute``; only the 2*halo boundary rows wait for neighbor data.  This
+    is the async upgrade SURVEY.md §7 lists as hard part 6, expressed purely
+    through dataflow — no manual double-buffering.
+    """
+    n_local = data_local.shape[1]
+    if halo == 0 or 2 * halo >= n_local:
+        return spmv_dia_local(data_local, offsets, halo_exchange(p, halo, axis, num_shards), halo)
+
+    left_halo, right_halo = exchange_halos(p, halo, axis, num_shards)
+
+    # interior rows: depend on local p only — overlappable with the permutes
+    p_loc = jnp.pad(p, (halo, halo))  # zero pad; interior rows never read the pads
+    y_int = jnp.zeros(n_local, dtype=jnp.result_type(data_local.dtype, p.dtype))
+    for k, off in enumerate(offsets):
+        y_int = y_int + data_local[k] * jax.lax.dynamic_slice(p_loc, (halo + off,), (n_local,))
+
+    # boundary rows: the only consumers of the received halos
+    head = jnp.concatenate([left_halo, p[: 2 * halo]])  # covers rows [0, halo)
+    tail = jnp.concatenate([p[-2 * halo :], right_halo])  # covers rows [n-halo, n)
+    y_head = jnp.zeros(halo, dtype=y_int.dtype)
+    y_tail = jnp.zeros(halo, dtype=y_int.dtype)
+    for k, off in enumerate(offsets):
+        y_head = y_head + data_local[k, :halo] * jax.lax.dynamic_slice(head, (halo + off,), (halo,))
+        y_tail = y_tail + data_local[k, n_local - halo :] * jax.lax.dynamic_slice(
+            tail, (halo + off,), (halo,)
+        )
+    return jnp.concatenate([y_head, y_int[halo : n_local - halo], y_tail])

@@ -36,7 +36,7 @@ from jax.sharding import PartitionSpec as P
 
 from conjugategradient_tpu.core.formats import DiaMatrix
 from conjugategradient_tpu.ops.blas import residual_norm as _residual_norm
-from conjugategradient_tpu.parallel.halo import halo_exchange, spmv_dia_local
+from conjugategradient_tpu.parallel.halo import halo_exchange, spmv_dia_local, spmv_dia_local_overlap
 from conjugategradient_tpu.solvers.cg import CGResult, _safe_div
 from conjugategradient_tpu.solvers.policy import ConvergencePolicy
 
@@ -95,7 +95,9 @@ def make_sharded_cg(
         tol = jnp.asarray(policy.tol, dtype)
 
         def op(p):
-            return spmv_dia_local(data, offsets, halo_exchange(p, halo, axis, num), halo)
+            # halo-overlap formulation: interior compute carries no data
+            # dependence on the ppermute (see halo.spmv_dia_local_overlap)
+            return spmv_dia_local_overlap(data, offsets, p, halo, axis, num)
 
         def M(r):
             return M_local(r, m_aux) if M_local is not None else r

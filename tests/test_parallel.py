@@ -129,3 +129,41 @@ def test_sharded_jacobi_preconditioner():
     assert abs(int(pc.iterations) - ref.iterations) <= 1
     np.testing.assert_allclose(np.asarray(pc.x), ref.x, rtol=1e-6, atol=1e-9)
     assert int(pc.iterations) <= int(plain.iterations)
+
+
+def test_overlap_spmv_matches_padded_formulation():
+    """The halo-overlap SpMV must be numerically identical to the
+    concatenate-then-multiply formulation, shard count invariant."""
+    import jax
+    from functools import partial
+
+    from conjugategradient_tpu.core import oracle as _oracle
+    from conjugategradient_tpu.core.generators import banded_sin_system
+    from conjugategradient_tpu.parallel.halo import (
+        halo_exchange as _hx,
+        spmv_dia_local as _loc,
+        spmv_dia_local_overlap as _ovl,
+    )
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+
+    sys_ = banded_sin_system(512, 16)
+    halo = sys_.A.bandwidth
+    mesh = make_mesh(8)
+    p_vec = np.linspace(-1, 1, 512)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(jax.P(None, "x"), jax.P("x")),
+        out_specs=(jax.P("x"), jax.P("x")),
+    )
+    def both(data, p):
+        a = _loc(data, sys_.A.offsets, _hx(p, halo, "x", 8), halo)
+        b = _ovl(data, sys_.A.offsets, p, halo, "x", 8)
+        return a, b
+
+    import jax.numpy as jnp
+
+    a, b = both(jnp.asarray(sys_.A.data), jnp.asarray(p_vec))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # bitwise
+    np.testing.assert_allclose(np.asarray(b), _oracle.spmv(sys_.A, p_vec), rtol=1e-12)
