@@ -91,19 +91,7 @@ def solve(
 
 
 def _to_csr(A) -> formats.CsrMatrix:
-    if isinstance(A, formats.CsrMatrix):
-        return A
-    if isinstance(A, DiaMatrix):
-        return formats.dia_to_csr(A)
-    if isinstance(A, formats.StencilMatrix):
-        return formats.dia_to_csr(formats.stencil_to_dia(A))
-    if isinstance(A, formats.EllMatrix):
-        return formats.ell_to_csr(A)
-    if isinstance(A, formats.DenseMatrix):
-        return formats.dense_to_csr(A)
-    if isinstance(A, formats.BsrMatrix):
-        return formats.bsr_to_csr(A)
-    raise TypeError(f"cannot convert {type(A)} to CSR")
+    return formats._any_to_csr(A)
 
 
 def _diagonal(A) -> np.ndarray:

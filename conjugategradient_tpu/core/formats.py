@@ -639,3 +639,54 @@ def dia_diagonal(dia: DiaMatrix) -> np.ndarray:
     if 0 not in dia.offsets:
         return np.zeros(dia.n, dtype=np.asarray(dia.data).dtype)
     return np.asarray(dia.data)[dia.offsets.index(0)].copy()
+
+
+def to_bcoo(A):
+    """Convert any container to a ``jax.experimental.sparse.BCOO`` — the
+    ecosystem interchange point (users of jax's own sparse stack can hand
+    matrices either way)."""
+    from jax.experimental import sparse as jsparse
+    import jax.numpy as jnp
+
+    if isinstance(A, DenseMatrix):
+        return jsparse.BCOO.fromdense(jnp.asarray(np.asarray(A.data)))
+    csr = A if isinstance(A, CsrMatrix) else _any_to_csr(A)
+    indices = np.stack(
+        [np.asarray(csr.row_ids, dtype=np.int32), np.asarray(csr.indices, dtype=np.int32)],
+        axis=1,
+    )
+    return jsparse.BCOO(
+        (jnp.asarray(np.asarray(csr.data)), jnp.asarray(indices)), shape=csr.shape
+    )
+
+
+def from_bcoo(m) -> CsrMatrix:
+    """``jax.experimental.sparse.BCOO`` -> CSR (host-side)."""
+    indices = np.asarray(m.indices)
+    data = np.asarray(m.data)
+    return coo_to_csr(
+        CooMatrix(
+            data,
+            indices[:, 0].astype(np.int32),
+            indices[:, 1].astype(np.int32),
+            (int(m.shape[0]), int(m.shape[1])),
+        )
+    )
+
+
+def _any_to_csr(A) -> CsrMatrix:
+    if isinstance(A, CsrMatrix):
+        return A
+    if isinstance(A, DiaMatrix):
+        return dia_to_csr(A)
+    if isinstance(A, StencilMatrix):
+        return dia_to_csr(stencil_to_dia(A))
+    if isinstance(A, EllMatrix):
+        return ell_to_csr(A)
+    if isinstance(A, CooMatrix):
+        return coo_to_csr(A)
+    if isinstance(A, BsrMatrix):
+        return bsr_to_csr(A)
+    if isinstance(A, DenseMatrix):
+        return dense_to_csr(A)
+    raise TypeError(f"cannot convert {type(A)} to CSR")

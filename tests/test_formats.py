@@ -112,3 +112,21 @@ def test_pytree_flatten():
     assert len(leaves) == 1
     rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
     assert rebuilt.offsets == dia.offsets and rebuilt.shape == dia.shape
+
+
+def test_bcoo_interop_roundtrip():
+    from conjugategradient_tpu.core import oracle
+    from conjugategradient_tpu.core.formats import from_bcoo, to_bcoo
+    from conjugategradient_tpu.core.generators import banded_sin_matrix
+
+    A = banded_sin_matrix(64, 8)
+    m = to_bcoo(A)
+    x = np.linspace(0, 1, 64)
+    # jax's own sparse matvec agrees with our oracle
+    np.testing.assert_allclose(np.asarray(m @ x), oracle.spmv(A, x), rtol=1e-12)
+    back = from_bcoo(m)
+    np.testing.assert_allclose(
+        np.asarray(formats.csr_to_dense(back).data),
+        np.asarray(formats.dia_to_dense(A).data),
+        atol=1e-14,
+    )
