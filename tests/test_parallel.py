@@ -167,3 +167,45 @@ def test_overlap_spmv_matches_padded_formulation():
     a, b = both(jnp.asarray(sys_.A.data), jnp.asarray(p_vec))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # bitwise
     np.testing.assert_allclose(np.asarray(b), _oracle.spmv(sys_.A, p_vec), rtol=1e-12)
+
+
+def test_multihost_helpers_degrade_to_local():
+    """Single-process environment: helpers build the local mesh; sharded
+    arrays assemble per-block and the solve validates against the oracle."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from conjugategradient_tpu.core import oracle as _oracle
+    from conjugategradient_tpu.core.generators import banded_sin_system
+    from conjugategradient_tpu.core.formats import dia_diagonal
+    from conjugategradient_tpu.parallel import multihost
+    from conjugategradient_tpu.parallel.sharded_cg import make_sharded_cg
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    multihost.initialize_distributed()  # no-op locally
+    assert multihost.host_count() == 1
+    mesh = multihost.global_mesh()
+    assert mesh.shape["x"] == 8
+
+    sys_ = banded_sin_system(1024, 8)
+    from jax.sharding import NamedSharding
+
+    data = jax.make_array_from_callback(
+        sys_.A.data.shape, NamedSharding(mesh, P(None, "x")),
+        lambda idx: jnp.asarray(np.asarray(sys_.A.data)[idx]),
+    )
+    b = jax.make_array_from_callback(
+        sys_.b.shape, NamedSharding(mesh, P("x")),
+        lambda idx: jnp.asarray(sys_.b[idx]),
+    )
+    x0 = jax.make_array_from_callback(
+        sys_.x0.shape, NamedSharding(mesh, P("x")),
+        lambda idx: jnp.asarray(sys_.x0[idx]),
+    )
+    solve = make_sharded_cg(sys_.A, mesh, ConvergencePolicy(tol=1e-8), donate=False)
+    res = solve(data, b, x0)
+    assert bool(res.converged)
+    x = np.asarray(res.x, dtype=np.float64)
+    r = sys_.b - _oracle.spmv(sys_.A, x)
+    assert np.linalg.norm(r) < 1e-7
