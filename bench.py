@@ -109,7 +109,9 @@ def main() -> None:
         per_solve = (times[k2] - times[k1]) / (k2 - k1)
         return max(per_solve, 1e-9), out
 
-    h = build_hierarchy(system.A, grid, smoother="chebyshev", dtype=dtype)
+    # cheb(3,3) won the on-chip smoother sweep (0.94 ms vs 0.98 for (2,2),
+    # 1.12 for (1,1), 1.23 for rbgs(1,1) / fmg-warm-start variants)
+    h = build_hierarchy(system.A, grid, smoother="chebyshev", pre=3, post=3, dtype=dtype)
 
     plain_run = make_scan(with_mg=False)
     t_plain, (p_its, p_ress, p_convs) = timed(plain_run, h, (k_short, k_long))
