@@ -132,3 +132,38 @@ def test_cg_fp32_with_precise_dot():
     x64 = oracle.direct_solve(sys_.A, sys_.b)
     rel = np.linalg.norm(np.asarray(res.x, dtype=np.float64) - x64) / np.linalg.norm(x64)
     assert rel < 1e-3
+
+
+def test_cg_finite_termination_property():
+    """CG converges in <= n iterations in exact arithmetic (Krylov theory);
+    in fp64 with a modest tolerance the bound holds with a tiny slack.
+    Property-tested over random SPD systems (SURVEY.md SS4 implication)."""
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        n = int(rng.integers(8, 40))
+        B = rng.standard_normal((n, n))
+        A = formats.DenseMatrix(B @ B.T + n * np.eye(n))
+        b = rng.standard_normal(n)
+        res = cg_solve(
+            A.device_put(), jnp.asarray(b),
+            policy=ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=2 * n),
+        )
+        assert bool(res.converged)
+        assert int(res.iterations) <= n + 2
+
+
+def test_cg_krylov_exactness_few_distinct_eigenvalues():
+    """With k distinct eigenvalues CG converges in k iterations — the sharp
+    version of the finite-termination property."""
+    rng = np.random.default_rng(12)
+    n, k = 63, 3  # n divisible by k
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eigs = np.repeat([1.0, 4.0, 9.0], n // k)
+    A = formats.DenseMatrix(Q @ np.diag(eigs) @ Q.T)
+    b = rng.standard_normal(n)
+    res = cg_solve(
+        A.device_put(), jnp.asarray(b),
+        policy=ConvergencePolicy(tol=1e-9, norm="rel_l2", max_iteration=n),
+    )
+    assert bool(res.converged)
+    assert int(res.iterations) <= k + 1
