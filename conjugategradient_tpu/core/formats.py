@@ -579,6 +579,11 @@ def stencil_to_dia(st: "StencilMatrix") -> DiaMatrix:
     offsets = []
     for s in st.shifts:
         offsets.append(int(sum(d * t for d, t in zip(s, strides))))
+    if len(set(offsets)) != len(offsets):
+        raise ValueError(
+            f"distinct grid shifts alias the same flat offset on grid {st.grid}; "
+            "cannot represent as DIA"
+        )
     order = np.argsort(offsets)
     out = np.zeros((st.nlegs, n), dtype=data.dtype)
     # zero entries whose flat neighbour exits [0, n) (grid masking is stricter,

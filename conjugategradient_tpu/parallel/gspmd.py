@@ -106,8 +106,8 @@ def make_gspmd_mgcg(
         that divide their mesh axes (NamedSharding requires even divisibility);
         tiny/odd coarse levels replicate — they cost nothing."""
         names = []
-        for i, ax_name in enumerate(axes):
-            ok = i < len(g) and g[i] % mesh.shape[ax_name] == 0
+        for i, ax_name in enumerate(axes[: len(g)]):  # never exceed grid rank
+            ok = g[i] % mesh.shape[ax_name] == 0
             names.append(ax_name if ok else None)
         if not any(names):
             return P(), P()

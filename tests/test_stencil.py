@@ -96,3 +96,14 @@ def test_hierarchy_stencil_levels_have_grid_shapes():
     for lvl in h.levels:
         assert isinstance(lvl.A, formats.StencilMatrix)
         assert lvl.inv_diag.shape == lvl.grid
+
+
+def test_stencil_to_dia_rejects_aliased_shifts():
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.core.formats import StencilMatrix
+
+    # (0, 5) and (1, 0) both flatten to offset 5 on a width-5 grid
+    st = StencilMatrix(jnp.ones((2, 5, 5)), ((0, 5), (1, 0)), (5, 5))
+    with pytest.raises(ValueError):
+        stencil_to_dia(st)
