@@ -130,3 +130,19 @@ def test_profiler_trace_writes_artifacts(tmp_path):
     assert os.path.isdir(d) and any(os.scandir(d))
     with profiler_trace(None):  # no-op path
         pass
+
+
+def test_spy_plot():
+    from conjugategradient_tpu.core.generators import poisson2d_matrix, tridiagonal_matrix
+    from conjugategradient_tpu.utils.spy import spy, spy_counts
+
+    A = tridiagonal_matrix(100)
+    out = spy(A, cells=10)
+    assert out.count("\n") == 10  # 10 rows + footer
+    g = spy_counts(A, cells=10)
+    assert g.shape == (10, 10)
+    # band structure: off-band far corners are empty, the diagonal is not
+    assert g[0, -1] == 0 and g[-1, 0] == 0 and g[0, 0] > 0
+    # 2-D Poisson shows the outer diagonals
+    g2 = spy_counts(poisson2d_matrix(31), cells=16)
+    assert g2[0, 0] > 0 and np.trace(g2) > 0
