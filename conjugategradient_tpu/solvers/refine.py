@@ -43,6 +43,7 @@ class RefineResult:
     residual: float  # true fp64 residual (selected norm)
     converged: bool
     history: list  # fp64 residual after each outer pass
+    stalled: bool = False  # progress hit the fp64 evaluation noise floor
 
 
 def refined_solve(
@@ -94,13 +95,27 @@ def refined_solve(
         shape = (n,)
 
     inner_policy = ConvergencePolicy(
-        tol=inner_tol, norm="rel_l2", max_iteration=min(4 * n, 100_000)
+        tol=inner_tol, norm="rel_l2", max_iteration=min(8 * n, 1_000_000)
     )
-    solve = jax.jit(
-        lambda r: cg_solve(
-            A_dev, r, policy=inner_policy, M=M, precise_dot=device_dtype == np.float32
+    # operator and preconditioner ride as pytree ARGUMENTS (closure constants
+    # ship with the compile payload — prohibitive for large systems)
+    if M is not None:
+        from conjugategradient_tpu.precond import as_preconditioner as _as_p
+
+        solve_jit = jax.jit(
+            lambda h_, A_, r: cg_solve(
+                A_, r, policy=inner_policy, M=_as_p(h_),
+                precise_dot=device_dtype == np.float32,
+            )
         )
-    )
+        solve = lambda r: solve_jit(h, A_dev, r)
+    else:
+        solve_jit = jax.jit(
+            lambda A_, r: cg_solve(
+                A_, r, policy=inner_policy, precise_dot=device_dtype == np.float32
+            )
+        )
+        solve = lambda r: solve_jit(A_dev, r)
 
     def true_residual(x):
         r = b64 - oracle.spmv(A, x)
@@ -117,6 +132,11 @@ def refined_solve(
         history.append(res)
         if res < tol:
             return RefineResult(x, outer, inner_total, res, True, history)
+        if len(history) >= 2 and res > 0.9 * history[-2]:
+            # no meaningful progress: the true-residual evaluation itself has
+            # a noise floor ~ eps64 * |A| |x| sqrt(n); a tolerance below it is
+            # unmeasurable in any precision — stop burning inner solves
+            return RefineResult(x, outer, inner_total, res, False, history, stalled=True)
         s = float(np.max(np.abs(r)))
         if s == 0.0:
             return RefineResult(x, outer, inner_total, 0.0, True, history)

