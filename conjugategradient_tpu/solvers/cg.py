@@ -81,6 +81,14 @@ def cg_solve(
 
     Traceable: call under ``jax.jit`` (and inside ``shard_map`` — see
     ``conjugategradient_tpu.parallel`` for the collective-dot variant).
+
+    fp32 + absolute norms caveat: a fast-converging recurrence can underflow
+    ``r`` to exactly zero (fp32 min normal ~1e-38) well before an absolute
+    tolerance on a large-scaled system is meaningful — the recurrence then
+    freezes and reports residual 0 even though the *true* residual sits at
+    the fp32 drift floor (~1e-5 relative).  For fp64-grade absolute
+    tolerances on fp32 hardware use ``solvers.refine.refined_solve``, which
+    rescales every outer pass; for plain fp32 solves prefer ``norm="rel_l2"``.
     """
     op = as_operator(A, use_pallas=use_pallas)
     n = b.size
