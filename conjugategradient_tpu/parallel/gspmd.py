@@ -114,15 +114,18 @@ def make_gspmd_mgcg(
         tail = [None] * (len(g) - len(names))
         return P(None, *names, *tail), P(*names, *tail)
 
+    import dataclasses as _dc
+
     levels = []
     for lvl in h.levels:
         dspec, vspec = specs_for(lvl.grid)
         levels.append(
-            MgLevel(
+            _dc.replace(
+                lvl,
                 A=StencilMatrix(put(lvl.A.data, dspec), lvl.A.shifts, lvl.A.grid),
                 inv_diag=put(lvl.inv_diag, vspec),
-                grid=lvl.grid,
-                cheb_bounds=lvl.cheb_bounds,
+                mask=None if lvl.mask is None else put(lvl.mask, vspec),
+                weight=None if lvl.weight is None else put(lvl.weight, vspec),
             )
         )
     h_sharded = MgHierarchy(

@@ -56,6 +56,8 @@ class MgLevel:
     grid: GridShape  # this level's grid shape (prod == A.n)
     cheb_bounds: Tuple[float, float]  # spectral bounds of D^{-1}A (static floats)
     mask: Optional[jnp.ndarray] = None  # checkerboard parity (rbgs smoother)
+    transfer: str = "fw"  # "fw" (full weighting, odd axes) | "agg" (any size)
+    weight: Optional[jnp.ndarray] = None  # SA tentative-prolongator weights (agg)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,7 +82,9 @@ class MgHierarchy:
 # being baked in as closure constants — mandatory at scale (a 16M-row
 # hierarchy embedded as constants produced a ~600 MB XLA payload).
 jax.tree_util.register_dataclass(
-    MgLevel, data_fields=["A", "inv_diag", "mask"], meta_fields=["grid", "cheb_bounds"]
+    MgLevel,
+    data_fields=["A", "inv_diag", "mask", "weight"],
+    meta_fields=["grid", "cheb_bounds", "transfer"],
 )
 jax.tree_util.register_dataclass(
     MgHierarchy,
@@ -125,11 +129,96 @@ def _scipy_to_dia(S: sp.spmatrix) -> DiaMatrix:
     return DiaMatrix(out, tuple(offsets[k] for k in order), (n, n))
 
 
-def galerkin_coarse(A: DiaMatrix, fine: GridShape) -> DiaMatrix:
-    """A_c = R A P on the host (setup-time scipy triple product)."""
-    P = transfer.prolong_matrix(fine)
+#: smoothed-aggregation damping: omega = 4 / (3 * lam_max(D^{-1}A))
+_SA_W = 4.0 / 3.0
+
+
+def _near_null(A_h: DiaMatrix, grid: GridShape) -> np.ndarray:
+    """Near-null candidate for the aggregation coarse space.
+
+    The vector the coarse space must represent is whatever the smoother
+    cannot damp.  For Laplacian-like matrices (negative off-diagonals) that
+    is the **constant**; for consistently *positive* off-diagonals (the
+    reference's tridiagonal (+1, 2, +1)) it is the **checkerboard-alternating
+    vector** — the diag(±1) conjugation of the constant, a structure
+    geometric intuition misses (constant-based aggregation leaves 100% of its
+    energy uncorrected there; measured rho = 0.996 vs 0.07 with the right
+    candidate).  Critically, the candidate must be *globally* smooth: a
+    relaxed-random vector is only locally smooth and its wiggles destroy the
+    approximation property mesh-dependently (measured rho -> 1 as n grows).
+    So we pick, deterministically, whichever of the two global candidates has
+    the smaller Rayleigh quotient z^T A z / z^T z.
+    """
+    from conjugategradient_tpu.core import oracle as _oracle
+
+    ones = np.ones(A_h.n)
+    alt = np.where(np.indices(grid).sum(axis=0).reshape(-1) % 2 == 0, 1.0, -1.0)
+    best, best_q = None, np.inf
+    for z in (ones, alt):
+        q = float(z @ _oracle.spmv(A_h, z)) / float(z @ z)
+        if q < best_q:
+            best, best_q = z, q
+    return best
+
+
+def _agg_weights(z: np.ndarray, grid: GridShape):
+    """Per-aggregate-normalised candidate -> (W, z_coarse).
+
+    Aggregates are tensor products of per-axis index pairs (odd tails are
+    singletons).  ``P_t = diag(W) @ P_plain`` has orthonormal columns and
+    reproduces ``z`` exactly (``P_t z_c = z``).
+    """
+    zz = (z * z).reshape(grid)
+    for ax in range(len(grid)):
+        m = zz.shape[ax]
+        zm = np.moveaxis(zz, ax, -1)
+        if m % 2:
+            zm = np.concatenate([zm, np.zeros(zm.shape[:-1] + (1,))], axis=-1)
+        zm = zm.reshape(zm.shape[:-1] + (-1, 2)).sum(axis=-1)
+        zz = np.moveaxis(zm, -1, ax)
+    nrm = np.sqrt(zz)  # coarse-grid aggregate norms
+    # expand nrm back to the fine grid (plain prolongation = repeat/truncate)
+    expand = nrm
+    for ax in range(len(grid)):
+        expand = np.moveaxis(
+            np.repeat(np.moveaxis(expand, ax, -1), 2, axis=-1)[..., : grid[ax]], -1, ax
+        )
+    expand = expand.reshape(-1)
+    ok = expand > 0
+    W = np.where(ok, z / np.where(ok, expand, 1.0), 1.0)
+    return W, nrm.reshape(-1)
+
+
+def galerkin_coarse(
+    A: DiaMatrix,
+    fine: GridShape,
+    kind: str = "fw",
+    lam_max: float | None = None,
+    weight: np.ndarray | None = None,
+) -> DiaMatrix:
+    """A_c = R A P on the host (setup-time scipy triple product).
+
+    ``kind``: "fw" = full-weighting/linear (odd axes); "agg" = *smoothed
+    aggregation* (any size): tentative prolongator built from the computed
+    near-null candidate (``weight`` = per-aggregate-normalised candidate, see
+    ``_near_null``/``_agg_weights``), smoothed once by ``(I - omega D^{-1} A)``
+    with omega = 4/(3 lam_max).  R = P^T / 2^d in both (the scaling cancels
+    through the coarse solve).
+    """
+    S = _dia_to_scipy(A)
+    if kind == "fw":
+        P = transfer.prolong_matrix(fine)
+    else:
+        P = transfer.prolong_agg_matrix(fine)
+        if weight is None:
+            weight, _ = _agg_weights(_near_null(A, fine), fine)
+        P = sp.diags(np.asarray(weight).reshape(-1)) @ P
+        if lam_max is None:
+            lam_max = eigen.scaled_spectrum_bounds(A)[1]
+        Dinv = sp.diags(1.0 / dia_diagonal(A))
+        P = (P - (_SA_W / lam_max) * (Dinv @ (S @ P))).tocsr()
     R = (P.T * (0.5 ** len(fine))).tocsr()
-    Ac = R @ _dia_to_scipy(A) @ P
+    Ac = R @ S @ P
     return _scipy_to_dia(Ac)
 
 
@@ -167,23 +256,33 @@ def build_hierarchy(
     levels = []
     A_h = A  # host-side numpy DIA
     g = tuple(grid)
-    while A_h.n > max_coarse and transfer.can_coarsen(g) and len(levels) < max_levels - 1:
+    while (
+        A_h.n > max_coarse
+        and (transfer.can_coarsen(g) or transfer.can_aggregate(g))
+        and len(levels) < max_levels - 1
+    ):
+        kind = "fw" if transfer.can_coarsen(g) else "agg"
         diag = dia_diagonal(A_h)
         if np.any(diag <= 0):
             raise ValueError("non-positive diagonal; not SPD-compatible with Jacobi scaling")
-        if smoother == "chebyshev":
+        if smoother == "chebyshev" or kind == "agg":
             bounds = eigen.scaled_spectrum_bounds(A_h)
         else:
             bounds = (0.0, 0.0)
         dt = dtype or np.asarray(A_h.data).dtype
+        W_host = None
+        if kind == "agg":
+            W_host, _ = _agg_weights(_near_null(A_h, g), g)
         if layout == "stencil":
             A_dev = dia_to_stencil(A_h, g).device_put(dt)
             inv_d = jnp.asarray((1.0 / diag).astype(dt).reshape(g))
             mask = parity_mask(g) if smoother == "rbgs" else None
+            W_dev = None if W_host is None else jnp.asarray(W_host.astype(dt).reshape(g))
         else:
             A_dev = A_h.device_put(dt)
             inv_d = jnp.asarray((1.0 / diag).astype(dt))
             mask = parity_mask((A_h.n,)) if smoother == "rbgs" else None
+            W_dev = None if W_host is None else jnp.asarray(W_host.astype(dt))
         levels.append(
             MgLevel(
                 A=A_dev,
@@ -191,10 +290,12 @@ def build_hierarchy(
                 grid=g,
                 cheb_bounds=bounds,
                 mask=mask,
+                transfer=kind,
+                weight=W_dev,
             )
         )
-        A_h = galerkin_coarse(A_h, g)
-        g = transfer.coarse_shape(g)
+        A_h = galerkin_coarse(A_h, g, kind, lam_max=bounds[1] or None, weight=W_host)
+        g = transfer.coarse_shape(g) if kind == "fw" else transfer.agg_coarse_shape(g)
 
     dt = dtype or np.asarray(A_h.data).dtype
     dense = formats.dia_to_dense(A_h)
@@ -219,6 +320,28 @@ def _smooth(h: MgHierarchy, lvl: MgLevel, op, b, x, sweeps: int, post: bool = Fa
         fn = redblack_gs_smooth_reversed if post else redblack_gs_smooth
         return fn(op, lvl.inv_diag, b, x, sweeps, lvl.mask)
     return jacobi_smooth(op, lvl.inv_diag, b, x, sweeps, h.omega)
+
+
+def _level_transfers(lvl: MgLevel, op):
+    """(restrict, prolong) closures for a level, grid-shaped arrays.
+
+    Agg levels use the smoothed-aggregation operators — exact adjoints of the
+    scipy P used for the Galerkin product (symmetry = PCG validity):
+    P = (I - c D^{-1}A) diag(W) P_plain, R = P^T / 2^d.
+    """
+    if lvl.transfer != "agg":
+        return transfer.restrict_grid, transfer.prolong_grid
+    c = _SA_W / lvl.cheb_bounds[1]
+    W = lvl.weight
+
+    def rg(r):
+        return transfer.restrict_agg_grid(W * (r - c * op(lvl.inv_diag * r)))
+
+    def pg(e, fine):
+        w = W * transfer.prolong_agg_grid(e, fine)
+        return w - c * (lvl.inv_diag * op(w))
+
+    return rg, pg
 
 
 def v_cycle(
@@ -253,15 +376,22 @@ def v_cycle(
     x = jnp.zeros_like(b) if x0 is None else x0
     x = _smooth(h, lvl, op, b, x, h.pre)
 
+    rg, pg = _level_transfers(lvl, op)
+
     def correct(x):
         r = b - op(x)
         if grid_native:
-            rc = transfer.restrict_grid(r)
+            rc = rg(r)
             ec = v_cycle(h, rc, level + 1, use_pallas, roll, gamma)
-            return x + transfer.prolong_grid(ec, lvl.grid)
-        rc = transfer.restrict(r, lvl.grid)
+            return x + pg(ec, lvl.grid)
+        cg_shape = (
+            transfer.agg_coarse_shape(lvl.grid)
+            if lvl.transfer == "agg"
+            else transfer.coarse_shape(lvl.grid)
+        )
+        rc = rg(r.reshape(lvl.grid)).reshape(-1)
         ec = v_cycle(h, rc, level + 1, use_pallas, roll, gamma)
-        return x + transfer.prolong(ec, lvl.grid)
+        return x + pg(ec.reshape(cg_shape), lvl.grid).reshape(-1)
 
     reps = gamma if level > 0 else 1  # cycle index applies below the top
     for _ in range(reps):
@@ -282,25 +412,34 @@ def fmg(h: MgHierarchy, b: jnp.ndarray, use_pallas: bool = False, roll: bool = F
     if flat_in:
         b = b.reshape(h.levels[0].grid)
 
-    # restrict b down the hierarchy
+    from conjugategradient_tpu.ops.spmv import as_operator as _as_op
+
+    # restrict b down the hierarchy (same weighted/smoothed operators as the
+    # V-cycle — consistency keeps the cascade meaningful for matrices whose
+    # near-null space is not the constant)
     bs = [b]
     for lvl in h.levels:
-        bs.append(
-            transfer.restrict_grid(bs[-1])
-            if grid_native
-            else transfer.restrict(bs[-1], lvl.grid)
-        )
+        rg, _ = _level_transfers(lvl, _as_op(lvl.A, use_pallas=use_pallas, roll=roll))
+        if grid_native:
+            bs.append(rg(bs[-1]))
+        else:
+            bs.append(rg(bs[-1].reshape(lvl.grid)).reshape(-1))
     # coarsest: direct solve
     bc = bs[-1]
     x = jnp.dot(h.coarse_inv, bc.reshape(-1), preferred_element_type=b.dtype).reshape(bc.shape)
     # walk up: prolong + one V-cycle with that initial guess
     for level in range(len(h.levels) - 1, -1, -1):
         lvl = h.levels[level]
-        x = (
-            transfer.prolong_grid(x, lvl.grid)
-            if grid_native
-            else transfer.prolong(x, lvl.grid)
-        )
+        _, pg = _level_transfers(lvl, _as_op(lvl.A, use_pallas=use_pallas, roll=roll))
+        if grid_native:
+            x = pg(x, lvl.grid)
+        else:
+            cshape = (
+                transfer.agg_coarse_shape(lvl.grid)
+                if lvl.transfer == "agg"
+                else transfer.coarse_shape(lvl.grid)
+            )
+            x = pg(x.reshape(cshape), lvl.grid).reshape(-1)
         x = v_cycle(h, bs[level], level, use_pallas, roll, x0=x)
     return x.reshape(-1) if flat_in else x
 

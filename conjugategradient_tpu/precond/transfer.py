@@ -85,6 +85,72 @@ def prolong(e: jnp.ndarray, fine: GridShape) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Aggregation transfers — coarsening for ARBITRARY axis sizes.
+#
+# Full weighting needs odd axes (vertex-centered halving); real workloads come
+# in any size (the reference's tridiagonal demo is exactly 2^16).  Pairwise
+# aggregation has no size constraint: coarse cell j owns fine cells
+# {2j, 2j+1} (the last cell owns a single fine cell when the axis is odd),
+# P = piecewise-constant injection, R = P^T / 2 per axis.  Convergence per
+# cycle is weaker than full weighting, but wrapped in CG it stays mesh
+# -independent — and it upgrades "multigrid for 2^k-1 grids" into
+# "multigrid for every workload".
+# ---------------------------------------------------------------------------
+
+
+def agg_coarse_shape(fine: GridShape) -> GridShape:
+    for n in fine:
+        if n < 2:
+            raise ValueError(f"axis size {n} not aggregatable; shape={fine}")
+    return tuple((n + 1) // 2 for n in fine)
+
+
+def can_aggregate(fine: GridShape) -> bool:
+    return all(n >= 2 for n in fine)
+
+
+def _restrict_agg_axis(v: jnp.ndarray) -> jnp.ndarray:
+    m = v.shape[-1]
+    if m % 2:
+        pad = [(0, 0)] * (v.ndim - 1) + [(0, 1)]
+        v = jnp.pad(v, pad)
+    shaped = v.reshape(v.shape[:-1] + (-1, 2))
+    return 0.5 * (shaped[..., 0] + shaped[..., 1])
+
+
+def _prolong_agg_axis(e: jnp.ndarray, n_fine: int) -> jnp.ndarray:
+    out = jnp.repeat(e, 2, axis=-1)
+    return out[..., :n_fine]
+
+
+def restrict_agg_grid(v: jnp.ndarray) -> jnp.ndarray:
+    for ax in range(v.ndim):
+        v = jnp.moveaxis(_restrict_agg_axis(jnp.moveaxis(v, ax, -1)), -1, ax)
+    return v
+
+
+def prolong_agg_grid(v: jnp.ndarray, fine: GridShape) -> jnp.ndarray:
+    for ax in range(len(fine)):
+        v = jnp.moveaxis(_prolong_agg_axis(jnp.moveaxis(v, ax, -1), fine[ax]), -1, ax)
+    return v
+
+
+def prolong_agg_matrix_1d(n_fine: int) -> sp.csr_matrix:
+    m = (n_fine + 1) // 2
+    rows = list(range(n_fine))
+    cols = [j // 2 for j in rows]
+    vals = [1.0] * n_fine
+    return sp.csr_matrix((vals, (rows, cols)), shape=(n_fine, m))
+
+
+def prolong_agg_matrix(fine: GridShape) -> sp.csr_matrix:
+    P = prolong_agg_matrix_1d(fine[0])
+    for n in fine[1:]:
+        P = sp.kron(P, prolong_agg_matrix_1d(n), format="csr")
+    return P
+
+
+# ---------------------------------------------------------------------------
 # Host-side (scipy) assembly — for the Galerkin product R A P.
 # ---------------------------------------------------------------------------
 
