@@ -81,10 +81,14 @@ def main() -> int:
             # residuals) — a single fp32 solve cannot (solvers/refine.py).
             from conjugategradient_tpu.solvers.refine import refined_solve
 
+            # high-kappa workloads (the 2^16 tridiagonal: kappa ~ 1.7e9) get a
+            # 1-D smoothed-aggregation MGCG inner solver — ~10 inner its
+            # instead of ~130k plain-CG its per refinement pass
+            mg_grid = (system.n,) if w.builder == "tridiagonal" else None
             with t.phase("solve"):
                 rres = refined_solve(
                     system.A, system.b, system.x0, tol=pol.tol, norm=pol.norm,
-                    inner_tol=1e-4, device_dtype=np.float32,
+                    inner_tol=1e-4, device_dtype=np.float32, grid=mg_grid,
                 )
             x_dev = rres.x
             it = rres.inner_iterations
