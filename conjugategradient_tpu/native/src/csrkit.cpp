@@ -239,14 +239,18 @@ int64_t csrkit_cg(int64_t n, const int32_t* indptr, const int32_t* indices,
       return -it - 1;
     }
     spmv(p.data(), ap.data());
-    const double alpha = rr / dot(p.data(), ap.data());
+    // zero-denominator guard: if x0 already solves the system (rr == 0) while
+    // min_iter forces loop entry, 0/0 would poison x with NaN — match the
+    // oracle.cg / solvers.cg _safe_div semantics (0 when the denominator is 0).
+    const double pap = dot(p.data(), ap.data());
+    const double alpha = pap != 0.0 ? rr / pap : 0.0;
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; ++i) {
       x[i] += alpha * p[i];
       r[i] -= alpha * ap[i];
     }
     const double rr_new = dot(r.data(), r.data());
-    const double beta = rr_new / rr;
+    const double beta = rr != 0.0 ? rr_new / rr : 0.0;
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; ++i) p[i] = r[i] + beta * p[i];
     rr = rr_new;
@@ -257,6 +261,6 @@ int64_t csrkit_cg(int64_t n, const int32_t* indptr, const int32_t* indices,
   return it;
 }
 
-int32_t csrkit_version() { return 2; }
+int32_t csrkit_version() { return 3; }
 
 }  // extern "C"

@@ -147,17 +147,17 @@ def make_gspmd_mgcg(
 
         st = dia_to_stencil(system.A, tuple(grid)).astype(dt)
         fine_A = StencilMatrix(put(st.data, dspec0), st.shifts, st.grid)
-    op = as_operator(fine_A, roll=True)
     b_dev = put(np.asarray(system.b, dtype=dt).reshape(grid), vspec0)
     x0_dev = put(np.asarray(system.x0, dtype=dt).reshape(grid), vspec0)
 
-    def M(r):
+    # hierarchy + fine operator ride as jitted pytree ARGUMENTS — closure
+    # constants ship inside the compile request (~600 MB / HTTP 413 measured
+    # at 16M rows through the serving tunnel; see CLAUDE.md)
+    @jax.jit
+    def _solve(h_, A_, b, x0):
         from conjugategradient_tpu.precond.multigrid import v_cycle
 
-        return v_cycle(h_sharded, r, roll=True)
-
-    def solve(b, x0):
-        res = cg_solve(op, b, x0, policy, M=M)
+        res = cg_solve(as_operator(A_, roll=True), b, x0, policy, M=lambda r: v_cycle(h_, r, roll=True))
         return CGResult(
             x=res.x.reshape(-1),
             iterations=res.iterations,
@@ -165,7 +165,7 @@ def make_gspmd_mgcg(
             converged=res.converged,
         )
 
-    return jax.jit(solve), (b_dev, x0_dev)
+    return lambda b, x0: _solve(h_sharded, fine_A, b, x0), (b_dev, x0_dev)
 
 
 def gspmd_mgcg_solve(

@@ -334,12 +334,28 @@ def _level_transfers(lvl: MgLevel, op):
     c = _SA_W / lvl.cheb_bounds[1]
     W = lvl.weight
 
-    def rg(r):
-        return transfer.restrict_agg_grid(W * (r - c * op(lvl.inv_diag * r)))
+    if isinstance(lvl.A, StencilMatrix):
 
-    def pg(e, fine):
-        w = W * transfer.prolong_agg_grid(e, fine)
-        return w - c * (lvl.inv_diag * op(w))
+        def rg(r):
+            return transfer.restrict_agg_grid(W * (r - c * op(lvl.inv_diag * r)))
+
+        def pg(e, fine):
+            w = W * transfer.prolong_agg_grid(e, fine)
+            return w - c * (lvl.inv_diag * op(w))
+
+    else:
+        # dia layout: op / inv_diag / W are flat, but the agg transfer
+        # operators are grid-shaped — flatten around them (callers pass and
+        # receive grid-shaped arrays at multi-dimensional grids)
+
+        def rg(r):
+            rf = r.reshape(-1)
+            s = W * (rf - c * op(lvl.inv_diag * rf))
+            return transfer.restrict_agg_grid(s.reshape(r.shape))
+
+        def pg(e, fine):
+            w = W * transfer.prolong_agg_grid(e, fine).reshape(-1)
+            return (w - c * (lvl.inv_diag * op(w))).reshape(fine)
 
     return rg, pg
 

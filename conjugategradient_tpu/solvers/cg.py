@@ -16,6 +16,10 @@ reference recurrence (``R/CG.R:38-58``), with zero host round-trips.
 Supports plain CG and preconditioned CG (pass ``M``: z = M(r) must be an SPD
 preconditioner application, e.g. a multigrid V-cycle from
 ``conjugategradient_tpu.precond``).
+
+The recurrence itself lives in exactly one place (``_make_step``); the three
+drivers — ``cg_solve`` (while_loop), ``cg_solve_traced`` (scan + history) and
+``cg_solve_chunked`` (checkpointable scans) — share it.
 """
 
 from __future__ import annotations
@@ -68,6 +72,72 @@ def _safe_div(num, den):
     return jnp.where(ok, num, 0.0) / jnp.where(ok, den, 1.0)
 
 
+def _apply_M(M, r):
+    """Preconditioner application.  ``M`` is a callable z = M(r), or a
+    ``(fn, state)`` pair applied as ``fn(state, r)`` — the pytree-argument
+    form that keeps large preconditioner state (e.g. a multigrid hierarchy)
+    out of jit closure constants (see CLAUDE.md: closure constants ship with
+    the compile request)."""
+    if M is None:
+        return r
+    if isinstance(M, tuple):
+        fn, state = M
+        return fn(state, r)
+    return M(r)
+
+
+def _cg_init(op, b, x0, M, dot, dtype):
+    """Initial recurrence state (x, r, p, rz, rr) from b and the guess."""
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
+    r = b - op(x)
+    z = _apply_M(M, r)
+    p = z
+    rz = dot(r, z)
+    rr = dot(r, r)
+    return x, r, p, rz, rr
+
+
+def _make_step(op, M, dot):
+    """THE CG recurrence (``R/CG.R:38-58``), written once.
+
+    Returns ``step(x, r, p, rz, rr) -> (x, r, p, rz, rr)`` performing one
+    unconditional iteration.  NaN-free even at exact convergence (r = 0) via
+    ``_safe_div`` — required by the masked drivers, which keep executing the
+    step after convergence and select the old state.
+    """
+
+    def step(x, r, p, rz, rr):
+        Ap = op(p)
+        alpha = _safe_div(rz, dot(p, Ap))
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = _apply_M(M, r)
+        rz_new = dot(r, z)
+        rr_new = dot(r, r)
+        beta = _safe_div(rz_new, rz)
+        p = z + beta * p
+        return x, r, p, rz_new, rr_new
+
+    return step
+
+
+def _make_masked_step(op, M, dot):
+    """Fixed-trip-count variant: ``step(state, active) -> state`` where
+    ``state = (x, r, p, rz, rr, it)``.  When ``active`` is False the state is
+    frozen (scalar-predicate selects, fused by XLA) — iterations after
+    convergence are no-ops, so scans of static length terminate correctly."""
+    raw = _make_step(op, M, dot)
+
+    def step(state, active):
+        x, r, p, rz, rr, it = state
+        new = raw(x, r, p, rz, rr)
+        sel = lambda a, b: jnp.where(active, a, b)
+        x2, r2, p2, rz2, rr2 = (sel(a, b) for a, b in zip(new, (x, r, p, rz, rr)))
+        return x2, r2, p2, rz2, rr2, it + active.astype(jnp.int32)
+
+    return step
+
+
 def cg_solve(
     A,
     b: jnp.ndarray,
@@ -98,12 +168,7 @@ def cg_solve(
     max_iter = jnp.int32(policy.resolve_max(n))
     dot = lambda u, v: _dot(u, v, precise=precise_dot)
 
-    x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
-    r = b - op(x)
-    z = M(r) if M is not None else r
-    p = z
-    rz = dot(r, z)
-    rr = dot(r, r)
+    x, r, p, rz, rr = _cg_init(op, b, x0, M, dot, dtype)
     rr0 = rr
 
     def res_of(r, rr):
@@ -115,18 +180,11 @@ def cg_solve(
         unconverged = jnp.logical_or(it < min_iter, res >= tol)
         return jnp.logical_and(unconverged, it < max_iter)
 
+    step = _make_step(op, M, dot)
+
     def body(state):
         x, r, p, rz, rr, it = state
-        Ap = op(p)
-        alpha = _safe_div(rz, dot(p, Ap))
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = M(r) if M is not None else r
-        rz_new = dot(r, z)
-        rr_new = dot(r, r)
-        beta = _safe_div(rz_new, rz)
-        p = z + beta * p
-        return (x, r, p, rz_new, rr_new, it + 1)
+        return (*step(x, r, p, rz, rr), it + 1)
 
     x, r, p, rz, rr, it = jax.lax.while_loop(cond, body, (x, r, p, rz, rr, jnp.int32(0)))
     res = res_of(r, rr)
@@ -155,42 +213,24 @@ def cg_solve_traced(
     Returns ``(CGResult, residual_history)``.
     """
     op = as_operator(A, use_pallas=use_pallas)
-    n = b.size
     dtype = b.dtype
     tol = jnp.asarray(policy.tol, dtype)
     min_iter = jnp.int32(policy.min_iteration)
     dot = lambda u, v: _dot(u, v, precise=precise_dot)
 
-    x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
-    r = b - op(x)
-    z = M(r) if M is not None else r
-    p = z
-    rz = dot(r, z)
-    rr = dot(r, r)
+    x, r, p, rz, rr = _cg_init(op, b, x0, M, dot, dtype)
     rr0 = rr
 
     def res_of(r, rr):
         return residual_norm(r, rr, rr0, policy.norm)
 
-    def step(state, _):
-        x, r, p, rz, rr, it = state
-        res = res_of(r, rr)
-        active = jnp.logical_or(it < min_iter, res >= tol)
+    masked = _make_masked_step(op, M, dot)
 
-        Ap = op(p)
-        alpha = jnp.where(active, _safe_div(rz, dot(p, Ap)), 0.0)
-        x = x + alpha * p
-        r2 = r - alpha * Ap
-        z2 = M(r2) if M is not None else r2
-        rz2 = dot(r2, z2)
-        rr2 = dot(r2, r2)
-        beta = jnp.where(active, _safe_div(rz2, rz), 0.0)
-        p2 = jnp.where(active, z2 + beta * p, p)
-        rz2 = jnp.where(active, rz2, rz)
-        rr2 = jnp.where(active, rr2, rr)
-        it2 = it + active.astype(jnp.int32)
-        new_state = (x, r2, p2, rz2, rr2, it2)
-        return new_state, res_of(r2, rr2)
+    def step(state, _):
+        _, r, _, _, rr, it = state
+        active = jnp.logical_or(it < min_iter, res_of(r, rr) >= tol)
+        new_state = masked(state, active)
+        return new_state, res_of(new_state[1], new_state[4])
 
     state, history = jax.lax.scan(step, (x, r, p, rz, rr, jnp.int32(0)), None, length=num_steps)
     x, r, p, rz, rr, it = state
@@ -222,18 +262,27 @@ def cg_solve_chunked(
     receives a ``utils.checkpoint.CGState`` per chunk (structured progress
     stream).  Per-chunk host cost is one small sync — amortised over ``chunk``
     device-resident iterations.
+
+    The matrix — and, when ``M`` is given as a ``(fn, state)`` pair, the
+    preconditioner state — enter the jitted chunk as pytree *arguments*, not
+    closure constants: this path exists for the largest long-running solves,
+    where closure constants would ship the whole system inside the compile
+    request (CLAUDE.md: ~600 MB / HTTP 413 measured at 16M rows).
     """
     import numpy as np
 
     from conjugategradient_tpu.utils import checkpoint as ckpt
 
-    op = as_operator(A, use_pallas=use_pallas)
-    n = b.size
     dtype = b.dtype
     tol = jnp.asarray(policy.tol, dtype)
     min_iter = jnp.int32(policy.min_iteration)
-    max_iter = policy.resolve_max(n)
+    max_iter = policy.resolve_max(b.size)
     dot = lambda u, v: _dot(u, v, precise=precise_dot)
+    if isinstance(M, tuple):
+        M_fn, M_state = M
+    else:
+        M_fn = None if M is None else (lambda _, r: M(r))
+        M_state = None
 
     prev = ckpt.maybe_resume(checkpoint_path) if resume else None
     if prev is not None:
@@ -245,12 +294,9 @@ def cg_solve_chunked(
         rr0 = jnp.asarray(prev.rr0, dtype)
         it = jnp.int32(prev.iteration)
     else:
-        x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
-        r = b - op(x)
-        z = M(r) if M is not None else r
-        p = z
-        rz = dot(r, z)
-        rr = dot(r, r)
+        op0 = as_operator(A, use_pallas=use_pallas)
+        M0 = None if M_fn is None else (M_fn, M_state)
+        x, r, p, rz, rr = _cg_init(op0, b, x0, M0, dot, dtype)
         rr0 = rr
         it = jnp.int32(0)
 
@@ -258,25 +304,18 @@ def cg_solve_chunked(
         return residual_norm(r, rr, rr0, policy.norm)
 
     @jax.jit
-    def run_chunk(x, r, p, rz, rr, rr0, it):
+    def run_chunk(A_, M_state_, x, r, p, rz, rr, rr0, it):
+        op = as_operator(A_, use_pallas=use_pallas)
+        M_ = None if M_fn is None else (M_fn, M_state_)
+        masked = _make_masked_step(op, M_, dot)
+
         def step(state, _):
-            x, r, p, rz, rr, it = state
-            res = res_of(r, rr, rr0)
+            _, r, _, _, rr, it = state
             active = jnp.logical_and(
-                jnp.logical_or(it < min_iter, res >= tol), it < jnp.int32(max_iter)
+                jnp.logical_or(it < min_iter, res_of(r, rr, rr0) >= tol),
+                it < jnp.int32(max_iter),
             )
-            Ap = op(p)
-            alpha = jnp.where(active, _safe_div(rz, dot(p, Ap)), 0.0)
-            x = x + alpha * p
-            r2 = r - alpha * Ap
-            z2 = M(r2) if M is not None else r2
-            rz2 = dot(r2, z2)
-            rr2 = dot(r2, r2)
-            beta = jnp.where(active, _safe_div(rz2, rz), 0.0)
-            p2 = jnp.where(active, z2 + beta * p, p)
-            rz2 = jnp.where(active, rz2, rz)
-            rr2 = jnp.where(active, rr2, rr)
-            return (x, r2, p2, rz2, rr2, it + active.astype(jnp.int32)), None
+            return masked(state, active), None
 
         (x, r, p, rz, rr, it), _ = jax.lax.scan(
             step, (x, r, p, rz, rr, it), None, length=chunk
@@ -284,7 +323,7 @@ def cg_solve_chunked(
         return x, r, p, rz, rr, it, res_of(r, rr, rr0)
 
     while True:
-        x, r, p, rz, rr, it, res = run_chunk(x, r, p, rz, rr, rr0, it)
+        x, r, p, rz, rr, it, res = run_chunk(A, M_state, x, r, p, rz, rr, rr0, it)
         it_host = int(it)
         res_host = float(res)
         state = ckpt.CGState(

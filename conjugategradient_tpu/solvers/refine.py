@@ -127,6 +127,7 @@ def refined_solve(
 
     history = []
     inner_total = 0
+    stall_count = 0
     for outer in range(max_outer):
         r, res = true_residual(x)
         history.append(res)
@@ -135,8 +136,15 @@ def refined_solve(
         if len(history) >= 2 and res > 0.9 * history[-2]:
             # no meaningful progress: the true-residual evaluation itself has
             # a noise floor ~ eps64 * |A| |x| sqrt(n); a tolerance below it is
-            # unmeasurable in any precision — stop burning inner solves
-            return RefineResult(x, outer, inner_total, res, False, history, stalled=True)
+            # unmeasurable in any precision.  Require TWO consecutive
+            # no-progress passes before declaring the stall — a single slow
+            # pass (a loose inner solve, a noisy fp64 evaluation) must not
+            # abandon a legitimately converging refinement.
+            stall_count += 1
+            if stall_count >= 2:
+                return RefineResult(x, outer, inner_total, res, False, history, stalled=True)
+        else:
+            stall_count = 0
         s = float(np.max(np.abs(r)))
         if s == 0.0:
             return RefineResult(x, outer, inner_total, 0.0, True, history)

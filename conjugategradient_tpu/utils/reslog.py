@@ -33,16 +33,23 @@ class ResidualRecord:
 
 
 def records_from_history(
-    history, iterations: Optional[int] = None, linf_history=None
+    history, iterations: Optional[int] = None, linf_history=None, r0: Optional[float] = None
 ) -> List[ResidualRecord]:
     """Convert a ``cg_solve_traced`` L2 residual history into records.
 
     ``history[k]`` is ‖r‖₂ after iteration k+1; entries after convergence are
     frozen (flat) — pass ``iterations`` to trim to the active prefix.
+
+    ``r0`` is the *initial* residual ‖b − A x₀‖₂ (before iteration 1), the
+    denominator of the solver's ``rel_l2`` convention.  When omitted the
+    fallback normalises by ``history[0]`` — the residual *after* the first
+    iteration — which makes the first record's rel_l2 exactly 1.0 and every
+    later value disagree with the solver's rel_l2 norm; pass the true r0
+    (e.g. ``float(jnp.linalg.norm(b - op(x0)))``) for convention-exact logs.
     """
     h = np.asarray(history, dtype=np.float64)
     n = int(iterations) if iterations is not None else len(h)
-    r0 = h[0] if len(h) else 1.0
+    r0 = float(r0) if r0 is not None else (h[0] if len(h) else 1.0)
     linf = None if linf_history is None else np.asarray(linf_history, dtype=np.float64)
     out = []
     for k in range(min(n, len(h))):

@@ -122,9 +122,14 @@ def main() -> int:
         # the reference's own validation: elementwise relative error > 1% flags
         denom = np.maximum(np.abs(ref.x), 1e-3 * np.max(np.abs(ref.x)) + 1e-300)
         rel = np.max(np.abs(x_dev - ref.x) / denom)
+        stalled = bool(extra) and "noise floor" in extra
         ok = converged and rel < 1e-2
         failures += 0 if ok else 1
-        print(f"[{name:16s}] n={system.n:>8d} {'OK ' if ok else 'MISMATCH'} "
+        # stalled-but-validated is labelled distinctly from converged: the
+        # recurrence hit the fp64 evaluation noise floor, the elementwise 1%
+        # check (the reference's own arbiter) is what passed it
+        label = "OK*" if (ok and stalled) else ("OK " if ok else "MISMATCH")
+        print(f"[{name:16s}] n={system.n:>8d} {label} "
               f"dev {it:6d} it {extra} (res {residual:.2e}, norm {pol.norm}, tol {pol.tol:g}) | "
               f"oracle {ref.iterations:6d} it | rel err {rel:.2e}")
         print(f"  {t.report(iterations=it)}")

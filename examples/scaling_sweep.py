@@ -32,6 +32,9 @@ def main() -> int:
     ap.add_argument("--devices", type=int, nargs="+", default=None)
     ap.add_argument("--tpu", action="store_true",
                     help="use attached accelerators instead of the virtual CPU mesh")
+    ap.add_argument("--json", default=None,
+                    help="write the sweep as a JSON artifact (default: "
+                         "artifacts/scaling_{weak|strong}.json)")
     args = ap.parse_args()
 
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
@@ -58,7 +61,8 @@ def main() -> int:
           f"dtype={np.dtype(dtype).name} mode={'weak' if args.weak else 'strong'}")
 
     failures = 0
-    base_time = None
+    base_nnz_per_s = None
+    rows = []
     for s in sizes:
         n = args.base_n * (s if args.weak else 1)
         system = generators.banded_sin_system(n, args.band, dtype=np.float64)
@@ -87,17 +91,45 @@ def main() -> int:
         x = np.asarray(res.x, dtype=np.float64)
         r = system.b - oracle.spmv(system.A, x)
         rel = np.linalg.norm(r) / np.linalg.norm(system.b)
-        ok = bool(res.converged) and rel < (1e-7 if dtype == np.float64 else 1e-3)
+        ok = bool(res.converged) and bool(rel < (1e-7 if dtype == np.float64 else 1e-3))
         failures += 0 if ok else 1
         it = max(int(res.iterations), 1)
         nnz_per_s = system.A.nnz * it / dt
-        if base_time is None:
-            base_time = dt
-        eff = (base_time / dt) * (1 if args.weak else 1 / s) * 100 if not args.weak else (base_time / dt) * 100
+        if base_nnz_per_s is None:
+            base_nnz_per_s = nnz_per_s / s  # per-device baseline at the smallest mesh
+        # scaling efficiency (the BASELINE north-star metric, >=80% weak):
+        # achieved nnz/s throughput vs s * single-device throughput — the
+        # same formula for weak (nnz grows with s) and strong (nnz fixed)
+        eff = nnz_per_s / (s * base_nnz_per_s) * 100.0
         print(f"  {s} dev | n={n:>9d} | {it:5d} it | {dt*1e3:9.1f} ms | "
-              f"{nnz_per_s/1e9:7.2f} Gnnz/s | rel res {rel:.1e} | "
+              f"{nnz_per_s/1e9:7.2f} Gnnz/s | eff {eff:6.1f}% | rel res {rel:.1e} | "
               f"{'OK' if ok else 'MISMATCH'}")
+        rows.append({
+            "devices": s, "n": n, "nnz": int(system.A.nnz), "iterations": it,
+            "time_s": dt, "nnz_per_s": nnz_per_s, "efficiency_pct": eff,
+            "rel_residual": float(rel), "ok": ok,
+        })
     print("ALL OK" if failures == 0 else f"{failures} MISMATCHES")
+
+    import json
+
+    mode = "weak" if args.weak else "strong"
+    path = args.json or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "artifacts", f"scaling_{mode}.json"
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({
+            "mode": mode,
+            "platform": all_devices[0].platform,
+            "mesh": "virtual-host" if all_devices[0].platform == "cpu" else "hardware",
+            "dtype": np.dtype(dtype).name,
+            "band": args.band,
+            "metric": "nnz/s (per-iteration SpMV throughput x iterations / wall time)",
+            "efficiency_definition": "nnz_per_s / (devices * single-device nnz_per_s) * 100",
+            "rows": rows,
+        }, f, indent=1)
+    print(f"wrote {os.path.normpath(path)}")
     return 0 if failures == 0 else 1
 
 

@@ -55,6 +55,22 @@ def test_even_grid_2d_mgcg():
     assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-7
 
 
+def test_even_grid_2d_mgcg_dia_layout():
+    """layout='dia' with agg levels on a multi-dimensional even grid: the agg
+    rg/pg closures must flatten around the grid-shaped transfer operators
+    (regression: broadcast error when flat DIA op/inv_diag/W met grid-shaped
+    r — ADVICE round 1)."""
+    grid = (16, 12)
+    sys_ = poisson_system(grid)
+    pol = ConvergencePolicy(tol=1e-8, norm="rel_l2")
+    h = build_hierarchy(sys_.A, grid, smoother="jacobi", layout="dia", max_coarse=8)
+    mg, h = mgcg_solve(sys_.A, sys_.b, grid, policy=pol, layout="dia", hierarchy=h)
+    assert any(lvl.transfer == "agg" for lvl in h.levels)
+    assert bool(mg.converged)
+    r = sys_.b - oracle.spmv(sys_.A, np.asarray(mg.x))
+    assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-7
+
+
 def test_mixed_fw_then_agg_levels():
     """Odd fine grid coarsens with full weighting until an even size appears,
     then aggregation continues — the hierarchy mixes transfer kinds."""

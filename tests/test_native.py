@@ -118,3 +118,24 @@ def test_native_cg_linf_and_rel_norms():
         ref = oracle.cg(sys_.A, sys_.b, sys_.x0, tol=1e-6, norm=norm)
         assert got.converged
         assert got.iterations == ref.iterations
+
+
+def test_native_cg_exact_x0_min_iter_no_nan():
+    """x0 already solves the system while min_iteration forces loop entry:
+    the alpha/beta divisions must be 0/0-guarded (ADVICE round 1) — the
+    flagship workload runs min_iteration=200."""
+    import pytest
+
+    from conjugategradient_tpu import native
+    from conjugategradient_tpu.core import formats, oracle
+    from conjugategradient_tpu.core.generators import tridiagonal_system
+
+    if not native.available():
+        pytest.skip("native kit unavailable")
+    sys_ = tridiagonal_system(256)
+    x_exact = oracle.direct_solve(sys_.A, sys_.b)
+    csr = formats.dia_to_csr(sys_.A)
+    res = native.cg(csr, sys_.b, x_exact, tol=1e-10, norm="rel_l2", min_iteration=5)
+    assert np.all(np.isfinite(res.x))
+    r = sys_.b - oracle.spmv(sys_.A, res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-10

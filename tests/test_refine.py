@@ -51,3 +51,20 @@ def test_refinement_divergence_flag():
         )
     res = refined_solve(sys_.A, sys_.b, tol=1e-300, max_outer=2, grid=(255,))
     assert not res.converged and res.outer_iterations == 2
+
+
+def test_slow_but_converging_refinement_completes():
+    """A loose inner tolerance (0.5) makes every pass slow; the stall
+    heuristic must not abandon it — stalling now requires TWO consecutive
+    no-progress passes (VERDICT round 1, weak #5)."""
+    grid = (31, 31)
+    sys_ = poisson_system(grid)
+    # plain-CG inner (no multigrid) so inner_tol=0.5 really does mean slow
+    # ~2x-per-pass outer progress rather than an overshooting V-cycle
+    res = refined_solve(
+        sys_.A, sys_.b, tol=1e-9, inner_tol=0.5, device_dtype=np.float32
+    )
+    assert res.converged and not res.stalled
+    assert res.outer_iterations > 3  # genuinely many slow passes, not one lucky solve
+    r = sys_.b - oracle.spmv(sys_.A, res.x)
+    assert np.linalg.norm(r) < 1e-9

@@ -146,3 +146,44 @@ def test_spy_plot():
     # 2-D Poisson shows the outer diagonals
     g2 = spy_counts(poisson2d_matrix(31), cells=16)
     assert g2[0, 0] > 0 and np.trace(g2) > 0
+
+
+def test_residual_records_r0_normalization():
+    """rel_l2 must normalise by the INITIAL residual when r0 is passed
+    (ADVICE round 1: h[0] is the residual after iteration 1, so the fallback
+    pins the first record's rel_l2 to 1.0 and disagrees with the solver)."""
+    sys_ = banded_sin_system(512, 8)
+    r0_vec = sys_.b - oracle.spmv(sys_.A, sys_.x0)
+    r0 = float(np.linalg.norm(r0_vec))
+    res, hist = cg_solve_traced(
+        sys_.A.device_put(), np.asarray(sys_.b), np.asarray(sys_.x0),
+        ConvergencePolicy(tol=1e-8), num_steps=60,
+    )
+    recs = records_from_history(hist, iterations=int(res.iterations), r0=r0)
+    np.testing.assert_allclose(recs[0].rel_l2, recs[0].l2 / r0, rtol=1e-12)
+    assert recs[0].rel_l2 != 1.0  # the first iteration made progress
+    # fallback keeps the old (documented) behaviour
+    recs_fb = records_from_history(hist, iterations=int(res.iterations))
+    assert recs_fb[0].rel_l2 == 1.0
+
+
+def test_chunked_preconditioner_state_as_argument(tmp_path):
+    """cg_solve_chunked accepts M as a (fn, state) pair so the preconditioner
+    state enters the jitted chunk as a pytree argument (ADVICE round 1)."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.core.generators import poisson_system
+    from conjugategradient_tpu.precond import build_hierarchy
+    from conjugategradient_tpu.precond.multigrid import v_cycle
+
+    grid = (31, 31)
+    sys_ = poisson_system(grid)
+    h = build_hierarchy(sys_.A, grid, smoother="jacobi", layout="dia")
+    pol = ConvergencePolicy(tol=1e-9, norm="rel_l2")
+    res = cg_solve_chunked(
+        sys_.A.device_put(), jnp.asarray(sys_.b), policy=pol, chunk=8,
+        M=(lambda h_, r: v_cycle(h_, r), h),
+    )
+    assert bool(res.converged)
+    r = sys_.b - oracle.spmv(sys_.A, np.asarray(res.x))
+    assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-8
