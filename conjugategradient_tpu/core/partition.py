@@ -122,6 +122,29 @@ def halo_width(A: DiaMatrix, n_local: int) -> int:
     if B > n_local:
         raise ValueError(
             f"bandwidth {B} exceeds shard size {n_local}; "
-            "use fewer shards or an all-gather SpMV (see ops.spmv_dia_allgather)"
+            "use fewer shards or the all-gather SpMV fallback "
+            "(parallel.halo.spmv_dia_allgather — make_sharded_cg selects it "
+            "automatically)"
         )
     return B
+
+
+def halo_hops(csr: CsrMatrix, part: RowBlockPartition) -> int:
+    """Neighbor distance (in shards) the exact column windows require.
+
+    Consumes the per-shard [minJ, maxJ] ranges (``halo_ranges_from_csr``, the
+    reference's ``Mgcg.cu:82-84`` discovery): ``hops`` is the smallest h such
+    that every shard's window lies within h shards of its own row block.
+    Banded matrices with bandwidth <= n_local give h = 1 (the classic ring);
+    wide or irregular sparsity gives h > 1 — the multi-hop ``ring_gather``
+    window, still O(h * n_local) comms vs O(n) for an all-gather.
+    """
+    if not part.uniform:
+        raise ValueError("halo_hops requires a uniform partition (pad_system first)")
+    n_local = part.counts[0]
+    hops = 0
+    for (lo, hi), off, cnt in zip(halo_ranges_from_csr(csr, part), part.offsets, part.counts):
+        left = (off - lo + n_local - 1) // n_local if lo < off else 0
+        right = (hi - (off + cnt - 1) + n_local - 1) // n_local if hi >= off + cnt else 0
+        hops = max(hops, left, right)
+    return hops

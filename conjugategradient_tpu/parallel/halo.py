@@ -119,3 +119,59 @@ def spmv_dia_local_overlap(
             tail, (halo + off,), (halo,)
         )
     return jnp.concatenate([y_head, y_int[halo : n_local - halo], y_tail])
+
+
+def ring_gather(p: jnp.ndarray, hops: int, axis: str, num_shards: int) -> jnp.ndarray:
+    """Multi-hop block collection: ``[p from shard i-hops | ... | p | ... |
+    p from shard i+hops]`` — shape ``((2*hops+1) * n_local,)``.
+
+    The generalisation of ``halo_exchange`` for exact column windows that span
+    several neighbor shards (the reference's ``minJ``/``maxJ`` ranges,
+    ``Mgcg/cuBlas/MgcgGpu/Mgcg.cu:82-84``, whose window is *not* bounded by
+    one shard when the matrix is wide or the shards are small).  Each hop is
+    one cyclic ``ppermute`` in each direction; consumers index the result as
+    ``global_col - (shard_offset - hops * n_local)``.  Ring wraparound at the
+    global edges is harmless exactly when the consumer's indices only target
+    columns within ``hops`` shards of the owner — guaranteed by construction
+    when ``hops`` comes from ``core.partition.halo_hops``.
+    """
+    if hops == 0:
+        return p
+    fwd = [(i, (i + 1) % num_shards) for i in range(num_shards)]
+    bwd = [(i, (i - 1) % num_shards) for i in range(num_shards)]
+    lefts, rights = [], []
+    cl = cr = p
+    for _ in range(hops):
+        cl = jax.lax.ppermute(cl, axis, fwd)  # after h hops: p of shard i-h
+        cr = jax.lax.ppermute(cr, axis, bwd)  # after h hops: p of shard i+h
+        lefts.append(cl)
+        rights.append(cr)
+    return jnp.concatenate(list(reversed(lefts)) + [p] + rights)
+
+
+def spmv_dia_allgather(
+    data_local: jnp.ndarray,
+    offsets: Tuple[int, ...],
+    p: jnp.ndarray,
+    axis: str,
+    num_shards: int,
+) -> jnp.ndarray:
+    """All-gather fallback SpMV for ``bandwidth > n_local``.
+
+    The reference's implicit worst case: ``vectorP`` is allocated global
+    length on every device (``Mgcg/cuBlas/Mgcg/ConjugateGradientParallelGpu.cs:321``)
+    so any shard can read any column.  Here the global vector is materialised
+    per shard by one ``all_gather`` over the mesh axis and the local rows are
+    computed from statically-shifted slices of it — O(n) comms per iteration
+    instead of O(halo), which is exactly why the halo path is preferred
+    whenever ``bandwidth <= n_local`` (``make_sharded_cg`` auto-selects).
+    """
+    n_local = data_local.shape[1]
+    p_g = jax.lax.all_gather(p, axis, tiled=True)  # (n,)
+    B = max((abs(o) for o in offsets), default=0)
+    xpad = jnp.pad(p_g, (B, B))
+    row0 = jax.lax.axis_index(axis) * n_local  # this shard's first global row
+    y = jnp.zeros(n_local, dtype=jnp.result_type(data_local.dtype, p.dtype))
+    for k, off in enumerate(offsets):
+        y = y + data_local[k] * jax.lax.dynamic_slice(xpad, (row0 + B + off,), (n_local,))
+    return y

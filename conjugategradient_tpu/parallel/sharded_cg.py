@@ -36,7 +36,12 @@ from jax.sharding import PartitionSpec as P
 
 from conjugategradient_tpu.core.formats import DiaMatrix
 from conjugategradient_tpu.ops.blas import residual_norm as _residual_norm
-from conjugategradient_tpu.parallel.halo import halo_exchange, spmv_dia_local, spmv_dia_local_overlap
+from conjugategradient_tpu.parallel.halo import (
+    halo_exchange,
+    spmv_dia_allgather,
+    spmv_dia_local,
+    spmv_dia_local_overlap,
+)
 from conjugategradient_tpu.solvers.cg import CGResult, _safe_div
 from conjugategradient_tpu.solvers.policy import ConvergencePolicy
 
@@ -49,6 +54,56 @@ def _presidual(r_local, rr, rr0, norm, axis):
     if norm == "linf":
         return jax.lax.pmax(jnp.max(jnp.abs(r_local)), axis)
     return _residual_norm(r_local, rr, rr0, norm)
+
+
+def sharded_cg_loop(op, M, b, x0, policy: ConvergencePolicy, axis: str, n_global: int) -> CGResult:
+    """The sharded CG recurrence, format-agnostic: ``op``/``M`` act on this
+    shard's local slice (with whatever collectives they need inside), dots are
+    ``psum`` over ``axis``.  Shared by the DIA solver below and the
+    general-sparsity (CSR/ELL exact-halo) solver in ``sharded_general``.
+    Runs inside ``shard_map``; the whole loop is one ``lax.while_loop`` —
+    scalars never leave the devices (the re-design of the reference's
+    host-allreduce choreography, ``ConjugateGradientParallelGpu.cs:424-565``).
+    """
+    dtype = b.dtype
+    tol = jnp.asarray(policy.tol, dtype)
+    min_iter = policy.min_iteration
+    max_iter = policy.resolve_max(n_global)
+    norm = policy.norm
+
+    x = x0
+    r = b - op(x)
+    z = M(r)
+    p = z
+    rz = _pdot(r, z, axis)
+    rr = _pdot(r, r, axis)
+    rr0 = rr
+
+    def res_of(r, rr):
+        return _presidual(r, rr, rr0, norm, axis)
+
+    def cond(state):
+        _, r, _, _, rr, it = state
+        res = res_of(r, rr)
+        return jnp.logical_and(jnp.logical_or(it < min_iter, res >= tol), it < max_iter)
+
+    def body(state):
+        x, r, p, rz, rr, it = state
+        Ap = op(p)
+        alpha = _safe_div(rz, _pdot(p, Ap, axis))
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = _pdot(r, z, axis)
+        rr_new = _pdot(r, r, axis)
+        beta = _safe_div(rz_new, rz)
+        p = z + beta * p
+        return (x, r, p, rz_new, rr_new, it + 1)
+
+    x, r, p, rz, rr, it = jax.lax.while_loop(cond, body, (x, r, p, rz, rr, jnp.int32(0)))
+    res = res_of(r, rr)
+    converged = jnp.logical_and(res < tol, it >= min_iter)
+    return CGResult(x=x, iterations=it, residual=res, converged=converged)
 
 
 def make_sharded_cg(
@@ -73,9 +128,13 @@ def make_sharded_cg(
     with the same sparsity (the reference re-uploads values through
     ``Initialize`` the same way, ``ConjugateGradientParallelGpu.cs:358-379``).
 
-    Requires ``A.n % num_shards == 0`` (use ``core.partition.pad_system``) and
-    bandwidth <= n_local (one-hop halos; the reference has the same implicit
-    chain-topology constraint, SURVEY.md §5.8).
+    Requires ``A.n % num_shards == 0`` (use ``core.partition.pad_system``).
+    When bandwidth <= n_local the SpMV uses one-hop ``ppermute`` halos (the
+    reference's rank±1 chain topology, SURVEY.md §5.8); wider bandwidths fall
+    back to the all-gather formulation (``halo.spmv_dia_allgather`` — the
+    reference's global-length ``vectorP`` worst case,
+    ``ConjugateGradientParallelGpu.cs:321``).  For general CSR/ELL sparsity
+    see ``parallel.sharded_general`` (exact halo ranges, multi-hop rings).
     """
     num = mesh.shape[axis]
     n = A.n
@@ -83,62 +142,21 @@ def make_sharded_cg(
         raise ValueError(f"n={n} not divisible by {num} shards; pad_system first")
     n_local = n // num
     halo = A.bandwidth
-    if halo > n_local:
-        raise ValueError(f"bandwidth {halo} > shard size {n_local}: use fewer shards")
     offsets = A.offsets
-    min_iter = policy.min_iteration
-    norm = policy.norm
-    max_iter = policy.resolve_max(n)
+    use_allgather = halo > n_local
 
     def local_solve(data, b, x0, m_aux=None):
-        dtype = b.dtype
-        tol = jnp.asarray(policy.tol, dtype)
-
-        def op(p):
+        if use_allgather:
+            op = lambda p: spmv_dia_allgather(data, offsets, p, axis, num)
+        else:
             # halo-overlap formulation: interior compute carries no data
             # dependence on the ppermute (see halo.spmv_dia_local_overlap)
-            return spmv_dia_local_overlap(data, offsets, p, halo, axis, num)
+            op = lambda p: spmv_dia_local_overlap(data, offsets, p, halo, axis, num)
 
         def M(r):
             return M_local(r, m_aux) if M_local is not None else r
 
-        x = x0
-        r = b - op(x)
-        z = M(r)
-        p = z
-        rz = _pdot(r, z, axis)
-        rr = _pdot(r, r, axis)
-        rr0 = rr
-
-        def res_of(r, rr):
-            return _presidual(r, rr, rr0, norm, axis)
-
-        def cond(state):
-            _, r, _, _, rr, it = state
-            res = res_of(r, rr)
-            return jnp.logical_and(
-                jnp.logical_or(it < min_iter, res >= tol), it < max_iter
-            )
-
-        def body(state):
-            x, r, p, rz, rr, it = state
-            Ap = op(p)
-            alpha = _safe_div(rz, _pdot(p, Ap, axis))
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = M(r)
-            rz_new = _pdot(r, z, axis)
-            rr_new = _pdot(r, r, axis)
-            beta = _safe_div(rz_new, rz)
-            p = z + beta * p
-            return (x, r, p, rz_new, rr_new, it + 1)
-
-        x, r, p, rz, rr, it = jax.lax.while_loop(
-            cond, body, (x, r, p, rz, rr, jnp.int32(0))
-        )
-        res = res_of(r, rr)
-        converged = jnp.logical_and(res < tol, it >= min_iter)
-        return CGResult(x=x, iterations=it, residual=res, converged=converged)
+        return sharded_cg_loop(op, M, b, x0, policy, axis, n)
 
     in_specs = (P(None, axis), P(axis), P(axis))
     if M_local is not None:

@@ -1,0 +1,227 @@
+"""General-sparsity sharded CG: exact halo ranges over CSR / ELL row blocks.
+
+The DIA solver (``parallel.sharded_cg``) gets its halo width from the band
+structure.  The reference's flagship path is more general: each shard
+discovers the exact column window [minJ, maxJ] its rows touch at init time
+(``Mgcg/cuBlas/MgcgGpu/Mgcg.cu:82-84``) and exchanges only that window per
+iteration (``ConjugateGradientParallelGpu.cs:384-419``), falling back to a
+global-length ``vectorP`` (:321) when the window is the whole vector.
+
+This module is the TPU-native re-design of that general case:
+
+- the exact ranges are computed on host at partition time
+  (``core.partition.halo_ranges_from_csr`` — the native twin is
+  ``csrkit_halo_ranges``), and distilled into ``hops``: how many shards away
+  the window reaches (``core.partition.halo_hops``);
+- per-shard CSR/ELL blocks are padded to uniform size and their column
+  indices *rebased* into the coordinates of a ``(2*hops+1) * n_local`` ring
+  window (``parallel.halo.ring_gather`` — ``hops`` cyclic ``ppermute`` pairs,
+  the multi-hop generalisation of the reference's rank±1 exchange);
+- when the window would cover most of the ring (``2*hops+1 >= num_shards``)
+  the solver switches to one ``all_gather`` per SpMV with *global* column
+  coordinates — the reference's ``vectorP`` worst case, minus the host
+  staging;
+- everything runs inside one jitted ``shard_map`` program reusing
+  ``sharded_cg.sharded_cg_loop`` (psum dots, on-device convergence).
+
+The per-shard index arrays ride as sharded jit *arguments*, so nothing large
+lands in the compile payload.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from conjugategradient_tpu.core.formats import CsrMatrix, EllMatrix
+from conjugategradient_tpu.core.partition import RowBlockPartition, halo_hops
+from conjugategradient_tpu.parallel.halo import ring_gather
+from conjugategradient_tpu.parallel.sharded_cg import sharded_cg_loop
+from conjugategradient_tpu.solvers.cg import CGResult
+from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+
+def _ell_hops(A: EllMatrix, part: RowBlockPartition) -> int:
+    """halo_hops for ELL: per-shard column ranges straight from ``cols``
+    (padding slots point at the row's own index — always in-shard, harmless)."""
+    cols = np.asarray(A.cols)
+    n_local = part.counts[0]
+    hops = 0
+    for off, cnt in zip(part.offsets, part.counts):
+        c = cols[off : off + cnt]
+        lo, hi = int(c.min()), int(c.max())
+        left = (off - lo + n_local - 1) // n_local if lo < off else 0
+        right = (hi - (off + cnt - 1) + n_local - 1) // n_local if hi >= off + cnt else 0
+        hops = max(hops, left, right)
+    return hops
+
+
+def _csr_shard_arrays(A: CsrMatrix, part: RowBlockPartition, hops: int, rebase: bool):
+    """Uniform per-shard (data, cols, rows) blocks, padded to the max shard nnz.
+
+    ``rebase=True`` shifts columns into ring-window coordinates
+    (``col - shard_offset + hops * n_local``); ``rebase=False`` keeps global
+    coordinates (the all-gather path).  Padding entries carry data == 0,
+    row == n_local - 1 (keeps ``segment_sum``'s sorted invariant: real CSR
+    rows ascend and never exceed it) and an in-range column.
+    """
+    num, n_local = part.num_shards, part.counts[0]
+    indptr = np.asarray(A.indptr)
+    indices = np.asarray(A.indices)
+    row_ids = np.asarray(A.row_ids)
+    data = np.asarray(A.data)
+    spans = [(int(indptr[o]), int(indptr[o + c])) for o, c in zip(part.offsets, part.counts)]
+    nnz_max = max(hi - lo for lo, hi in spans)
+    pad_col = hops * n_local if rebase else 0
+    data_sh = np.zeros((num, nnz_max), dtype=data.dtype)
+    cols_sh = np.full((num, nnz_max), pad_col, dtype=np.int32)
+    rows_sh = np.full((num, nnz_max), n_local - 1, dtype=np.int32)
+    for s, ((lo, hi), off) in enumerate(zip(spans, part.offsets)):
+        m = hi - lo
+        data_sh[s, :m] = data[lo:hi]
+        cols_sh[s, :m] = indices[lo:hi] + ((hops * n_local - off) if rebase else 0)
+        rows_sh[s, :m] = row_ids[lo:hi] - off
+    return data_sh, cols_sh, rows_sh
+
+
+def make_sharded_cg_general(
+    A,
+    mesh: Mesh,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    axis: str = "x",
+    M_local: Optional[Callable] = None,
+    donate: bool = False,
+):
+    """Build a jitted sharded CG for a CSR or ELL matrix with exact halos.
+
+    Returns ``(solve, inputs)``: ``solve(*inputs, b, x0[, m_aux]) -> CGResult``
+    where ``inputs`` are the pre-placed per-shard matrix arrays (pass them
+    back verbatim; they are jit arguments so re-solves with new values and
+    identical sparsity reuse the compiled program).  ``b``/``x0`` must be
+    row-sharded ``(n,)`` arrays (``NamedSharding(mesh, P(axis))``); use
+    ``sharded_cg_solve_general`` for one-call placement.
+
+    Requires ``A.n % num_shards == 0``.
+    """
+    num = mesh.shape[axis]
+    n = A.n
+    if n % num:
+        raise ValueError(f"n={n} not divisible by {num} shards")
+    part = RowBlockPartition.equal(n, num)
+    n_local = n // num
+
+    if isinstance(A, EllMatrix):
+        hops = _ell_hops(A, part)
+    elif isinstance(A, CsrMatrix):
+        hops = halo_hops(A, part)
+    else:
+        raise TypeError(f"make_sharded_cg_general wants CsrMatrix or EllMatrix, got {type(A)}")
+    # ring window vs all-gather: the ring moves 2*hops*n_local floats/iter,
+    # the gather (num-1)*n_local — prefer the gather once the ring would
+    # replicate most of the vector anyway
+    use_allgather = 2 * hops + 1 >= num
+    row_spec = P(axis)
+
+    if isinstance(A, EllMatrix):
+        cols = np.asarray(A.cols, dtype=np.int32).copy()
+        if not use_allgather:
+            for off, cnt in zip(part.offsets, part.counts):
+                cols[off : off + cnt] += hops * n_local - off
+        mat_inputs = (
+            jax.device_put(jnp.asarray(A.data), NamedSharding(mesh, P(axis, None))),
+            jax.device_put(jnp.asarray(cols), NamedSharding(mesh, P(axis, None))),
+        )
+
+        def local_op(mats):
+            data_l, cols_l = mats
+
+            def op(p):
+                p_ext = (
+                    jax.lax.all_gather(p, axis, tiled=True)
+                    if use_allgather
+                    else ring_gather(p, hops, axis, num)
+                )
+                return (data_l * p_ext[cols_l]).sum(axis=1)
+
+            return op
+
+    else:
+        data_sh, cols_sh, rows_sh = _csr_shard_arrays(A, part, hops, rebase=not use_allgather)
+        shard2d = NamedSharding(mesh, P(axis, None))
+        mat_inputs = (
+            jax.device_put(jnp.asarray(data_sh), shard2d),
+            jax.device_put(jnp.asarray(cols_sh), shard2d),
+            jax.device_put(jnp.asarray(rows_sh), shard2d),
+        )
+
+        def local_op(mats):
+            data_l, cols_l, rows_l = mats
+
+            def op(p):
+                p_ext = (
+                    jax.lax.all_gather(p, axis, tiled=True)
+                    if use_allgather
+                    else ring_gather(p, hops, axis, num)
+                )
+                prods = data_l[0] * p_ext[cols_l[0]]
+                return jax.ops.segment_sum(
+                    prods, rows_l[0], num_segments=n_local, indices_are_sorted=True
+                )
+
+            return op
+
+    def local_solve(*args):
+        if M_local is not None:
+            *mats, b, x0, m_aux = args
+        else:
+            *mats, b, x0 = args
+            m_aux = None
+        op = local_op(tuple(mats))
+        M = (lambda r: M_local(r, m_aux)) if M_local is not None else (lambda r: r)
+        return sharded_cg_loop(op, M, b, x0, policy, axis, n)
+
+    mat_specs = tuple(P(axis, None) for _ in mat_inputs)
+    in_specs = mat_specs + ((row_spec, row_spec, row_spec) if M_local else (row_spec, row_spec))
+    shard_fn = jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=CGResult(x=row_spec, iterations=P(), residual=P(), converged=P()),
+    )
+    donate_argnums = (len(mat_inputs) + 1,) if donate else ()
+    return jax.jit(shard_fn, donate_argnums=donate_argnums), mat_inputs
+
+
+def sharded_cg_solve_general(
+    A,
+    b,
+    x0=None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    mesh: Optional[Mesh] = None,
+    axis: str = "x",
+    M_local: Optional[Callable] = None,
+    M_aux=None,
+    dtype=None,
+) -> CGResult:
+    """One-call convenience: place a CSR/ELL system on the mesh and solve with
+    exact-halo-range communication."""
+    if mesh is None:
+        from conjugategradient_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis=axis)
+    dt = dtype or np.asarray(A.data).dtype
+    A = A.astype(dt) if np.asarray(A.data).dtype != dt else A
+    solve, mat_inputs = make_sharded_cg_general(A, mesh, policy, axis=axis, M_local=M_local)
+    row = NamedSharding(mesh, P(axis))
+    b_dev = jax.device_put(jnp.asarray(np.asarray(b, dtype=dt)), row)
+    x0_arr = np.zeros(A.n, dtype=dt) if x0 is None else np.asarray(x0, dtype=dt)
+    x0_dev = jax.device_put(jnp.asarray(x0_arr), row)
+    if M_local is not None:
+        aux = jax.device_put(jnp.asarray(np.asarray(M_aux, dtype=dt)), row)
+        return solve(*mat_inputs, b_dev, x0_dev, aux)
+    return solve(*mat_inputs, b_dev, x0_dev)
