@@ -16,6 +16,10 @@ from conjugategradient_tpu.parallel.sharded_general import (  # noqa: F401
     make_sharded_cg_general,
     sharded_cg_solve_general,
 )
+from conjugategradient_tpu.parallel.shard_mgcg import (  # noqa: F401
+    make_shard_mgcg,
+    shard_mgcg_solve,
+)
 from conjugategradient_tpu.parallel.gspmd import (  # noqa: F401
     gspmd_mgcg_solve,
     make_gspmd_mgcg,

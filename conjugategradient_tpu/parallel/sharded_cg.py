@@ -47,7 +47,9 @@ from conjugategradient_tpu.solvers.policy import ConvergencePolicy
 
 
 def _pdot(a, b, axis):
-    return jax.lax.psum(jnp.dot(a, b, preferred_element_type=a.dtype), axis)
+    # ravel: locals may be grid-shaped (the stencil MGCG path); for 1-D
+    # inputs this is a no-op and lowers to the same fused dot
+    return jax.lax.psum(jnp.dot(a.ravel(), b.ravel(), preferred_element_type=a.dtype), axis)
 
 
 def _presidual(r_local, rr, rr0, norm, axis):
