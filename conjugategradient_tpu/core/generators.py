@@ -48,12 +48,20 @@ def banded_sin_matrix(n: int, band: int, dtype=np.float64) -> DiaMatrix:
     limit / SPD in practice) — the generator every reference driver shares
     (``MgcgMain.cs:53-84``, ``MgcgCLMain.cs:52-95``, ``R/CG.R:8-24``).
     """
+    offsets, data = banded_sin_rows(n, band, 0, n, dtype=dtype)
+    return DiaMatrix(data, offsets, (n, n))
+
+
+def banded_sin_rows(n: int, band: int, lo: int, hi: int, dtype=np.float64):
+    """(offsets, data columns) for rows [lo, hi) only — the per-row-block
+    generation path (ladder rung 5): a 100M-row system is assembled shard by
+    shard without ever materialising the global arrays on one host."""
     if band < 2 or band % 2:
         raise ValueError("band must be an even integer >= 2")
     h = band // 2 - 1  # half-width of the off-diagonal band
     offsets = tuple(range(-h, h + 1))
-    i = np.arange(n, dtype=np.int64)
-    data = np.zeros((len(offsets), n), dtype=dtype)
+    i = np.arange(lo, hi, dtype=np.int64)
+    data = np.zeros((len(offsets), hi - lo), dtype=dtype)
     diag_k = offsets.index(0)
     for k, off in enumerate(offsets):
         if off == 0:
@@ -62,7 +70,7 @@ def banded_sin_matrix(n: int, band: int, dtype=np.float64) -> DiaMatrix:
         vals = np.abs(np.sin((2 * i + off).astype(dtype)))
         data[k] = np.where(valid, vals, 0.0)
         data[diag_k] += data[k]
-    return DiaMatrix(data, offsets, (n, n))
+    return offsets, data
 
 
 def banded_sin_system(
@@ -104,12 +112,18 @@ def banded_sin_system(
 def tridiagonal_matrix(n: int, diag: float = 2.0, off: float = 1.0, dtype=np.float64) -> DiaMatrix:
     """The (2, 1) tridiagonal SPD matrix of the standalone CUDA demo
     (``SimpleConjugateGradient.cu:163-190``)."""
-    data = np.zeros((3, n), dtype=dtype)
-    data[0, :-1] = off  # A[i, i-1] for i >= 1 -> data[k, i] = A[i, i-1], i in [1, n)
-    data[0] = np.roll(data[0], 1)
-    data[1, :] = diag
-    data[2, : n - 1] = off
+    _, data = tridiagonal_rows(n, 0, n, diag=diag, off=off, dtype=dtype)
     return DiaMatrix(data, (-1, 0, 1), (n, n))
+
+
+def tridiagonal_rows(n: int, lo: int, hi: int, diag: float = 2.0, off: float = 1.0, dtype=np.float64):
+    """(offsets, data columns) for rows [lo, hi) of the tridiagonal matrix."""
+    i = np.arange(lo, hi, dtype=np.int64)
+    data = np.zeros((3, hi - lo), dtype=dtype)
+    data[0] = np.where(i >= 1, off, 0.0)  # A[i, i-1]
+    data[1] = diag
+    data[2] = np.where(i <= n - 2, off, 0.0)  # A[i, i+1]
+    return (-1, 0, 1), data
 
 
 def tridiagonal_system(n: int, dtype=np.float64) -> LinearSystem:
@@ -142,16 +156,22 @@ def poisson2d_matrix(nx: int, ny: int | None = None, dtype=np.float64) -> DiaMat
     """
     ny = nx if ny is None else ny
     n = nx * ny
-    i = np.arange(n, dtype=np.int64)
+    offsets, data = poisson2d_rows(nx, ny, 0, n, dtype=dtype)
+    return DiaMatrix(data, offsets, (n, n))
+
+
+def poisson2d_rows(nx: int, ny: int, lo: int, hi: int, dtype=np.float64):
+    """(offsets, data columns) for flat rows [lo, hi) of the 2-D Laplacian."""
+    i = np.arange(lo, hi, dtype=np.int64)
     x = i % nx
     y = i // nx
-    data = np.zeros((5, n), dtype=dtype)
+    data = np.zeros((5, hi - lo), dtype=dtype)
     data[0] = np.where(y >= 1, -1.0, 0.0)  # A[i, i-nx]
     data[1] = np.where(x >= 1, -1.0, 0.0)  # A[i, i-1]
     data[2] = 4.0
     data[3] = np.where(x <= nx - 2, -1.0, 0.0)  # A[i, i+1]
     data[4] = np.where(y <= ny - 2, -1.0, 0.0)  # A[i, i+nx]
-    return DiaMatrix(data, (-nx, -1, 0, 1, nx), (n, n))
+    return (-nx, -1, 0, 1, nx), data
 
 
 def poisson3d_matrix(nx: int, ny: int | None = None, nz: int | None = None, dtype=np.float64) -> DiaMatrix:
@@ -159,11 +179,17 @@ def poisson3d_matrix(nx: int, ny: int | None = None, nz: int | None = None, dtyp
     ny = nx if ny is None else ny
     nz = nx if nz is None else nz
     n = nx * ny * nz
-    i = np.arange(n, dtype=np.int64)
+    offsets, data = poisson3d_rows(nx, ny, nz, 0, n, dtype=dtype)
+    return DiaMatrix(data, offsets, (n, n))
+
+
+def poisson3d_rows(nx: int, ny: int, nz: int, lo: int, hi: int, dtype=np.float64):
+    """(offsets, data columns) for flat rows [lo, hi) of the 3-D Laplacian."""
+    i = np.arange(lo, hi, dtype=np.int64)
     x = i % nx
     y = (i // nx) % ny
     z = i // (nx * ny)
-    data = np.zeros((7, n), dtype=dtype)
+    data = np.zeros((7, hi - lo), dtype=dtype)
     data[0] = np.where(z >= 1, -1.0, 0.0)
     data[1] = np.where(y >= 1, -1.0, 0.0)
     data[2] = np.where(x >= 1, -1.0, 0.0)
@@ -171,7 +197,7 @@ def poisson3d_matrix(nx: int, ny: int | None = None, nz: int | None = None, dtyp
     data[4] = np.where(x <= nx - 2, -1.0, 0.0)
     data[5] = np.where(y <= ny - 2, -1.0, 0.0)
     data[6] = np.where(z <= nz - 2, -1.0, 0.0)
-    return DiaMatrix(data, (-nx * ny, -nx, -1, 0, 1, nx, nx * ny), (n, n))
+    return (-nx * ny, -nx, -1, 0, 1, nx, nx * ny), data
 
 
 def poisson_system(grid_shape: Tuple[int, ...], seed: int = 0, dtype=np.float64) -> LinearSystem:
@@ -188,3 +214,81 @@ def poisson_system(grid_shape: Tuple[int, ...], seed: int = 0, dtype=np.float64)
     i = np.arange(n, dtype=dtype)
     b = np.sin(0.37 * i + seed) + 0.25 * np.cos(1.3 * i)
     return LinearSystem(A, b.astype(dtype), np.zeros(n, dtype=dtype))
+
+
+# ---------------------------------------------------------------------------
+# Per-row-block generation (ladder rung 5): every generator above is a closed
+# form in the row index, so any [lo, hi) slab of A's DIA data, b and x0 can be
+# produced without touching the rest — the reference instead uploads shards
+# sliced from one host-resident global system (``ConjugateGradientParallelGpu
+# .cs:358-379``), which caps it at host memory.
+# ---------------------------------------------------------------------------
+
+
+def b_rows(kind: str, lo: int, hi: int, n: int, dtype=np.float64, seed: int = 0) -> np.ndarray:
+    """RHS recipe values for rows [lo, hi) (kinds as in ``banded_sin_system``
+    plus ``poisson`` = the smooth Poisson-workload RHS)."""
+    i = np.arange(lo, hi, dtype=dtype)
+    if kind == "cos10":
+        return 10.0 * np.cos(i)
+    if kind == "one_plus":
+        return 1.0 + 0.1 * i
+    if kind == "asin":
+        return np.arcsin(i / n)
+    if kind == "i2/2":
+        return 0.5 * i * i
+    if kind == "poisson":
+        return (np.sin(0.37 * i + seed) + 0.25 * np.cos(1.3 * i)).astype(dtype)
+    raise ValueError(f"unknown b kind {kind!r}")
+
+
+def x0_rows(kind: str, lo: int, hi: int, dtype=np.float64) -> np.ndarray:
+    i = np.arange(lo, hi, dtype=dtype)
+    if kind == "i/100":
+        return i / 100.0
+    if kind == "i/10":
+        return i / 10.0
+    if kind == "zeros":
+        return np.zeros(hi - lo, dtype=dtype)
+    raise ValueError(f"unknown x0 kind {kind!r}")
+
+
+def system_rows(
+    builder: str,
+    lo: int,
+    hi: int,
+    n: int,
+    band: int = 0,
+    grid=None,
+    b_kind: str = "cos10",
+    x0_kind: str = "zeros",
+    dtype=np.float64,
+):
+    """(offsets, A-data columns, b, x0) for rows [lo, hi) of a named workload
+    family — the block callback behind ``parallel.multihost
+    .make_distributed_system``."""
+    if builder == "banded_sin":
+        offsets, data = banded_sin_rows(n, band, lo, hi, dtype=dtype)
+    elif builder == "tridiagonal":
+        offsets, data = tridiagonal_rows(n, lo, hi, dtype=dtype)
+        b_kind = "i2/2"
+    elif builder == "poisson":
+        g = tuple(grid)
+        if len(g) == 1:
+            offsets, data = tridiagonal_rows(g[0], lo, hi, diag=2.0, off=-1.0, dtype=dtype)
+        elif len(g) == 2:
+            offsets, data = poisson2d_rows(g[1], g[0], lo, hi, dtype=dtype)
+        elif len(g) == 3:
+            offsets, data = poisson3d_rows(g[2], g[1], g[0], lo, hi, dtype=dtype)
+        else:
+            raise ValueError("poisson grid must be 1-3D")
+        b_kind = "poisson"
+        x0_kind = "zeros"
+    else:
+        raise ValueError(f"unknown builder {builder!r}")
+    return (
+        offsets,
+        data,
+        b_rows(b_kind, lo, hi, n, dtype=dtype),
+        x0_rows(x0_kind, lo, hi, dtype=dtype),
+    )

@@ -50,6 +50,24 @@ class Workload:
             return generators.poisson_system(self.grid, dtype=dt)
         raise ValueError(f"unknown builder {self.builder!r}")
 
+    @property
+    def size(self) -> int:
+        import numpy as np
+
+        return self.n if self.grid is None or self.n else int(np.prod(self.grid))
+
+    def build_rows(self, lo: int, hi: int, dtype=None):
+        """(offsets, A-data columns, b, x0) for rows [lo, hi) only — the
+        per-row-block path behind ``parallel.multihost.make_distributed_system``
+        (ladder rung 5: no host ever holds the global system)."""
+        import numpy as np
+
+        dt = dtype or np.float64
+        return generators.system_rows(
+            self.builder, lo, hi, self.size, band=self.band, grid=self.grid,
+            b_kind=self.b_kind, x0_kind=self.x0_kind, dtype=dt,
+        )
+
 
 WORKLOADS = {
     w.name: w

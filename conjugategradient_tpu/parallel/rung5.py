@@ -1,0 +1,130 @@
+"""Rung-5 data path: sharded assembly of grid-stencil Poisson systems.
+
+BASELINE.md's ladder rung 5 is a ~100M-row Poisson MGCG across hosts.  The
+round-1 gap (VERDICT missing #4): assembly materialised the global system on
+every host.  Here the fine system is generated *directly into mesh-sharded
+device arrays*: ``jax.make_array_from_callback`` asks each process for the
+axis-0 slabs its own devices hold, and the closed-form stencil generator
+produces exactly those slabs — no host ever sees more than its shards.
+
+Grids are identity-padded along axis 0 to the mesh size (a plane of
+decoupled ``A[i,i]=1`` rows — the grid analogue of ``partition.pad_system``),
+because ``NamedSharding`` needs even divisibility and the canonical 2^k-1
+multigrid sizes are odd.  The padded plane solves trivially and exactly.
+
+The hierarchy for the MGCG variant is built by ``precond.distributed`` —
+device-side Galerkin probing, also without global materialisation.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from conjugategradient_tpu.core.formats import StencilMatrix
+
+GridShape = Tuple[int, ...]
+
+
+def unit_shifts(d: int) -> Tuple[Tuple[int, ...], ...]:
+    """Center + one ± leg per axis, sorted by flat offset (matches
+    ``dia_to_stencil``'s ordering for the Poisson matrices)."""
+    shifts = [tuple(0 for _ in range(d))]
+    for ax in range(d):
+        for s in (-1, 1):
+            t = [0] * d
+            t[ax] = s
+            shifts.append(tuple(t))
+    return tuple(sorted(shifts))
+
+
+def poisson_stencil_slab(
+    grid: GridShape, pad0: int, lo: int, hi: int, dtype=np.float32
+) -> np.ndarray:
+    """Stencil legs ``(nlegs, hi-lo, *grid[1:])`` for the axis-0 slab
+    [lo, hi) of the identity-padded Poisson grid (Dirichlet, unit spacing;
+    the closed forms of ``core.generators.poisson*_matrix``, evaluated only
+    on the requested slab)."""
+    d = len(grid)
+    g0 = grid[0]
+    shifts = unit_shifts(d)
+    coords = [np.arange(lo, hi, dtype=np.int64).reshape((-1,) + (1,) * (d - 1))]
+    for ax in range(1, d):
+        shp = [1] * d
+        shp[ax] = grid[ax]
+        coords.append(np.arange(grid[ax], dtype=np.int64).reshape(shp))
+    real = coords[0] < g0
+    slab_shape = (hi - lo,) + tuple(grid[1:])
+    legs = np.zeros((len(shifts),) + slab_shape, dtype=dtype)
+    for k, s in enumerate(shifts):
+        if all(v == 0 for v in s):
+            legs[k] = np.where(real, 2.0 * d, 1.0)
+            continue
+        ax = next(a for a, v in enumerate(s) if v)
+        size = g0 if ax == 0 else grid[ax]
+        nb = coords[ax] + s[ax]
+        ok = real & (nb >= 0) & (nb < size)
+        legs[k] = np.where(ok, -1.0, 0.0)
+    return legs
+
+
+def poisson_rhs_slab(
+    grid: GridShape, pad0: int, lo: int, hi: int, dtype=np.float32, seed: int = 0
+) -> np.ndarray:
+    """Grid-shaped RHS slab: the ``poisson_system`` recipe on real rows
+    (flat index over the ORIGINAL grid), zero on the padded plane."""
+    d = len(grid)
+    g0 = grid[0]
+    strides = np.cumprod((1,) + tuple(grid[:0:-1]))[::-1]  # row-major strides
+    coords = [np.arange(lo, hi, dtype=np.int64).reshape((-1,) + (1,) * (d - 1))]
+    for ax in range(1, d):
+        shp = [1] * d
+        shp[ax] = grid[ax]
+        coords.append(np.arange(grid[ax], dtype=np.int64).reshape(shp))
+    i = sum(coords[ax] * int(strides[ax]) for ax in range(d)).astype(np.float64)
+    vals = np.sin(0.37 * i + seed) + 0.25 * np.cos(1.3 * i)
+    out = np.where(coords[0] < g0, vals, 0.0).astype(dtype)
+    return np.broadcast_to(out, (hi - lo,) + tuple(grid[1:])).copy() if out.shape != (
+        (hi - lo,) + tuple(grid[1:])
+    ) else out
+
+
+def make_rung5_system(
+    grid: GridShape, mesh: Mesh, axis: str = "x", dtype=np.float32, seed: int = 0
+):
+    """Sharded Poisson fine system: returns ``(A, b, x0, padded_grid, n_real)``
+    where ``A`` is a ``StencilMatrix`` whose legs are a mesh-sharded device
+    array and ``b``/``x0`` are sharded grid-shaped device arrays — assembled
+    slab by slab, never globally."""
+    num = mesh.shape[axis]
+    g0 = grid[0]
+    G0 = ((g0 + num - 1) // num) * num
+    pad0 = G0 - g0
+    padded = (G0,) + tuple(grid[1:])
+    d = len(grid)
+    shifts = unit_shifts(d)
+
+    leg_spec = NamedSharding(mesh, P(None, axis, *([None] * (d - 1))))
+    vec_spec = NamedSharding(mesh, P(axis, *([None] * (d - 1))))
+
+    def leg_cb(idx):
+        lo, hi, _ = idx[1].indices(G0)
+        return jnp.asarray(poisson_stencil_slab(grid, pad0, lo, hi, dtype=dtype))
+
+    def b_cb(idx):
+        lo, hi, _ = idx[0].indices(G0)
+        return jnp.asarray(poisson_rhs_slab(grid, pad0, lo, hi, dtype=dtype, seed=seed))
+
+    def x0_cb(idx):
+        lo, hi, _ = idx[0].indices(G0)
+        return jnp.zeros((hi - lo,) + tuple(grid[1:]), dtype=dtype)
+
+    legs = jax.make_array_from_callback((len(shifts),) + padded, leg_spec, leg_cb)
+    b = jax.make_array_from_callback(padded, vec_spec, b_cb)
+    x0 = jax.make_array_from_callback(padded, vec_spec, x0_cb)
+    return StencilMatrix(legs, shifts, padded), b, x0, padded, int(np.prod(grid))

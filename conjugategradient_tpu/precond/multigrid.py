@@ -58,6 +58,9 @@ class MgLevel:
     mask: Optional[jnp.ndarray] = None  # checkerboard parity (rbgs smoother)
     transfer: str = "fw"  # "fw" (full weighting, odd axes) | "agg" (any size)
     weight: Optional[jnp.ndarray] = None  # SA tentative-prolongator weights (agg)
+    sa_smooth: bool = True  # agg only: P smoothed by (I - c D^{-1}A)?  Plain
+    # (weighted, unsmoothed) aggregation keeps coarse stencils at extent 1 —
+    # mandatory for the distributed probing setup's bounded leg count
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,7 +87,7 @@ class MgHierarchy:
 jax.tree_util.register_dataclass(
     MgLevel,
     data_fields=["A", "inv_diag", "mask", "weight"],
-    meta_fields=["grid", "cheb_bounds", "transfer"],
+    meta_fields=["grid", "cheb_bounds", "transfer", "sa_smooth"],
 )
 jax.tree_util.register_dataclass(
     MgHierarchy,
@@ -195,6 +198,7 @@ def galerkin_coarse(
     kind: str = "fw",
     lam_max: float | None = None,
     weight: np.ndarray | None = None,
+    sa_smooth: bool = True,
 ) -> DiaMatrix:
     """A_c = R A P on the host (setup-time scipy triple product).
 
@@ -213,10 +217,11 @@ def galerkin_coarse(
         if weight is None:
             weight, _ = _agg_weights(_near_null(A, fine), fine)
         P = sp.diags(np.asarray(weight).reshape(-1)) @ P
-        if lam_max is None:
-            lam_max = eigen.scaled_spectrum_bounds(A)[1]
-        Dinv = sp.diags(1.0 / dia_diagonal(A))
-        P = (P - (_SA_W / lam_max) * (Dinv @ (S @ P))).tocsr()
+        if sa_smooth:
+            if lam_max is None:
+                lam_max = eigen.scaled_spectrum_bounds(A)[1]
+            Dinv = sp.diags(1.0 / dia_diagonal(A))
+            P = (P - (_SA_W / lam_max) * (Dinv @ (S @ P))).tocsr()
     R = (P.T * (0.5 ** len(fine))).tocsr()
     Ac = R @ S @ P
     return _scipy_to_dia(Ac)
@@ -233,6 +238,7 @@ def build_hierarchy(
     max_levels: int = 25,
     dtype=None,
     layout: str = "stencil",
+    sa_smooth_levels: int | None = None,
 ) -> MgHierarchy:
     """Build the static hierarchy from the fine operator.
 
@@ -245,6 +251,14 @@ def build_hierarchy(
     ``StencilMatrix`` and the V-cycle runs on grid-shaped arrays — the TPU
     roofline path (see ``ops.stencil``).  ``layout="dia"`` keeps flat DIA
     levels and flat vectors.
+
+    ``sa_smooth_levels``: smooth the aggregation prolongator on only the
+    first k agg levels (None = all, the strongest cycle).  SA smoothing
+    widens coarse stencils by one ring per level (measured: extent 1 -> 2 ->
+    3 ...); plain weighted aggregation contracts them back to extent 1, so
+    ``sa_smooth_levels=1`` keeps every operator a bounded stencil — what the
+    distributed (probing) setup and very deep hierarchies need, at a small
+    iteration-count cost.
     """
     if layout not in ("stencil", "dia"):
         raise ValueError(f"unknown layout {layout!r}")
@@ -271,6 +285,7 @@ def build_hierarchy(
             bounds = (0.0, 0.0)
         dt = dtype or np.asarray(A_h.data).dtype
         W_host = None
+        sa_smooth = sa_smooth_levels is None or len(levels) < sa_smooth_levels
         if kind == "agg":
             W_host, _ = _agg_weights(_near_null(A_h, g), g)
         if layout == "stencil":
@@ -292,9 +307,12 @@ def build_hierarchy(
                 mask=mask,
                 transfer=kind,
                 weight=W_dev,
+                sa_smooth=sa_smooth,
             )
         )
-        A_h = galerkin_coarse(A_h, g, kind, lam_max=bounds[1] or None, weight=W_host)
+        A_h = galerkin_coarse(
+            A_h, g, kind, lam_max=bounds[1] or None, weight=W_host, sa_smooth=sa_smooth
+        )
         g = transfer.coarse_shape(g) if kind == "fw" else transfer.agg_coarse_shape(g)
 
     dt = dtype or np.asarray(A_h.data).dtype
@@ -331,8 +349,20 @@ def _level_transfers(lvl: MgLevel, op):
     """
     if lvl.transfer != "agg":
         return transfer.restrict_grid, transfer.prolong_grid
-    c = _SA_W / lvl.cheb_bounds[1]
     W = lvl.weight
+    if not lvl.sa_smooth:
+        # plain weighted aggregation: P = diag(W) P_plain, R = P^T / 2^d —
+        # exact adjoints, no operator application in the transfer
+        if isinstance(lvl.A, StencilMatrix):
+            return (
+                lambda r: transfer.restrict_agg_grid(W * r),
+                lambda e, fine: W * transfer.prolong_agg_grid(e, fine),
+            )
+        return (
+            lambda r: transfer.restrict_agg_grid((W * r.reshape(-1)).reshape(r.shape)),
+            lambda e, fine: (W * transfer.prolong_agg_grid(e, fine).reshape(-1)).reshape(fine),
+        )
+    c = _SA_W / lvl.cheb_bounds[1]
 
     if isinstance(lvl.A, StencilMatrix):
 

@@ -209,3 +209,46 @@ def test_multihost_helpers_degrade_to_local():
     x = np.asarray(res.x, dtype=np.float64)
     r = sys_.b - _oracle.spmv(sys_.A, x)
     assert np.linalg.norm(r) < 1e-7
+
+
+def test_make_distributed_system_per_block_generation():
+    """make_distributed_system assembles via per-row-block callbacks (no
+    global host system), identity-padding odd sizes to the mesh multiple;
+    the sharded solve on it must match the workload's full build."""
+    import dataclasses
+
+    import jax
+
+    from conjugategradient_tpu.core import oracle as _oracle
+    from conjugategradient_tpu.models import WORKLOADS
+    from conjugategradient_tpu.parallel import multihost
+    from conjugategradient_tpu.parallel.sharded_cg import make_sharded_cg
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    mesh = multihost.global_mesh()
+    # ViennaCL small scaled up, n=4099 prime-ish (not divisible by 8): pads
+    w = dataclasses.replace(WORKLOADS["viennacl_large"], n=4099)
+    import conjugategradient_tpu.models.workloads as wl
+
+    wl.WORKLOADS["_test_block"] = w
+    try:
+        A, b, x0, n = multihost.make_distributed_system("_test_block", mesh)
+    finally:
+        del wl.WORKLOADS["_test_block"]
+    assert n == 4099 and A.n == 4104  # padded to 8 | n
+    # the sharded data must equal the full build + pad_system
+    full = w.build()
+    from conjugategradient_tpu.core.partition import pad_system
+
+    padded, _ = pad_system(full, 8)
+    np.testing.assert_allclose(np.asarray(A.data), np.asarray(padded.A.data), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(b), padded.b)
+    np.testing.assert_allclose(np.asarray(x0), padded.x0)
+
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=4 * A.n)
+    solve = make_sharded_cg(A, mesh, pol, donate=False)
+    res = solve(A.data, b, x0)
+    assert bool(res.converged)
+    x = np.asarray(res.x, dtype=np.float64)[:n]
+    r = full.b - _oracle.spmv(full.A, x)
+    assert np.linalg.norm(r) / np.linalg.norm(full.b) < 1e-8
