@@ -128,3 +128,35 @@ def make_rung5_system(
     b = jax.make_array_from_callback(padded, vec_spec, b_cb)
     x0 = jax.make_array_from_callback(padded, vec_spec, x0_cb)
     return StencilMatrix(legs, shifts, padded), b, x0, padded, int(np.prod(grid))
+
+
+def make_rung5_cg(policy):
+    """Jitted sharded plain CG: ``solve(A, b, x0) -> CGResult``, one GSPMD
+    program, everything a pytree argument (never a closure constant —
+    CLAUDE.md: constants ship in the compile payload, HTTP 413 at rung-4
+    sizes already)."""
+    from conjugategradient_tpu.ops.spmv import as_operator
+    from conjugategradient_tpu.solvers.cg import cg_solve
+
+    @jax.jit
+    def _solve(A, b, x0):
+        return cg_solve(as_operator(A, roll=True), b, x0, policy)
+
+    return _solve
+
+
+def make_rung5_mgcg(policy, hierarchy):
+    """Jitted sharded MGCG: ``solve(b, x0) -> CGResult``.  The fine operator
+    IS ``hierarchy.levels[0].A`` (no duplicate fine legs in HBM); the probed
+    hierarchy (``precond.distributed.build_hierarchy_probed``) rides as a
+    pytree argument."""
+    from conjugategradient_tpu.ops.spmv import as_operator
+    from conjugategradient_tpu.precond.multigrid import v_cycle
+    from conjugategradient_tpu.solvers.cg import cg_solve
+
+    @jax.jit
+    def _solve(h, b, x0):
+        op = as_operator(h.levels[0].A, roll=True)
+        return cg_solve(op, b, x0, policy, M=lambda r: v_cycle(h, r, roll=True))
+
+    return lambda b, x0: _solve(hierarchy, b, x0)

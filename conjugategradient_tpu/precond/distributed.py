@@ -1,0 +1,310 @@
+"""Distributed multigrid setup: device-side Galerkin probing.
+
+``precond.multigrid.build_hierarchy`` computes the coarse operators host-side
+(scipy triple products) — which requires the *global* fine matrix in one
+host's memory.  That caps it at ladder rung 4; the reference has the same
+structural limit (its multi-GPU driver slices shards from one host-resident
+system, ``Mgcg/cuBlas/Mgcg/ConjugateGradientParallelGpu.cs:358-379``).
+
+This module builds the SAME hierarchy (plain weighted aggregation,
+``sa_smooth=False`` — see ``build_hierarchy(sa_smooth_levels=0)``) entirely
+on device from a *mesh-sharded* fine ``StencilMatrix``: no host ever holds a
+global operator, so setup scales to rung 5 (100M+ rows).
+
+How: with pairwise aggregation (``transfer.restrict_agg_grid`` /
+``prolong_agg_grid``) and a fine stencil of extent <= 1 per axis, the
+Galerkin coarse operator ``C = R_w A P_w`` again has extent <= 1 — its legs
+live on the 3^d shift box.  Two coarse columns with the same residue mod 3
+per axis are >= 3 apart, farther than the coupling extent, so **coset
+probing is exact**: apply ``C`` to the 3^d indicator vectors of the residue
+classes (``e_c[j] = [j === c (mod 3)]``) and read each leg off the results,
+
+    legs[s][j] = (C e_{(j+s) mod 3})[j].
+
+Every probe is a composition of shardable grid ops (aggregation transfers,
+roll-form stencil SpMV), jitted over the mesh — XLA's SPMD partitioner
+inserts the halo collectives, exactly as in the solve path
+(``parallel.gspmd``).  Structurally-zero legs are pruned level by level, so
+star-shaped operators (2d+1 legs) stay star-shaped all the way down.
+
+The near-null candidate selection (constant vs checkerboard by Rayleigh
+quotient), aggregate weighting, and the Chebyshev spectral bounds (power
+iteration on D^{-1}A) are likewise computed on device; only O(levels)
+scalars are ever read back.  The coarsest level (<= ``max_coarse`` rows) is
+gathered and densely inverted — it is tiny by construction.
+"""
+
+from __future__ import annotations
+
+from itertools import product
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conjugategradient_tpu.core import formats
+from conjugategradient_tpu.core.formats import StencilMatrix, stencil_to_dia
+from conjugategradient_tpu.ops.stencil import spmv_stencil_roll
+from conjugategradient_tpu.precond import transfer
+from conjugategradient_tpu.precond.multigrid import MgHierarchy, MgLevel
+
+GridShape = Tuple[int, ...]
+
+
+def _box_shifts(d: int) -> Tuple[Tuple[int, ...], ...]:
+    """The full {-1, 0, 1}^d shift box, sorted (matches ``unit_shifts``'s
+    ordering convention for the subset it covers)."""
+    return tuple(sorted(product((-1, 0, 1), repeat=d)))
+
+
+def _iota_mod3(grid: GridShape):
+    return [jax.lax.broadcasted_iota(jnp.int32, grid, ax) % 3 for ax in range(len(grid))]
+
+
+def _coset_mask(iotas, c: Tuple[int, ...]):
+    m = None
+    for ax, r in enumerate(c):
+        e = iotas[ax] == r
+        m = e if m is None else (m & e)
+    return m
+
+
+def _checkerboard(grid: GridShape, dtype):
+    par = None
+    for ax in range(len(grid)):
+        i = jax.lax.broadcasted_iota(jnp.int32, grid, ax)
+        par = i if par is None else par + i
+    return jnp.where(par % 2 == 0, 1.0, -1.0).astype(dtype)
+
+
+def _agg_weights_dev(z: jnp.ndarray, fine: GridShape):
+    """Device twin of ``multigrid._agg_weights``: per-aggregate-normalised
+    candidate -> (W, z_coarse).  ``restrict_agg_grid`` averages pairs per
+    axis (odd tails zero-padded), so the aggregate SUM is ``2^d *``  it."""
+    zz = z * z
+    agg = transfer.restrict_agg_grid(zz) * (2.0 ** len(fine))
+    nrm = jnp.sqrt(agg)
+    expand = transfer.prolong_agg_grid(nrm, fine)
+    ok = expand > 0
+    W = jnp.where(ok, z / jnp.where(ok, expand, 1.0), 1.0)
+    return W, nrm
+
+
+def _near_null_dev(A: StencilMatrix):
+    """Rayleigh quotients (z^T A z / z^T z) of the two global candidates
+    (constant, checkerboard) — the device twin of ``multigrid._near_null``.
+    Returns two scalars; the caller picks the smaller on the host."""
+    ones = jnp.ones(A.grid, A.dtype)
+    alt = _checkerboard(A.grid, A.dtype)
+
+    def q(z):
+        return jnp.vdot(z, spmv_stencil_roll(A, z)) / jnp.vdot(z, z)
+
+    return q(ones), q(alt)
+
+
+def _lam_max_dev(A: StencilMatrix, inv_diag: jnp.ndarray, iters: int = 30):
+    """Power iteration for lam_max(D^{-1} A) on grid-shaped sharded arrays.
+
+    Deterministic rough start (index-hash sine — spectrally broad, never
+    A-orthogonal to the top mode in practice); matches
+    ``eigen.scaled_spectrum_bounds``'s estimate up to iteration noise.
+    """
+    idx = None
+    for ax in range(A.ndim):
+        i = jax.lax.broadcasted_iota(jnp.int32, A.grid, ax)
+        idx = i if idx is None else idx * A.grid[ax] + i
+    v0 = jnp.sin(0.7 * idx.astype(A.dtype)) + 0.1
+    v0 = v0 / jnp.sqrt(jnp.vdot(v0, v0))
+
+    def body(_, carry):
+        v, lam = carry
+        w = inv_diag * spmv_stencil_roll(A, v)
+        lam = jnp.vdot(w, v)
+        nw = jnp.sqrt(jnp.vdot(w, w))
+        return (w / jnp.where(nw == 0, 1.0, nw), lam)
+
+    _, lam = jax.lax.fori_loop(0, iters, body, (v0, jnp.zeros((), A.dtype)))
+    return lam
+
+
+def _probe_coarse(legs, W, shifts: Tuple[Tuple[int, ...], ...], fine: GridShape):
+    """Traced: the 3^d coarse legs of C = R_w A P_w by coset probing.
+
+    ``legs``/``W`` are (sharded) device arrays; everything inside is
+    shardable grid ops, so under jit the mesh partitioning of the inputs
+    carries through (GSPMD inserts the halo collectives).
+    """
+    d = len(fine)
+    A = StencilMatrix(legs, shifts, fine)
+    gc = transfer.agg_coarse_shape(fine)
+    iotas = _iota_mod3(gc)
+    cosets = jnp.asarray(list(product(range(3), repeat=d)), dtype=jnp.int32)
+
+    def apply_C(c):
+        m = None
+        for ax in range(d):
+            e = iotas[ax] == c[ax]
+            m = e if m is None else (m & e)
+        v = W * transfer.prolong_agg_grid(m.astype(legs.dtype), fine)
+        y = spmv_stencil_roll(A, v)
+        return transfer.restrict_agg_grid(W * y)
+
+    # sequential over the 3^d probes: peak memory = ONE fine-sized apply
+    # (an unrolled loop let XLA keep all 27 probes' intermediates live —
+    # measured 20x the fine footprint at 255^3)
+    Y = jax.lax.map(apply_C, cosets)  # (3^d, *gc)
+
+    # legs[s][j] = Y[flat((j + s) mod 3)][j]: one gather per output leg
+    out = []
+    for s in _box_shifts(d):
+        idx = None
+        for ax in range(d):
+            r = (iotas[ax] + (s[ax] % 3)) % 3
+            idx = r if idx is None else idx * 3 + r
+        out.append(jnp.take_along_axis(Y, idx[None], axis=0)[0])
+    return jnp.stack(out)
+
+
+def _specs_for(g: GridShape, mesh, axes: Tuple[str, ...]):
+    """(data_spec, vector_spec) sharding the leading grid axes that divide
+    their mesh axes; non-divisible axes replicate (same rule as
+    ``parallel.gspmd.make_gspmd_mgcg``)."""
+    from jax.sharding import PartitionSpec as P
+
+    names = []
+    for i, ax_name in enumerate(axes[: len(g)]):
+        names.append(ax_name if g[i] % mesh.shape[ax_name] == 0 else None)
+    if not any(names):
+        return P(), P()
+    tail = [None] * (len(g) - len(names))
+    return P(None, *names, *tail), P(*names, *tail)
+
+
+def build_hierarchy_probed(
+    A: StencilMatrix,
+    mesh,
+    axes: Tuple[str, ...] = ("x",),
+    smoother: str = "chebyshev",
+    pre: int = 2,
+    post: int = 2,
+    omega: float = 2.0 / 3.0,
+    max_coarse: int = 1025,
+    max_levels: int = 25,
+    power_iters: int = 30,
+) -> MgHierarchy:
+    """Aggregation hierarchy from a mesh-sharded fine stencil — all device.
+
+    Produces the hierarchy ``build_hierarchy(..., layout="stencil",
+    sa_smooth_levels=0)`` would produce (identical coarse legs to fp
+    round-off), but without any global host materialisation: setup memory
+    per host is bounded by its own shards.  Requires fine extent <= 1 per
+    axis (the probing period-3 window); plain aggregation preserves that
+    invariant on every coarse level, so the whole hierarchy stays
+    bounded-stencil.
+
+    ``axes`` names the mesh axes sharding the leading grid axes; coarse
+    levels whose extents stop dividing fall back to replicated (tiny by
+    construction).  Only O(levels) scalars are read back to the host.
+    """
+    if not isinstance(A, StencilMatrix):
+        raise TypeError("build_hierarchy_probed needs a StencilMatrix fine operator")
+    if any(h > 1 for h in A.halo):
+        raise ValueError(f"fine stencil extent {A.halo} > 1; probing window is 3^d")
+    if smoother not in ("jacobi", "chebyshev"):
+        raise ValueError(f"unsupported smoother {smoother!r} (rbgs needs host masks)")
+    from jax.sharding import NamedSharding
+
+    def put(arr, spec):
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    g = tuple(A.grid)
+    legs, shifts = A.data, A.shifts
+    d = len(g)
+    center = shifts.index(tuple([0] * d))
+
+    levels = []
+    while (
+        int(np.prod(g)) > max_coarse
+        and transfer.can_aggregate(g)
+        and len(levels) < max_levels - 1
+    ):
+        # per-shape jitted setup kernels (shapes shrink level by level, so
+        # each level compiles a small program of its own; all shard via GSPMD)
+        inv_diag, q_ones, q_alt, lam = jax.jit(
+            lambda legs_, s=shifts, gg=g, c=center: _level_pack(legs_, s, gg, c, power_iters)
+        )(legs)
+        lam_f = float(lam) * 1.1
+        bounds = (0.25 * lam_f, lam_f)
+        z_is_ones = float(q_ones) <= float(q_alt)
+
+        W, z_c, coarse_legs = jax.jit(
+            lambda legs_, s=shifts, gg=g, c=center, zo=z_is_ones: _level_coarsen(
+                legs_, s, gg, zo
+            )
+        )(legs)
+
+        dspec, vspec = _specs_for(g, mesh, axes)
+        levels.append(
+            MgLevel(
+                A=StencilMatrix(put(legs, dspec), shifts, g),
+                inv_diag=put(inv_diag, vspec),
+                grid=g,
+                cheb_bounds=bounds,
+                mask=None,
+                transfer="agg",
+                weight=put(W, vspec),
+                sa_smooth=False,
+            )
+        )
+
+        # prune structurally-zero legs (host decision on tiny readbacks)
+        gc = transfer.agg_coarse_shape(g)
+        box = _box_shifts(d)
+        mags = np.asarray(jax.jit(lambda cl: jnp.stack([jnp.max(jnp.abs(l)) for l in cl]))(
+            coarse_legs
+        ))
+        keep = [k for k in range(len(box)) if mags[k] > 0]
+        new_shifts = tuple(box[k] for k in keep)
+        cdspec, _ = _specs_for(gc, mesh, axes)
+        legs = put(coarse_legs[np.asarray(keep)], cdspec)
+        shifts, g = new_shifts, gc
+        center = shifts.index(tuple([0] * d))
+
+    # coarsest: tiny — gather, invert densely (MXU matvec at solve time)
+    legs_h = np.asarray(legs)
+    A_c = stencil_to_dia(StencilMatrix(legs_h, shifts, g))
+    dense = formats.dia_to_dense(A_c)
+    coarse_inv = jnp.asarray(
+        np.linalg.inv(np.asarray(dense.data, dtype=np.float64)).astype(legs_h.dtype)
+    )
+    from jax.sharding import PartitionSpec as P
+
+    return MgHierarchy(
+        levels=tuple(levels),
+        coarse_inv=put(coarse_inv, P()),
+        smoother=smoother,
+        pre=pre,
+        post=post,
+        omega=omega,
+    )
+
+
+def _level_pack(legs, shifts, g, center, power_iters):
+    """Traced per-level statistics: inverse diagonal, both near-null Rayleigh
+    quotients, lam_max(D^{-1}A)."""
+    A_ = StencilMatrix(legs, shifts, g)
+    inv_d = 1.0 / legs[center]
+    q1, q2 = _near_null_dev(A_)
+    lam = _lam_max_dev(A_, inv_d, power_iters)
+    return inv_d, q1, q2, lam
+
+
+def _level_coarsen(legs, shifts, g, z_is_ones):
+    """Traced per-level coarsening: aggregate weights + probed coarse legs."""
+    A_ = StencilMatrix(legs, shifts, g)
+    z = jnp.ones(g, legs.dtype) if z_is_ones else _checkerboard(g, legs.dtype)
+    W, z_c = _agg_weights_dev(z, g)
+    coarse = _probe_coarse(legs, W, shifts, g)
+    return W, z_c, coarse
