@@ -56,16 +56,37 @@ def _as_multi_operator(A):
     return A  # already a multi-RHS callable
 
 
+def as_multi_preconditioner(h):
+    """Multi-RHS V-cycle: M mapping (n, k) -> (n, k) — one cycle per column,
+    batched over the trailing axis (``vmap`` turns every stencil SpMV in the
+    cycle into the SpMM form of ``ops.spmm.spmm_stencil``: one matrix pass
+    serves all k columns, which is the whole point of multi-RHS).  Plug into
+    ``cg_solve_multi(..., M=...)`` — the multi-RHS MGCG the single-RHS path
+    gets from ``precond.as_preconditioner``."""
+    from conjugategradient_tpu.precond.multigrid import v_cycle
+
+    def M(R):  # (n, k) flat columns
+        cyc = jax.vmap(lambda r: v_cycle(h, r), in_axes=1, out_axes=1)
+        return cyc(R)
+
+    return M
+
+
 def cg_solve_multi(
     A,
     B: jnp.ndarray,
     X0: Optional[jnp.ndarray] = None,
     policy: ConvergencePolicy = ConvergencePolicy(),
+    M=None,
 ) -> MultiCGResult:
     """Solve A X = B, B of shape (n, k), fully on device.
 
     Per-column convergence policy (same tol/norm for all columns); the loop
-    exits when every column is converged or at max_iteration.
+    exits when every column is converged or at max_iteration.  ``M`` is an
+    optional (n, k) -> (n, k) preconditioner applied per column (see
+    ``as_multi_preconditioner`` for the multigrid one); with it this is
+    multi-RHS MGCG — k Krylov recurrences sharing one matrix stream per
+    iteration.
     """
     op = _as_multi_operator(A)
     n, k = B.shape
@@ -79,7 +100,9 @@ def cg_solve_multi(
 
     X = jnp.zeros_like(B) if X0 is None else X0.astype(dtype)
     R = B - op(X)
-    P = R
+    Z = M(R) if M is not None else R
+    P = Z
+    rz = cdot(R, Z)
     rr = cdot(R, R)
     rr0 = rr
 
@@ -99,25 +122,28 @@ def cg_solve_multi(
         )
 
     def cond(state):
-        X, R, P, rr, it = state
+        X, R, P, rz, rr, it = state
         return jnp.any(active_of(R, rr, it))
 
     def body(state):
-        X, R, P, rr, it = state
+        X, R, P, rz, rr, it = state
         active = active_of(R, rr, it)  # (k,)
         AP = op(P)
-        alpha = jnp.where(active, _safe_div(rr, cdot(P, AP)), 0.0)
+        alpha = jnp.where(active, _safe_div(rz, cdot(P, AP)), 0.0)
         X = X + alpha[None, :] * P
         R2 = R - alpha[None, :] * AP
+        Z2 = M(R2) if M is not None else R2
+        rz2 = cdot(R2, Z2)
         rr2 = cdot(R2, R2)
-        beta = jnp.where(active, _safe_div(rr2, rr), 0.0)
-        P2 = jnp.where(active[None, :], R2 + beta[None, :] * P, P)
+        beta = jnp.where(active, _safe_div(rz2, rz), 0.0)
+        P2 = jnp.where(active[None, :], Z2 + beta[None, :] * P, P)
+        rz2 = jnp.where(active, rz2, rz)
         rr2 = jnp.where(active, rr2, rr)
         R2 = jnp.where(active[None, :], R2, R)
-        return (X, R2, P2, rr2, it + active.astype(jnp.int32))
+        return (X, R2, P2, rz2, rr2, it + active.astype(jnp.int32))
 
-    X, R, P, rr, it = jax.lax.while_loop(
-        cond, body, (X, R, P, rr, jnp.zeros(k, jnp.int32))
+    X, R, P, rz, rr, it = jax.lax.while_loop(
+        cond, body, (X, R, P, rz, rr, jnp.zeros(k, jnp.int32))
     )
     res = res_of(R, rr)
     converged = jnp.logical_and(res < tol, it >= min_iter)

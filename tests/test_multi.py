@@ -1,5 +1,6 @@
 """Multi-RHS CG tests: per-column agreement with single-RHS solves."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -28,7 +29,7 @@ def test_multi_matches_per_column_oracle(norm):
 
 
 def test_multi_stencil_path():
-    grid = (31, 31)
+    grid = (63, 63)
     sys_ = poisson_system(grid)
     st = formats.dia_to_stencil(sys_.A, grid).device_put()
     B = _rhs(sys_.n, 3, seed=1)
@@ -60,3 +61,108 @@ def test_multi_nonconvergence_flags_per_column():
     res = cg_solve_multi(A.device_put(), B, policy=ConvergencePolicy(tol=1e-30, max_iteration=5))
     assert not bool(res.converged.any())
     np.testing.assert_array_equal(np.asarray(res.iterations), [5, 5])
+
+
+def test_multi_rhs_mgcg_beats_independent_on_matrix_passes():
+    """VERDICT r1 #9: multi-RHS MGCG — k Krylov recurrences share one matrix
+    stream per iteration, so total MATRIX PASSES (max over columns + setup)
+    must beat k independent solves (sum over columns)."""
+    import numpy as np
+
+    from conjugategradient_tpu.core import generators, oracle
+    from conjugategradient_tpu.precond import build_hierarchy
+    from conjugategradient_tpu.solvers.cg import cg_solve
+    from conjugategradient_tpu.solvers.multi import as_multi_preconditioner, cg_solve_multi
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    grid = (63, 63)
+    system = generators.poisson_system(grid)
+    n = system.n
+    rng = np.random.default_rng(3)
+    k = 4
+    B = rng.standard_normal((n, k))
+    pol = ConvergencePolicy(tol=1e-8, norm="rel_l2", max_iteration=500)
+
+    h = build_hierarchy(system.A, grid)
+    res = cg_solve_multi(system.A.device_put(), B, policy=pol, M=as_multi_preconditioner(h))
+    assert bool(np.asarray(res.converged).all())
+    X = np.asarray(res.x, np.float64)
+    for j in range(k):
+        r = B[:, j] - oracle.spmv(system.A, X[:, j])
+        assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-6
+
+    multi_passes = int(np.asarray(res.iterations).max())
+    indep_passes = 0
+    A_st = h.levels[0].A
+    from conjugategradient_tpu.precond import as_preconditioner
+
+    for j in range(k):
+        rj = cg_solve(A_st, jnp.asarray(B[:, j]).reshape(grid), policy=pol, M=as_preconditioner(h))
+        assert bool(rj.converged)
+        indep_passes += int(rj.iterations)
+    assert multi_passes < indep_passes, (multi_passes, indep_passes)
+    # MGCG on the batch must also beat unpreconditioned multi-RHS CG
+    res_plain = cg_solve_multi(system.A.device_put(), B, policy=pol)
+    assert multi_passes < int(np.asarray(res_plain.iterations).max())
+
+
+def test_multi_rhs_mgcg_sharded_gspmd():
+    """Sharded multi-RHS MGCG: same program jitted over the 8-device mesh,
+    hierarchy and B as sharded pytree arguments (GSPMD partitioning)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from conjugategradient_tpu.core import generators, oracle
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+    from conjugategradient_tpu.precond import build_hierarchy
+    from conjugategradient_tpu.solvers.multi import as_multi_preconditioner, cg_solve_multi
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    mesh = make_mesh()
+    grid = (64, 64)  # even axes -> aggregation hierarchy, 64 % 8 == 0
+    system = generators.poisson_system(grid, dtype=np.float32)
+    n = system.n
+    rng = np.random.default_rng(5)
+    k = 3
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    pol = ConvergencePolicy(tol=1e-5, norm="rel_l2", max_iteration=500)
+
+    h = build_hierarchy(system.A, grid, dtype=np.float32)
+    # shard every level's arrays on the leading grid axis where divisible
+    import dataclasses as dc
+
+    from conjugategradient_tpu.core.formats import StencilMatrix
+
+    def put(a, spec):
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    levels = []
+    for lvl in h.levels:
+        ok = lvl.grid[0] % mesh.shape["x"] == 0
+        dspec = P(None, "x") if ok else P()
+        vspec = P("x") if ok else P()
+        levels.append(
+            dc.replace(
+                lvl,
+                A=StencilMatrix(put(lvl.A.data, dspec), lvl.A.shifts, lvl.A.grid),
+                inv_diag=put(lvl.inv_diag, vspec),
+                weight=None if lvl.weight is None else put(lvl.weight, vspec),
+            )
+        )
+    import conjugategradient_tpu.precond.multigrid as mg
+
+    hs = mg.MgHierarchy(tuple(levels), put(h.coarse_inv, P()), h.smoother, h.pre, h.post, h.omega)
+    B_s = put(B, P("x", None))
+
+    @jax.jit
+    def solve(h_, B_):
+        return cg_solve_multi(h_.levels[0].A, B_, policy=pol, M=as_multi_preconditioner(h_))
+
+    res = solve(hs, B_s)
+    assert bool(np.asarray(res.converged).all())
+    X = np.asarray(res.x, np.float64)
+    for j in range(k):
+        r = B[:, j].astype(np.float64) - oracle.spmv(system.A, X[:, j])
+        assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-4
