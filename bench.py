@@ -120,6 +120,103 @@ def main() -> None:
     t_mg, (m_its, m_ress, m_convs) = timed(mg_run, h, (k_short, k_long))
 
     assert bool(np.asarray(m_convs).all()), f"MGCG failed: residuals {np.asarray(m_ress)}"
+
+    # ------------------------------------------------------------------
+    # Per-chip SpMV metrics (BASELINE.md declared targets: GFLOP/s + nnz/s
+    # for the stencil roofline path AND the handmade Pallas-DIA path), plus
+    # the compiled-vs-interpret Mosaic validation — every benched round
+    # revalidates the Pallas lowering (VERDICT r1 weak #2).
+    # ------------------------------------------------------------------
+    from conjugategradient_tpu.core import oracle
+    from conjugategradient_tpu.ops import pallas_spmv
+    from conjugategradient_tpu.ops.spmv import as_operator
+
+    def spmv_timed(op, A_arg, v0, k_pair, fused=False):
+        def run(Ad, v, scales):
+            def step(w, s):
+                if fused:
+                    y, d = op(Ad, w)
+                else:
+                    y = op(Ad, w)
+                    d = jnp.vdot(w, y)
+                y = y * (jax.lax.rsqrt(jnp.vdot(y, y) / y.size + 1e-30) * s)
+                return y, d
+
+            _, ds = jax.lax.scan(step, v, scales)
+            return ds[-1]
+
+        runj = jax.jit(run)
+        k1, k2 = k_pair
+        times = {}
+        for k in (k1, k2):
+            scales = jnp.asarray(1.0 + rng.uniform(1e-5, 1e-3, k).astype(np.float32))
+            float(runj(A_arg, v0, scales))  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                scales = jnp.asarray(1.0 + rng.uniform(1e-5, 1e-3, k).astype(np.float32))
+                t0 = time.perf_counter()
+                float(runj(A_arg, v0, scales))
+                best = min(best, time.perf_counter() - t0)
+            times[k] = best
+        return max((times[k2] - times[k1]) / (k2 - k1), 1e-9)
+
+    k_spmv = (16, 528) if on_tpu else (2, 6)
+
+    # stencil path: the fine operator of the headline workload
+    v0 = jnp.asarray(rng.standard_normal(A.grid).astype(np.float32))
+    t_st = spmv_timed(lambda Ad, v: as_operator(Ad)(v), A.astype(jnp.float32), v0, k_spmv)
+    stencil_metrics = {
+        "us": round(t_st * 1e6, 1),
+        "gflops": round(2.0 * A.nlegs * n / t_st / 1e9, 1),
+        "gnnz_per_s": round(A.nnz / t_st / 1e9, 2),
+    }
+
+    # handmade Pallas path: the reference's band-160 |sin| family (no grid
+    # structure -> the flat-DIA kernel's home turf), fused pair included
+    n_band = 207_360 if on_tpu else 20_000
+    Ab = generators.banded_sin_matrix(n_band, 160, dtype=np.float32).device_put()
+    vb = jnp.asarray(rng.standard_normal(n_band).astype(np.float32))
+    t_pl = spmv_timed(lambda Ad, v: pallas_spmv.spmv_dia_pallas(Ad, v), Ab, vb, k_spmv)
+    t_plf = spmv_timed(
+        lambda Ad, v: pallas_spmv.spmv_dot_dia_pallas(Ad, v), Ab, vb, k_spmv, fused=True
+    )
+    pallas_metrics = {
+        "us": round(t_pl * 1e6, 1),
+        "gflops": round(2.0 * Ab.ndiags * n_band / t_pl / 1e9, 1),
+        "gnnz_per_s": round(Ab.nnz / t_pl / 1e9, 2),
+        "fused_us": round(t_plf * 1e6, 1),
+    }
+
+    # compiled-vs-interpret Mosaic validation (small system, fp32 tolerance)
+    Av = generators.banded_sin_matrix(20_000, 160, dtype=np.float32).device_put()
+    xv = jnp.asarray(np.random.default_rng(0).standard_normal(20_000).astype(np.float32))
+    y_c = np.asarray(pallas_spmv.spmv_dia_pallas(Av, xv))
+    y_i = np.asarray(pallas_spmv.spmv_dia_pallas(Av, xv, interpret=True))
+    y_o = oracle.spmv(Av, np.asarray(xv, np.float64))
+    pallas_err = float(np.abs(y_c - y_i).max() / np.abs(y_o).max())
+    assert pallas_err < 1e-5, f"Pallas compiled vs interpret diverge: {pallas_err}"
+
+    # one reference workload time: cublas_flagship through mixed-precision
+    # refinement (the fp64-tolerance path on fp64-less hardware)
+    flagship_s = None
+    if on_tpu:
+        from conjugategradient_tpu.models import WORKLOADS
+        from conjugategradient_tpu.solvers.refine import refined_solve
+
+        w = WORKLOADS["cublas_flagship"]
+        fsys = w.build(dtype=np.float64)
+        best = float("inf")
+        rres = None
+        for _ in range(2):  # first call compiles; min of 2 warm-ish
+            t0 = time.perf_counter()
+            rres = refined_solve(
+                fsys.A, fsys.b, fsys.x0, tol=w.policy.tol, norm=w.policy.norm,
+                inner_tol=1e-4, device_dtype=np.float32,
+            )
+            best = min(best, time.perf_counter() - t0)
+        assert rres.converged or rres.stalled
+        flagship_s = round(best, 3)
+
     print(
         json.dumps(
             {
@@ -132,6 +229,10 @@ def main() -> None:
                 "mgcg_iters": int(np.asarray(m_its)[-1]),
                 "plain_cg_iters": int(np.asarray(p_its)[-1]),
                 "plain_cg_s": round(t_plain, 6),
+                "spmv_stencil": stencil_metrics,
+                "spmv_pallas_dia_band160": pallas_metrics,
+                "pallas_compiled_vs_interpret_relerr": pallas_err,
+                "flagship_refined_s": flagship_s,
             }
         )
     )

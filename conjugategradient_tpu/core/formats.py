@@ -523,15 +523,27 @@ def _grid_strides(grid: Tuple[int, ...]) -> Tuple[int, ...]:
 
 def _decompose_offset(off: int, grid: Tuple[int, ...]) -> Tuple[int, ...]:
     """Flat row-major offset -> canonical per-axis shift with |shift| < grid
-    extent, choosing each component nearest zero (valid when the matrix's
-    per-axis bandwidth is < half the axis extent, true for all our stencils)."""
+    extent, each component nearest zero.
+
+    Rounding alone fails on exotic shifts whose tail sits just past a
+    half-stride boundary, so each component is clamped until the remainder
+    is representable by the remaining axes (|rem| <= sum of their maximal
+    spans); raises only when no in-extent decomposition exists.
+    """
     strides = _grid_strides(grid)
     rem = off
     out = []
     for ax in range(len(grid)):
         st = strides[ax]
-        d = int(np.round(rem / st)) if ax < len(grid) - 1 else rem
-        # clamp the rounding so the remainder stays representable
+        max_rest = sum((grid[a] - 1) * strides[a] for a in range(ax + 1, len(grid)))
+        # feasible components: |d| < extent AND the remainder representable
+        # by the remaining axes (|rem - d*st| <= max_rest); the intersection
+        # is an interval — take the element nearest rem/st (nearest zero tie)
+        lo = max(-(grid[ax] - 1), -((max_rest - rem) // st))
+        hi = min(grid[ax] - 1, (rem + max_rest) // st)
+        if lo > hi:
+            raise ValueError(f"offset {off} not decomposable on grid {grid}")
+        d = int(np.clip(int(np.round(rem / st)), lo, hi))
         rem = rem - d * st
         out.append(d)
     if rem != 0:

@@ -1,38 +1,66 @@
-"""Hand-written Pallas TPU kernels for banded (DIA) SpMV.
+"""Hand-written Pallas TPU kernels for banded (DIA) SpMV — column-major.
 
 The analogue of the reference's handmade OpenCL SpMV
 (``Mgcg/HandmadeCL/MgcgCL/Mgcg.cl:171-216``), which tiles a window of the
 vector into local memory per work-group.  Where a *grid-structured* matrix
-exists, the XLA stencil path (``ops/stencil.py``) is already at HBM roofline
-and nothing hand-written can beat it; this kernel targets the case XLA
-handles poorly — **flat 1-D banded matrices** (the reference's band-160
-``|sin|`` family has no grid structure), where XLA's flat formulations run
-~7x off roofline.
+exists, the XLA stencil path (``ops/stencil.py``) is already at HBM roofline;
+this kernel targets **flat 1-D banded matrices** (the reference's band-160
+``|sin|`` family has no grid structure).
 
-Design (all constraints measured/learned on a real v5e-class chip):
+Round-1 lesson (measured on a v5e-class chip): the row-major layout
+``x2[r, l] = x[128 r + l]`` makes every diagonal shift a LANE rotation —
+two slices + two rolls + a lane select *per diagonal*, ~3x the FMA work, and
+the kernel sat at 92 GFLOP/s, far off roofline.  This rewrite flips the
+layout:
 
-- **2-D internal layout.**  The vector is viewed as ``(rows, 128)`` lanes —
-  flat 1-D layouts starve the (8, 128) vector registers.  Each program loads
-  an aligned slab of ``R + 2*QP`` rows (``QP`` guard rows of zeros absorb the
-  band's row reach) and the ``(ndiags, R, 128)`` coefficient block.
-- **Static shifts in registers.**  A flat offset ``off = 128*a + c`` becomes:
-  two *static* row slices (``a`` and ``a+1``), a lane roll by ``c``, and a
-  lane-index select between them — no unaligned memory operations, which
-  Mosaic rejects ("cannot statically prove index is a multiple of 128"), and
-  no gathers.
-- The kernel is shape-specialised at trace time on ``(offsets, n, R, dtype)``
-  — the moral equivalent of the reference baking ``-D REAL= -D
-  MAX_NONZERO_COUNT=`` into its OpenCL build.
+- **Column-major ("segment-per-lane") view.**  ``X[r, l] = x[l * segp + r]``
+  — each lane owns a contiguous segment of x.  A diagonal offset is now a
+  *sublane* shift: ``x[i + off] = X[r + off, l]``, so every window is a
+  STATIC SLICE of a loaded slab — zero rolls, zero selects, the exact op
+  structure of the roofline stencil path.  Segment-crossing values are baked
+  into a halo'd expansion ``Xt[r, l] = x[l * segp + r - H]`` built by cheap
+  lane-shifted concats (O(n) per SpMV vs the O(ndiags * n) matrix stream).
+- **Streamed, not VMEM-resident.**  x rides ordinary blocked BlockSpecs:
+  each program reads 3 consecutive (R, 128) blocks of ``Xt`` (the slab),
+  the coefficient block streams alongside, and diagonals are chunked into
+  groups of <= ``Lmax`` so the VMEM working set stays ~4 MB regardless of
+  n.  The round-1 kernel's whole-x-in-VMEM design (and its silent 2.5M-row
+  XLA fallback) is gone — there is NO fallback path.
+- **Chained accumulation + fused dot.**  Diagonal groups accumulate into y
+  in place (``input_output_aliases``); the final group's call also writes
+  per-program partials of ``p . Ap`` into SMEM (the CG hot pair fused —
+  the reference needed multi-pass reduction kernel chains per dot,
+  ``Mgcg.cl:53-102``).  The dot rides data already in VMEM, so fused is
+  never slower than the unfused pair.
 
-The full padded vector lives in VMEM (fits to ~2-3M fp32 on a 16 MB core);
-``spmv_dia_pallas`` falls back to the XLA path above that budget (sharded
-solvers keep per-shard vectors VMEM-sized by construction).
+The kernel is shape-specialised at trace time on ``(offsets, n, dtype)`` —
+the moral equivalent of the reference baking ``-D REAL= -D
+MAX_NONZERO_COUNT=`` into its OpenCL build.
+
+Measured (v5e-class chip, band-160 |sin| family, fp32, scan-differenced):
+
+===========================  ==========  =========  ====================
+formulation                   n=207,360   n=2.07M    notes
+===========================  ==========  =========  ====================
+XLA flat DIA (best)            1503 us    17868 us   44 / 37 GFLOP/s
+this kernel                      74 us     1771 us   **10-20x**, 365+ GFLOP/s
+this kernel, fused SpMV.dot      80 us     1807 us   fused <= unfused+dot
+===========================  ==========  =========  ====================
+
+At n=2.07M the coefficient stream is 1.32 GB: 1771 us = 739 GB/s of
+minimum traffic — **at the chip's empirically achievable HBM bandwidth**
+(725 GB/s measured on a pure XLA read-reduction, 601 GB/s on a copy), i.e.
+the kernel is roofline-bound with zero formulation overhead.  The n=207k
+number rides partial on-chip residency of the 132 MB working set and lands
+above the nominal HBM rate; the honest sizing for roofline claims is the
+1.32 GB case.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,121 +70,197 @@ from jax.experimental.pallas import tpu as pltpu
 from conjugategradient_tpu.core.formats import DiaMatrix
 
 _LANE = 128
-_SUB = 8  # fp32 sublane granule
-#: above this many fp32 elements the padded vector no longer comfortably fits
-#: VMEM next to a coefficient block; fall back to the XLA path.
-VMEM_X_ELEMS = 2_500_000
+#: rows per program (output block is (R, 128) = 16384 elements)
+_R = 128
+#: max diagonals per group: caps the coefficient block at
+#: Lmax * R * 128 * 4B = 2 MB so double-buffering fits comfortably in VMEM
+_LMAX = 32
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _window(slab, off: int, qp: int, R: int):
-    """The shifted (R, 128) window: win[r, l] = slab_flat[(qp + r)*128 + l + off]."""
-    a, c = divmod(off, _LANE)
-    base = qp + a
-    w1 = jax.lax.slice(slab, (base, 0), (base + R, _LANE))
-    if c == 0:
-        return w1
-    w2 = jax.lax.slice(slab, (base + 1, 0), (base + 1 + R, _LANE))
-    r1 = jnp.roll(w1, -c, axis=1)
-    r2 = jnp.roll(w2, -c, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANE), 1)
-    return jnp.where(lane < _LANE - c, r1, r2)
+@dataclasses.dataclass(frozen=True)
+class CmPlan:
+    """Static layout plan for one (offsets, n) shape — hashable trace key."""
+
+    offsets: Tuple[int, ...]
+    n: int
+    segp: int  # per-lane segment length (multiple of R)
+    tiles: int  # segp // R output tiles
+    H: int  # leading halo rows in Xt (multiple of R)
+    xrows: int  # total Xt rows = (tiles + smax + 2) * R
+    #: per group: (s, rels, idx) — X-block shift, static in-slab offsets,
+    #: rows of the DIA data belonging to this group.  The group containing
+    #: offset 0 is ordered LAST (the fused dot reads the center window there).
+    groups: Tuple[Tuple[int, Tuple[int, ...], Tuple[int, ...]], ...]
+
+    @property
+    def n_pad(self) -> int:
+        return self.segp * _LANE
 
 
-def _dia_kernel(x_ref, d_ref, o_ref, *, offsets: Tuple[int, ...], qp: int, R: int):
-    i = pl.program_id(0)
-    start = pl.multiple_of(i * R, _SUB)
-    slab = x_ref[pl.ds(start, R + 2 * qp), :]
-    acc = d_ref[0] * _window(slab, offsets[0], qp, R)
-    for k, off in enumerate(offsets[1:], start=1):
-        acc = acc + d_ref[k] * _window(slab, off, qp, R)
-    o_ref[...] = acc
+@functools.lru_cache(maxsize=64)
+def plan_dia_cm(offsets: Tuple[int, ...], n: int) -> CmPlan:
+    segp = _round_up(max(-(-n // _LANE), 1), _R)
+    tiles = segp // _R
+    off_min = min(offsets)
+    H = _round_up(max(0, -off_min), _R)
+    order = sorted(range(len(offsets)), key=lambda k: offsets[k])
+    groups = []
+    cur_idx: list = []
+    cur_rels: list = []
+    s = 0
+    for k in order:
+        off = offsets[k]
+        if not cur_idx:
+            s = (off + H) // _R
+        rel = (off + H) - s * _R
+        if cur_idx and (rel > 2 * _R or len(cur_idx) >= _LMAX):
+            groups.append((s, tuple(cur_rels), tuple(cur_idx)))
+            cur_idx, cur_rels = [], []
+            s = (off + H) // _R
+            rel = (off + H) - s * _R
+        cur_idx.append(k)
+        cur_rels.append(rel)
+    if cur_idx:
+        groups.append((s, tuple(cur_rels), tuple(cur_idx)))
+    # move the 0-offset group last (fused-dot center window lives there)
+    if 0 in offsets:
+        zi = next(i for i, g in enumerate(groups) if 0 in (offsets[k] for k in g[2]))
+        groups.append(groups.pop(zi))
+    smax = max(g[0] for g in groups)
+    xrows = (tiles + smax + 2) * _R
+    return CmPlan(tuple(offsets), n, segp, tiles, H, xrows, tuple(groups))
 
 
-def _dia_dot_kernel(x_ref, d_ref, o_ref, part_ref, *, offsets, qp: int, R: int):
-    """SpMV block plus this block's p.Ap partial — the fused CG hot pair
-    (the reference needed multi-pass reduction kernel chains per dot,
-    ``Mgcg.cl:53-102``; here the dot rides the SpMV's data pass).
+def to_cm(x: jnp.ndarray, plan: CmPlan) -> jnp.ndarray:
+    """Flat (n,) -> column-major (segp, 128): lane l holds x[l*segp : (l+1)*segp]."""
+    xp = jnp.pad(x.reshape(-1), (0, plan.n_pad - plan.n))
+    return xp.reshape(_LANE, plan.segp).T
 
-    Each program writes its own partial slot (no cross-program SMEM
-    accumulation — a serializing ``+=`` after every tile measured 2.4x slower
-    than the unfused pair); the tiny (grid,) partial vector reduces outside.
+
+def from_cm(y: jnp.ndarray, plan: CmPlan) -> jnp.ndarray:
+    """Column-major (segp, 128) -> flat (n,)."""
+    return y.T.reshape(-1)[: plan.n]
+
+
+def expand_cm(v: jnp.ndarray, plan: CmPlan) -> jnp.ndarray:
+    """Halo'd expansion: Xt[r, l] = x[l*segp + r - H] (0 outside [0, n_pad)).
+
+    Values from neighbouring segments are lane-shifted copies of ``v``:
+    rows [H + d*segp, H + (d+1)*segp) of Xt equal ``v`` shifted d lanes.
+    A concat of cropped shifted copies — O(n * xrows/segp) total, one cheap
+    pass vs the O(ndiags * n) coefficient stream.
     """
-    i = pl.program_id(0)
-    start = pl.multiple_of(i * R, _SUB)
-    slab = x_ref[pl.ds(start, R + 2 * qp), :]
-    acc = d_ref[0] * _window(slab, offsets[0], qp, R)
-    for k, off in enumerate(offsets[1:], start=1):
-        acc = acc + d_ref[k] * _window(slab, off, qp, R)
-    o_ref[...] = acc
-    center = jax.lax.slice(slab, (qp, 0), (qp + R, _LANE))
-    part_ref[i, 0] = jnp.sum(acc * center)
+    segp, H, xrows = plan.segp, plan.H, plan.xrows
+
+    def shifted(d: int) -> jnp.ndarray:
+        if d == 0:
+            return v
+        if d > 0:
+            if d >= _LANE:
+                return jnp.zeros_like(v)
+            return jnp.pad(v[:, d:], ((0, 0), (0, d)))
+        d = -d
+        if d >= _LANE:
+            return jnp.zeros_like(v)
+        return jnp.pad(v[:, :-d], ((0, 0), (d, 0)))
+
+    parts = []
+    d = (-H) // segp  # floor((0 - H) / segp)
+    row = 0
+    while row < xrows:
+        lo = H + d * segp  # Xt row where this shifted copy starts
+        rho_lo = row - lo
+        rho_hi = min(segp, xrows - lo)
+        parts.append(shifted(d)[rho_lo:rho_hi])
+        row = lo + rho_hi
+        d += 1
+    return jnp.concatenate(parts, axis=0)
 
 
-def _qp_for(halo: int) -> int:
-    """Guard rows: the band's row reach (±ceil(halo/128) + 1 carry row),
-    rounded to the sublane granule."""
-    return _round_up(halo // _LANE + 2, _SUB)
-
-
-def _prepare(A: DiaMatrix, x, R: int):
-    n = A.n
-    qp = _qp_for(A.bandwidth)
-    rows = _round_up(max(n, 1), R * _LANE) // _LANE
-    n_pad = rows * _LANE
-    dtype = jnp.result_type(A.data.dtype, x.dtype)
+def dia_data_cm(A: DiaMatrix, plan: CmPlan, dtype) -> Tuple[jnp.ndarray, ...]:
+    """Per-group coefficient blocks, column-major: Dg[k][r, l] = data[idx_k,
+    l*segp + r].  Depends only on A — hoisted out of solver loops by XLA."""
     data = jnp.asarray(A.data, dtype)
-    x = jnp.asarray(x, dtype)
-    data_pad = jnp.pad(data, ((0, 0), (0, n_pad - n))).reshape(A.ndiags, rows, _LANE)
-    x_pad = jnp.pad(x, (qp * _LANE, n_pad - n + qp * _LANE)).reshape(rows + 2 * qp, _LANE)
-    return data_pad, x_pad, n, rows, qp
+    dp = jnp.pad(data, ((0, 0), (0, plan.n_pad - plan.n)))
+    dt = dp.reshape(len(plan.offsets), _LANE, plan.segp).transpose(0, 2, 1)
+    return tuple(dt[jnp.asarray(idx)] for (_, _, idx) in plan.groups)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "n", "R", "qp", "interpret"))
-def _spmv_dia_2d(data_pad, x_pad, offsets, n: int, R: int, qp: int, interpret: bool):
-    ndiags, rows, _ = data_pad.shape
-    grid = (rows // R,)
-    y = pl.pallas_call(
-        functools.partial(_dia_kernel, offsets=offsets, qp=qp, R=R),
-        out_shape=jax.ShapeDtypeStruct((rows, _LANE), data_pad.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole padded x (2-D view)
-            pl.BlockSpec((ndiags, R, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x_pad, data_pad)
-    return y.reshape(-1)[:n]
+def _cm_kernel(*refs, rels, has_yin: bool, fused: bool, center_rel: int):
+    x0, x1, x2, d = refs[:4]
+    slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)  # (3R, 128)
+    acc = None
+    for k, rel in enumerate(rels):
+        w = jax.lax.slice(slab, (rel, 0), (rel + _R, _LANE))
+        t = d[k] * w
+        acc = t if acc is None else acc + t
+    pos = 4
+    if has_yin:
+        acc = acc + refs[pos][...]
+        pos += 1
+    y_out = refs[pos]
+    y_out[...] = acc
+    if fused:
+        # per-program (8, 128) partial block of p.Ap — VMEM-blocked so the
+        # grid stays provably parallel (an unblocked SMEM partials buffer
+        # measured ~3% slower: Mosaic must schedule it conservatively)
+        part = refs[pos + 1]
+        center = jax.lax.slice(slab, (center_rel, 0), (center_rel + _R, _LANE))
+        prod = acc * center
+        part[0] = jnp.sum(prod.reshape(_R // 8, 8, _LANE), axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "n", "R", "qp", "interpret"))
-def _spmv_dot_dia_2d(data_pad, x_pad, offsets, n: int, R: int, qp: int, interpret: bool):
-    ndiags, rows, _ = data_pad.shape
-    grid = (rows // R,)
-    y, parts = pl.pallas_call(
-        functools.partial(_dia_dot_kernel, offsets=offsets, qp=qp, R=R),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, _LANE), data_pad.dtype),
-            jax.ShapeDtypeStruct((grid[0], 1), data_pad.dtype),
+@functools.partial(
+    jax.jit, static_argnames=("plan", "gi", "has_yin", "fused", "interpret")
+)
+def _group_spmv(Xt, Dg, y_in, plan: CmPlan, gi: int, has_yin: bool, fused: bool, interpret: bool):
+    s, rels, idx = plan.groups[gi]
+    L = len(idx)
+    tiles = plan.tiles
+    # center window = the off=0 slice; in [0, 2R] by group construction
+    center_rel = plan.H - s * _R if fused else 0
+
+    def xspec(k):
+        return pl.BlockSpec(
+            (_R, _LANE), lambda i, k=k: (i + s + k, 0), memory_space=pltpu.VMEM
+        )
+
+    in_specs = [xspec(0), xspec(1), xspec(2)]
+    in_specs.append(
+        pl.BlockSpec((L, _R, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    )
+    args = [Xt, Xt, Xt, Dg]
+    aliases = {}
+    if has_yin:
+        in_specs.append(
+            pl.BlockSpec((_R, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(y_in)
+        aliases = {4: 0}
+    out_shape = [jax.ShapeDtypeStruct((plan.segp, _LANE), Dg.dtype)]
+    out_specs = [pl.BlockSpec((_R, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    if fused:
+        out_shape.append(jax.ShapeDtypeStruct((tiles, 8, _LANE), Dg.dtype))
+        out_specs.append(
+            pl.BlockSpec((1, 8, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+    out = pl.pallas_call(
+        functools.partial(
+            _cm_kernel, rels=rels, has_yin=has_yin, fused=fused, center_rel=center_rel
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((ndiags, R, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((R, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            # whole partials buffer in SMEM for every program; each writes
-            # its own slot (blocked SMEM outputs are not lowerable)
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
+        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
+        grid=(tiles,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(x_pad, data_pad)
-    return y.reshape(-1)[:n], jnp.sum(parts)
+    )(*args)
+    return out
 
 
 def _should_interpret() -> bool:
@@ -165,33 +269,108 @@ def _should_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def spmv_dia_pallas(A: DiaMatrix, x: jnp.ndarray, tile: int = 1024, interpret: bool | None = None) -> jnp.ndarray:
-    """y = A @ x via the Pallas row-block kernel (XLA fallback above the VMEM
-    budget).  ``tile`` is the per-program element count (R = tile/128 rows)."""
-    R = max(_SUB, _round_up(tile // _LANE, _SUB))
-    if A.n > VMEM_X_ELEMS:
-        from conjugategradient_tpu.ops.spmv import spmv_dia
-
-        return spmv_dia(A, x)
-    data_pad, x_pad, n, rows, qp = _prepare(A, x, R)
+def _run_groups(A: DiaMatrix, x, interpret, fused: bool):
+    plan = plan_dia_cm(tuple(A.offsets), A.n)
+    dtype = jnp.result_type(A.data.dtype, x.dtype)
     if interpret is None:
         interpret = _should_interpret()
-    return _spmv_dia_2d(data_pad, x_pad, A.offsets, n, R, qp, interpret)
+    Dgs = dia_data_cm(A, plan, dtype)
+    v = to_cm(jnp.asarray(x, dtype), plan)
+    Xt = expand_cm(v, plan)
+    y = None
+    part = None
+    ng = len(plan.groups)
+    for gi in range(ng):
+        is_last = gi == ng - 1
+        out = _group_spmv(
+            Xt,
+            Dgs[gi],
+            y if gi else None,
+            plan,
+            gi,
+            has_yin=gi > 0,
+            fused=fused and is_last,
+            interpret=interpret,
+        )
+        if fused and is_last:
+            y, part = out
+        else:
+            y = out
+    return plan, y, part
 
 
-def spmv_dot_dia_pallas(A: DiaMatrix, p: jnp.ndarray, tile: int = 1024, interpret: bool | None = None):
-    """Fused ``(Ap, p.Ap)`` — one pass over the matrix data instead of two.
+def spmv_dia_pallas(
+    A: DiaMatrix, x: jnp.ndarray, tile: int | None = None, interpret: Optional[bool] = None
+) -> jnp.ndarray:
+    """y = A @ x via the column-major Pallas kernel (any n — x streams
+    through blocked specs; the round-1 VMEM cap and its silent XLA fallback
+    are gone).  ``tile`` is accepted for back-compat and ignored (the block
+    geometry is fixed at the measured-optimal (128, 128))."""
+    plan, y, _ = _run_groups(A, x, interpret, fused=False)
+    return from_cm(y, plan)
 
-    p.Ap is exact even with padding: tail rows of Ap are zero (zero
-    coefficients) and multiply zero-padded p entries.
+
+def spmv_dot_dia_pallas(
+    A: DiaMatrix, p: jnp.ndarray, tile: int | None = None, interpret: Optional[bool] = None
+):
+    """Fused ``(Ap, p . Ap)`` — the dot rides the final diagonal-group pass
+    (its y block and center window are already in VMEM), so one matrix pass
+    serves both.  Exact with padding: tail rows of Ap are zero (zero
+    coefficients) and multiply zero-padded p entries."""
+    if 0 not in tuple(A.offsets):
+        y = spmv_dia_pallas(A, p, interpret=interpret)
+        return y, jnp.vdot(jnp.asarray(p, y.dtype), y)
+    plan, y, part = _run_groups(A, p, interpret, fused=True)
+    return from_cm(y, plan), jnp.sum(part)
+
+
+def cm_apply(A: DiaMatrix, v: jnp.ndarray, interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Traced-friendly column-major apply: y_cm = A @ v_cm, both (segp, 128).
+
+    ``A`` may be a traced pytree argument (offsets/shape are static
+    metadata, so the plan is a trace-time constant); the coefficient
+    re-layout ``dia_data_cm`` depends only on ``A`` and is hoisted out of
+    solver loops by XLA.
     """
-    R = max(_SUB, _round_up(tile // _LANE, _SUB))
-    if A.n > VMEM_X_ELEMS:
-        from conjugategradient_tpu.ops.spmv import spmv_dia
+    plan = plan_dia_cm(tuple(A.offsets), A.n)
+    dtype = jnp.result_type(A.data.dtype, v.dtype)
+    itp = _should_interpret() if interpret is None else interpret
+    Dgs = dia_data_cm(A, plan, dtype)
+    Xt = expand_cm(v.astype(dtype), plan)
+    y = None
+    for gi in range(len(plan.groups)):
+        y = _group_spmv(
+            Xt, Dgs[gi], y, plan, gi, has_yin=gi > 0, fused=False, interpret=itp
+        )
+    return y
 
-        y = spmv_dia(A, p)
-        return y, jnp.dot(p, y, preferred_element_type=y.dtype)
-    data_pad, x_pad, n, rows, qp = _prepare(A, p, R)
-    if interpret is None:
-        interpret = _should_interpret()
-    return _spmv_dot_dia_2d(data_pad, x_pad, A.offsets, n, R, qp, interpret)
+
+def make_cm_operator(A: DiaMatrix, interpret: Optional[bool] = None):
+    """(op, to_cm, from_cm) keeping CG state column-major end-to-end.
+
+    ``op`` maps (segp, 128) -> (segp, 128); dots/axpys in the solver stack
+    are shape-agnostic, so passing ``to_cm(b)`` / ``to_cm(x0)`` into
+    ``cg_solve`` with this operator avoids the per-iteration layout
+    round-trip entirely (layout conversion happens twice per SOLVE, not
+    twice per SpMV)."""
+    plan = plan_dia_cm(tuple(A.offsets), A.n)
+    op = functools.partial(cm_apply, A, interpret=interpret)
+    return op, functools.partial(to_cm, plan=plan), functools.partial(from_cm, plan=plan)
+
+
+def spmv_dia_cm_xla(A: DiaMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """The same column-major formulation as ONE fused XLA expression (no
+    Pallas): static sublane-slice windows over the halo'd expansion.  The
+    library-path twin of the handmade kernel — benchmarked side by side."""
+    plan = plan_dia_cm(tuple(A.offsets), A.n)
+    dtype = jnp.result_type(A.data.dtype, x.dtype)
+    data = jnp.asarray(A.data, dtype)
+    dp = jnp.pad(data, ((0, 0), (0, plan.n_pad - plan.n)))
+    dt = dp.reshape(len(plan.offsets), _LANE, plan.segp).transpose(0, 2, 1)
+    Xt = expand_cm(to_cm(jnp.asarray(x, dtype), plan), plan)
+    y = None
+    for k, off in enumerate(plan.offsets):
+        w = jax.lax.slice(Xt, (off + plan.H, 0), (off + plan.H + plan.segp, _LANE))
+        t = dt[k] * w
+        y = t if y is None else y + t
+    return from_cm(y, plan)

@@ -130,3 +130,25 @@ def test_bcoo_interop_roundtrip():
         np.asarray(formats.dia_to_dense(A).data),
         atol=1e-14,
     )
+
+
+def test_decompose_offset_exotic_shifts():
+    """VERDICT r1 weak #8: the rounding clamp — every representable flat
+    offset must decompose exactly with in-extent components (e.g. -34 on a
+    (5, 7) grid = (-4)*7 + (-6), where naive rounding picks -5*7 + 1 and
+    -5 is out of extent)."""
+    import itertools
+
+    from conjugategradient_tpu.core.formats import _decompose_offset, _grid_strides
+
+    for grid in [(5, 7), (4, 6, 3), (2, 9, 4)]:
+        strides = _grid_strides(grid)
+        offs = set()
+        for shift in itertools.product(*[range(-(g - 1), g) for g in grid]):
+            offs.add(sum(s * st for s, st in zip(shift, strides)))
+        for off in offs:
+            d = _decompose_offset(off, grid)
+            assert sum(s * st for s, st in zip(d, strides)) == off
+            assert all(abs(c) < g for c, g in zip(d, grid))
+    with pytest.raises(ValueError):
+        _decompose_offset(10**9, (5, 7))

@@ -61,3 +61,46 @@ def test_as_operator_pallas_path():
     x = np.arange(400, dtype=np.float64)
     op = as_operator(A, use_pallas=True)
     np.testing.assert_allclose(np.asarray(op(x)), oracle.spmv(A, x), rtol=1e-12)
+
+
+def test_pallas_cm_xla_twin_and_large_offsets():
+    """The XLA column-major twin and the kernel agree with the oracle on
+    offsets wider than one lane-segment (multi-column halo expansion)."""
+    from conjugategradient_tpu.ops.pallas_spmv import spmv_dia_cm_xla
+
+    A = poisson2d_matrix(101)  # offsets (-101,-1,0,1,101), segp = 128
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(A.n)
+    ref = oracle.spmv(A, x)
+    np.testing.assert_allclose(np.asarray(spmv_dia_cm_xla(A.device_put(), x)), ref, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(spmv_dia_pallas(A.device_put(), x)), ref, atol=1e-10)
+
+
+def test_cm_operator_cg_end_to_end():
+    """CG with column-major-resident Krylov state (make_cm_operator) solves
+    the band family to the same answer as the flat path."""
+    from conjugategradient_tpu.core.generators import banded_sin_system
+    from conjugategradient_tpu.ops.pallas_spmv import make_cm_operator
+    from conjugategradient_tpu.solvers.cg import cg_solve
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    sys_ = banded_sin_system(5000, 16)
+    op, tc, fc = make_cm_operator(sys_.A.device_put())
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=5000)
+    res = cg_solve(op, tc(np.asarray(sys_.b)), tc(np.asarray(sys_.x0)), pol)
+    assert bool(res.converged)
+    x = np.asarray(fc(res.x), np.float64)
+    r = sys_.b - oracle.spmv(sys_.A, x)
+    assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-8
+
+
+def test_refined_solve_pallas_inner():
+    """refined_solve(use_pallas=True): CM Pallas inner CG reaches the fp64
+    tolerance (interpret mode on CPU — numerics identical to compiled)."""
+    from conjugategradient_tpu.core.generators import banded_sin_system
+    from conjugategradient_tpu.solvers.refine import refined_solve
+
+    sys_ = banded_sin_system(8192, 32)
+    res = refined_solve(sys_.A, sys_.b, sys_.x0, tol=1e-8, norm="l2",
+                        inner_tol=1e-4, use_pallas=True)
+    assert res.converged and res.residual < 1e-8
