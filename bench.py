@@ -112,6 +112,13 @@ def main() -> None:
     # cheb(3,3) won the on-chip smoother sweep (0.94 ms vs 0.98 for (2,2),
     # 1.12 for (1,1), 1.23 for rbgs(1,1) / fmg-warm-start variants)
     h = build_hierarchy(system.A, grid, smoother="chebyshev", pre=3, post=3, dtype=dtype)
+    # the hierarchy's fine operator is const-detected (the Dirichlet
+    # Laplacian has constant coefficients): zero matrix bytes per SpMV.
+    # BOTH runs use it — plain CG gets the same upgrade, so vs_baseline
+    # stays an algorithm comparison, not an operator trick.
+    A_var = A  # variable-coefficient stencil (the BASELINE SpMV metric)
+    if h.levels:
+        A = h.levels[0].A
 
     plain_run = make_scan(with_mg=False)
     t_plain, (p_its, p_ress, p_convs) = timed(plain_run, h, (k_short, k_long))
@@ -162,14 +169,20 @@ def main() -> None:
 
     k_spmv = (16, 528) if on_tpu else (2, 6)
 
-    # stencil path: the fine operator of the headline workload
-    v0 = jnp.asarray(rng.standard_normal(A.grid).astype(np.float32))
-    t_st = spmv_timed(lambda Ad, v: as_operator(Ad)(v), A.astype(jnp.float32), v0, k_spmv)
+    # stencil path: the fine operator of the headline workload — measured on
+    # the VARIABLE-coefficient form (the BASELINE metric; the const-detected
+    # operator moves no matrix bytes and is reported separately)
+    v0 = jnp.asarray(rng.standard_normal(A_var.grid).astype(np.float32))
+    t_st = spmv_timed(lambda Ad, v: as_operator(Ad)(v), A_var.astype(jnp.float32), v0, k_spmv)
     stencil_metrics = {
         "us": round(t_st * 1e6, 1),
-        "gflops": round(2.0 * A.nlegs * n / t_st / 1e9, 1),
-        "gnnz_per_s": round(A.nnz / t_st / 1e9, 2),
+        "gflops": round(2.0 * A_var.nlegs * n / t_st / 1e9, 1),
+        "gnnz_per_s": round(A_var.nnz / t_st / 1e9, 2),
     }
+    if h.levels and A is not A_var:
+        t_cst = spmv_timed(lambda Ad, v: as_operator(Ad)(v), A.astype(jnp.float32), v0, k_spmv)
+        stencil_metrics["const_us"] = round(t_cst * 1e6, 1)
+        stencil_metrics["const_gflops"] = round(2.0 * A_var.nlegs * n / t_cst / 1e9, 1)
 
     # handmade Pallas path: the reference's band-160 |sin| family (no grid
     # structure -> the flat-DIA kernel's home turf), fused pair included

@@ -74,6 +74,8 @@ def spmv(A, x: np.ndarray) -> np.ndarray:
         return spmv(formats.bsr_to_csr(A), x)
     if isinstance(A, StencilMatrix):
         return spmv(formats.stencil_to_dia(A), x)
+    if isinstance(A, formats.ConstStencilMatrix):
+        return spmv(formats.stencil_to_dia(formats.const_to_stencil(A)), x)
     if isinstance(A, DenseMatrix):
         return np.asarray(A.data) @ x
     raise TypeError(f"unsupported matrix type {type(A)}")

@@ -374,3 +374,54 @@ def spmv_dia_cm_xla(A: DiaMatrix, x: jnp.ndarray) -> jnp.ndarray:
         t = dt[k] * w
         y = t if y is None else y + t
     return from_cm(y, plan)
+
+
+# ---------------------------------------------------------------------------
+# CSR / ELL entry points (SURVEY §7 layer 2: "Pallas CSR/ELL SpMV ...
+# N11 equivalent, Mgcg.cl:171-216").  The reference's handmade ELL kernel
+# assumes a BOUNDED vector window per work-group (local memory tile of
+# [groupStart - buffer, groupEnd + buffer], buffer = MaxNonzeroCountPerRow/2)
+# — i.e. bounded bandwidth.  A bounded-band ELL/CSR matrix IS a DIA matrix
+# in disguise (B[r, w] = A[r, r - h + w] — the DIA data array transposed),
+# and arbitrary-index gathers are exactly what the MXU/VPU cannot do well.
+# So the TPU-native answer is a SETUP-TIME relayout to DIA and the shared
+# column-major kernel: same windows, zero gathers, measured at the HBM
+# roofline.  Conversion is host-side numpy, done once per matrix (cached on
+# the operator), never in the iteration path.
+# ---------------------------------------------------------------------------
+
+
+def _dia_of(A) -> DiaMatrix:
+    from conjugategradient_tpu.core.formats import CsrMatrix, EllMatrix, csr_to_dia, ell_to_csr
+
+    if isinstance(A, DiaMatrix):
+        return A
+    if isinstance(A, EllMatrix):
+        return csr_to_dia(ell_to_csr(A))
+    if isinstance(A, CsrMatrix):
+        return csr_to_dia(A)
+    raise TypeError(f"no Pallas DIA relayout for {type(A)}")
+
+
+def make_pallas_operator(A, interpret: Optional[bool] = None):
+    """x -> A @ x through the column-major Pallas kernel, for DIA, ELL or
+    CSR inputs (ELL/CSR relayout to DIA once, at setup).  Requires concrete
+    (non-traced) data for the relayout — call outside jit, use the returned
+    operator inside."""
+    import numpy as np
+
+    Ad = _dia_of(A)
+    if isinstance(Ad.data, np.ndarray):
+        Ad = Ad.device_put()
+    return functools.partial(spmv_dia_pallas, Ad, interpret=interpret)
+
+
+def spmv_ell_pallas(A, x, interpret: Optional[bool] = None):
+    """ELL SpMV via the Pallas kernel (setup-time ELL->DIA relayout; see
+    module note — bounded-band ELL is DIA in disguise)."""
+    return make_pallas_operator(A, interpret=interpret)(x)
+
+
+def spmv_csr_pallas(A, x, interpret: Optional[bool] = None):
+    """CSR SpMV via the Pallas kernel (setup-time CSR->DIA relayout)."""
+    return make_pallas_operator(A, interpret=interpret)(x)

@@ -90,10 +90,16 @@ def spmv_dense(A: DenseMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def spmv(A, x: jnp.ndarray) -> jnp.ndarray:
+    from conjugategradient_tpu.core.formats import ConstStencilMatrix
+
     if isinstance(A, StencilMatrix):
         from conjugategradient_tpu.ops.stencil import spmv_stencil
 
         return spmv_stencil(A, x)
+    if isinstance(A, ConstStencilMatrix):
+        from conjugategradient_tpu.ops.stencil import spmv_const_stencil
+
+        return spmv_const_stencil(A, x)
     if isinstance(A, DiaMatrix):
         return spmv_dia(A, x)
     if isinstance(A, EllMatrix):
@@ -120,14 +126,22 @@ def as_operator(
     (currently DIA); ``roll=True`` selects the GSPMD-friendly cyclic-roll DIA
     formulation.  Both fall back to the XLA path elsewhere.
     """
+    from conjugategradient_tpu.core.formats import ConstStencilMatrix
+
     if callable(A) and not isinstance(
-        A, (DiaMatrix, EllMatrix, CsrMatrix, CooMatrix, BsrMatrix, DenseMatrix, StencilMatrix)
+        A,
+        (DiaMatrix, EllMatrix, CsrMatrix, CooMatrix, BsrMatrix, DenseMatrix,
+         StencilMatrix, ConstStencilMatrix),
     ):
         return A
     if roll and isinstance(A, StencilMatrix):
         from conjugategradient_tpu.ops.stencil import spmv_stencil_roll
 
         return partial(spmv_stencil_roll, A)
+    if roll and isinstance(A, ConstStencilMatrix):
+        from conjugategradient_tpu.ops.stencil import spmv_const_stencil_roll
+
+        return partial(spmv_const_stencil_roll, A)
     if use_pallas and isinstance(A, DiaMatrix):
         from conjugategradient_tpu.ops.pallas_spmv import spmv_dia_pallas
 

@@ -21,9 +21,10 @@ stays grid-shaped end-to-end.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from conjugategradient_tpu.core.formats import StencilMatrix
+from conjugategradient_tpu.core.formats import ConstStencilMatrix, StencilMatrix
 
 
 def spmv_stencil(A: StencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
@@ -51,6 +52,57 @@ def spmv_stencil_roll(A: StencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
             if s:
                 xs = jnp.roll(xs, -s, axis=ax)
         term = A.data[k] * xs
+        y = term if y is None else y + term
+    return y
+
+
+def spmv_const_stencil(A: ConstStencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x with zero matrix traffic: per-leg SCALAR coefficients times
+    statically shifted windows (boundary behaviour = the zero padding).
+    2n bytes per SpMV vs (nlegs + 2) n for the variable-coefficient form —
+    the fine-level Laplacian runs ~3x faster on chip."""
+    halo = A.halo
+    xp = jnp.pad(x, [(h, h) for h in halo])
+    y = None
+    for k, shift in enumerate(A.shifts):
+        sl = tuple(slice(h + s, h + s + g) for h, s, g in zip(halo, shift, A.grid))
+        term = A.coeffs[k] * xp[sl]
+        y = term if y is None else y + term
+    return y
+
+
+def spmv_const_stencil_roll(A: ConstStencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """Cyclic-roll variant for GSPMD — BUT a plain roll wraps real values
+    around the global edges with nothing to mask them (no grid-shaped legs
+    holding structural zeros), so edge-crossing legs zero the wrapped slab
+    explicitly via a positional mask (an iota compare per sharded axis —
+    negligible next to the SpMV itself)."""
+    y = None
+    for k, shift in enumerate(A.shifts):
+        xs = x
+        for ax, s in enumerate(shift):
+            if s:
+                xs = jnp.roll(xs, -s, axis=ax)
+                i = jax.lax.broadcasted_iota(jnp.int32, x.shape, ax)
+                g = x.shape[ax]
+                ok = (i + s >= 0) & (i + s < g)
+                xs = jnp.where(ok, xs, 0)
+        term = A.coeffs[k] * xs
+        y = term if y is None else y + term
+    return y
+
+
+def spmm_const_stencil(A: ConstStencilMatrix, B: jnp.ndarray) -> jnp.ndarray:
+    """A @ B for B of shape (*grid, k), constant-coefficient legs."""
+    halo = A.halo
+    pad = [(h, h) for h in halo] + [(0, 0)]
+    Bp = jnp.pad(B, pad)
+    y = None
+    for k, shift in enumerate(A.shifts):
+        sl = tuple(
+            slice(h + s, h + s + g) for h, s, g in zip(halo, shift, A.grid)
+        ) + (slice(None),)
+        term = A.coeffs[k] * Bp[sl]
         y = term if y is None else y + term
     return y
 

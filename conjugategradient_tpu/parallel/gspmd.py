@@ -116,14 +116,23 @@ def make_gspmd_mgcg(
 
     import dataclasses as _dc
 
+    from conjugategradient_tpu.core.formats import ConstStencilMatrix
+
     levels = []
     for lvl in h.levels:
         dspec, vspec = specs_for(lvl.grid)
+        if isinstance(lvl.A, ConstStencilMatrix):
+            # constant-coefficient level: coeffs are static metadata, no data
+            A_sh = lvl.A
+            ivspec = P() if getattr(lvl.inv_diag, "ndim", 0) == 0 else vspec
+        else:
+            A_sh = StencilMatrix(put(lvl.A.data, dspec), lvl.A.shifts, lvl.A.grid)
+            ivspec = vspec
         levels.append(
             _dc.replace(
                 lvl,
-                A=StencilMatrix(put(lvl.A.data, dspec), lvl.A.shifts, lvl.A.grid),
-                inv_diag=put(lvl.inv_diag, vspec),
+                A=A_sh,
+                inv_diag=put(lvl.inv_diag, ivspec),
                 mask=None if lvl.mask is None else put(lvl.mask, vspec),
                 weight=None if lvl.weight is None else put(lvl.weight, vspec),
             )

@@ -130,6 +130,22 @@ def make_shard_mgcg(
     h = hierarchy or build_hierarchy(
         system.A, grid, smoother=smoother, pre=pre, post=post, dtype=dt, layout="stencil"
     )
+    # the explicit shard_map path needs grid-shaped legs (its per-level data
+    # arrays are row-sharded); expand constant-coefficient levels back
+    import dataclasses as _dc
+
+    from conjugategradient_tpu.core.formats import ConstStencilMatrix, const_to_stencil
+
+    expanded = []
+    for lvl in h.levels:
+        if isinstance(lvl.A, ConstStencilMatrix):
+            inv_d = lvl.inv_diag
+            if getattr(inv_d, "ndim", 1) == 0:
+                inv_d = jnp.broadcast_to(inv_d, lvl.grid)
+            lvl = _dc.replace(lvl, A=const_to_stencil(lvl.A).device_put(dt), inv_diag=inv_d)
+        expanded.append(lvl)
+    if expanded:
+        h = MgHierarchy(tuple(expanded), h.coarse_inv, h.smoother, h.pre, h.post, h.omega)
     if not h.levels or not isinstance(h.levels[0].A, StencilMatrix):
         raise ValueError("make_shard_mgcg needs a stencil-layout hierarchy with >= 1 level")
     num = mesh.shape[axis]

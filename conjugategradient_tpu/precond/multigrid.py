@@ -33,7 +33,14 @@ import numpy as np
 import scipy.sparse as sp
 
 from conjugategradient_tpu.core import formats
-from conjugategradient_tpu.core.formats import DiaMatrix, StencilMatrix, dia_diagonal, dia_to_stencil
+from conjugategradient_tpu.core.formats import (
+    ConstStencilMatrix,
+    DiaMatrix,
+    StencilMatrix,
+    dia_diagonal,
+    dia_to_stencil,
+    stencil_to_const,
+)
 from conjugategradient_tpu.precond import transfer
 from conjugategradient_tpu.precond.smoothers import (
     chebyshev_smooth,
@@ -239,6 +246,7 @@ def build_hierarchy(
     dtype=None,
     layout: str = "stencil",
     sa_smooth_levels: int | None = None,
+    const_detect: bool = True,
 ) -> MgHierarchy:
     """Build the static hierarchy from the fine operator.
 
@@ -289,8 +297,17 @@ def build_hierarchy(
         if kind == "agg":
             W_host, _ = _agg_weights(_near_null(A_h, g), g)
         if layout == "stencil":
-            A_dev = dia_to_stencil(A_h, g).device_put(dt)
-            inv_d = jnp.asarray((1.0 / diag).astype(dt).reshape(g))
+            A_st = dia_to_stencil(A_h, g)
+            A_const = stencil_to_const(A_st) if const_detect else None
+            if A_const is not None:
+                # constant-coefficient level (the Poisson fine grids): zero
+                # matrix bytes per SpMV, scalar inv_diag (broadcasts through
+                # every smoother) — measured ~3x on the fine smoothing cost
+                A_dev = A_const.device_put(dt)
+                inv_d = jnp.asarray(np.asarray(1.0 / diag[0], dtype=dt))
+            else:
+                A_dev = A_st.device_put(dt)
+                inv_d = jnp.asarray((1.0 / diag).astype(dt).reshape(g))
             mask = parity_mask(g) if smoother == "rbgs" else None
             W_dev = None if W_host is None else jnp.asarray(W_host.astype(dt).reshape(g))
         else:
@@ -353,7 +370,7 @@ def _level_transfers(lvl: MgLevel, op):
     if not lvl.sa_smooth:
         # plain weighted aggregation: P = diag(W) P_plain, R = P^T / 2^d —
         # exact adjoints, no operator application in the transfer
-        if isinstance(lvl.A, StencilMatrix):
+        if isinstance(lvl.A, (StencilMatrix, ConstStencilMatrix)):
             return (
                 lambda r: transfer.restrict_agg_grid(W * r),
                 lambda e, fine: W * transfer.prolong_agg_grid(e, fine),
@@ -364,7 +381,7 @@ def _level_transfers(lvl: MgLevel, op):
         )
     c = _SA_W / lvl.cheb_bounds[1]
 
-    if isinstance(lvl.A, StencilMatrix):
+    if isinstance(lvl.A, (StencilMatrix, ConstStencilMatrix)):
 
         def rg(r):
             return transfer.restrict_agg_grid(W * (r - c * op(lvl.inv_diag * r)))
@@ -414,7 +431,7 @@ def v_cycle(
         return y.reshape(b.shape)
     lvl = h.levels[level]
     op = as_operator(lvl.A, use_pallas=use_pallas, roll=roll)
-    grid_native = isinstance(lvl.A, StencilMatrix)
+    grid_native = isinstance(lvl.A, (StencilMatrix, ConstStencilMatrix))
     if grid_native and tuple(b.shape) != tuple(lvl.grid):
         # flat caller with a stencil hierarchy: run grid-shaped, return flat
         x0g = None if x0 is None else x0.reshape(lvl.grid)
@@ -453,7 +470,7 @@ def fmg(h: MgHierarchy, b: jnp.ndarray, use_pallas: bool = False, roll: bool = F
     classic O(n) solver; pair with 1-3 MGCG iterations for tolerances beyond
     truncation error.
     """
-    grid_native = len(h.levels) > 0 and isinstance(h.levels[0].A, StencilMatrix)
+    grid_native = len(h.levels) > 0 and isinstance(h.levels[0].A, (StencilMatrix, ConstStencilMatrix))
     flat_in = grid_native and len(h.levels) > 0 and tuple(b.shape) != tuple(h.levels[0].grid)
     if flat_in:
         b = b.reshape(h.levels[0].grid)
@@ -524,7 +541,7 @@ def mgcg_solve(
 
     policy = policy or ConvergencePolicy()
     h = hierarchy or build_hierarchy(A, grid, smoother=smoother, pre=pre, post=post, layout=layout)
-    stencil = len(h.levels) > 0 and isinstance(h.levels[0].A, StencilMatrix)
+    stencil = len(h.levels) > 0 and isinstance(h.levels[0].A, (StencilMatrix, ConstStencilMatrix))
     if stencil:
         A_dev = h.levels[0].A  # fine-level stencil operator (same matrix)
         b = jnp.asarray(np.asarray(b)).reshape(grid)

@@ -42,13 +42,16 @@ jax.tree_util.register_dataclass(
 
 
 def _as_multi_operator(A):
+    from conjugategradient_tpu.core.formats import ConstStencilMatrix
     from conjugategradient_tpu.ops.spmm import spmm
-    from conjugategradient_tpu.ops.stencil import spmm_stencil
+    from conjugategradient_tpu.ops.stencil import spmm_const_stencil, spmm_stencil
 
-    if isinstance(A, StencilMatrix):
+    if isinstance(A, (StencilMatrix, ConstStencilMatrix)):
         # (n, k) <-> (*grid, k)
+        fn = spmm_const_stencil if isinstance(A, ConstStencilMatrix) else spmm_stencil
+
         def op(P):
-            return spmm_stencil(A, P.reshape(A.grid + (P.shape[-1],))).reshape(A.n, -1)
+            return fn(A, P.reshape(A.grid + (P.shape[-1],))).reshape(A.n, -1)
 
         return op
     if isinstance(A, (DiaMatrix, CsrMatrix, EllMatrix, CooMatrix, BsrMatrix, DenseMatrix)):

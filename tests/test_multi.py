@@ -138,16 +138,24 @@ def test_multi_rhs_mgcg_sharded_gspmd():
     def put(a, spec):
         return jax.device_put(a, NamedSharding(mesh, spec))
 
+    from conjugategradient_tpu.core.formats import ConstStencilMatrix
+
     levels = []
     for lvl in h.levels:
         ok = lvl.grid[0] % mesh.shape["x"] == 0
         dspec = P(None, "x") if ok else P()
         vspec = P("x") if ok else P()
+        if isinstance(lvl.A, ConstStencilMatrix):
+            A_sh = lvl.A  # static metadata only
+            ivspec = P() if getattr(lvl.inv_diag, "ndim", 1) == 0 else vspec
+        else:
+            A_sh = StencilMatrix(put(lvl.A.data, dspec), lvl.A.shifts, lvl.A.grid)
+            ivspec = vspec
         levels.append(
             dc.replace(
                 lvl,
-                A=StencilMatrix(put(lvl.A.data, dspec), lvl.A.shifts, lvl.A.grid),
-                inv_diag=put(lvl.inv_diag, vspec),
+                A=A_sh,
+                inv_diag=put(lvl.inv_diag, ivspec),
                 weight=None if lvl.weight is None else put(lvl.weight, vspec),
             )
         )

@@ -104,3 +104,25 @@ def test_refined_solve_pallas_inner():
     res = refined_solve(sys_.A, sys_.b, sys_.x0, tol=1e-8, norm="l2",
                         inner_tol=1e-4, use_pallas=True)
     assert res.converged and res.residual < 1e-8
+
+
+def test_pallas_ell_csr_entry_points():
+    """SURVEY §7 layer 2 (N11): CSR/ELL through the Pallas kernel — the
+    setup-time DIA relayout shares the roofline column-major kernel."""
+    from conjugategradient_tpu.core.formats import csr_to_ell, dia_to_csr
+    from conjugategradient_tpu.ops.pallas_spmv import (
+        make_pallas_operator,
+        spmv_csr_pallas,
+        spmv_ell_pallas,
+    )
+
+    A = banded_sin_matrix(700, 16)
+    csr = dia_to_csr(A)
+    ell = csr_to_ell(csr)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(A.n)
+    ref = oracle.spmv(A, x)
+    np.testing.assert_allclose(np.asarray(spmv_csr_pallas(csr, x)), ref, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(spmv_ell_pallas(ell, x)), ref, atol=1e-10)
+    op = make_pallas_operator(csr)
+    np.testing.assert_allclose(np.asarray(op(x)), ref, atol=1e-10)

@@ -148,7 +148,7 @@ def test_shard_mgcg_collective_count_vs_gspmd():
     # find h_sharded and fine_A from the other closure cells
     args = [cell.cell_contents for cell in solve_gs.__closure__]
     h_like = [a for a in args if a.__class__.__name__ == "MgHierarchy"]
-    A_like = [a for a in args if a.__class__.__name__ == "StencilMatrix"]
+    A_like = [a for a in args if a.__class__.__name__ in ("StencilMatrix", "ConstStencilMatrix")]
     assert h_like and A_like
     hlo_gs = jitted_gs.lower(h_like[0], A_like[0], b_gs, x0_gs).compile().as_text()
     counts_gs = _collective_counts(hlo_gs)

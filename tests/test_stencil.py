@@ -94,8 +94,25 @@ def test_hierarchy_stencil_levels_have_grid_shapes():
     sys_ = poisson_system((31, 31))
     h = build_hierarchy(sys_.A, (31, 31), max_coarse=64, layout="stencil")
     for lvl in h.levels:
-        assert isinstance(lvl.A, formats.StencilMatrix)
-        assert lvl.inv_diag.shape == lvl.grid
+        assert isinstance(lvl.A, (formats.StencilMatrix, formats.ConstStencilMatrix))
+        # const levels carry a scalar inv_diag (broadcasts through smoothers)
+        assert lvl.inv_diag.shape in (lvl.grid, ())
+    # the fine Dirichlet Laplacian IS constant-coefficient: must be detected
+    assert isinstance(h.levels[0].A, formats.ConstStencilMatrix)
+
+    # const detection must be exact: opt-out path keeps grid-shaped legs and
+    # both hierarchies produce the same preconditioner action
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conjugategradient_tpu.precond.multigrid import v_cycle
+
+    h2 = build_hierarchy(sys_.A, (31, 31), max_coarse=64, layout="stencil", const_detect=False)
+    assert isinstance(h2.levels[0].A, formats.StencilMatrix)
+    r = jnp.asarray(np.random.default_rng(0).standard_normal((31, 31)))
+    np.testing.assert_allclose(
+        np.asarray(v_cycle(h, r)), np.asarray(v_cycle(h2, r)), rtol=1e-12, atol=1e-12
+    )
 
 
 def test_stencil_to_dia_rejects_aliased_shifts():
@@ -107,3 +124,45 @@ def test_stencil_to_dia_rejects_aliased_shifts():
     st = StencilMatrix(jnp.ones((2, 5, 5)), ((0, 5), (1, 0)), (5, 5))
     with pytest.raises(ValueError):
         stencil_to_dia(st)
+
+
+def test_const_stencil_spmv_matches_oracle():
+    """ConstStencilMatrix (zero matrix traffic) vs the fp64 oracle, both
+    slice and roll formulations, 1-D/2-D/3-D grids."""
+    import numpy as np
+
+    from conjugategradient_tpu.core import oracle
+    from conjugategradient_tpu.core.formats import dia_to_stencil, stencil_to_const
+    from conjugategradient_tpu.core.generators import (
+        poisson2d_matrix,
+        poisson3d_matrix,
+        tridiagonal_matrix,
+    )
+    from conjugategradient_tpu.ops.stencil import (
+        spmv_const_stencil,
+        spmv_const_stencil_roll,
+    )
+
+    cases = [
+        (tridiagonal_matrix(37, diag=2.0, off=-1.0), (37,)),
+        (poisson2d_matrix(13), (13, 13)),
+        (poisson3d_matrix(7), (7, 7, 7)),
+    ]
+    rng = np.random.default_rng(0)
+    for A, grid in cases:
+        st = dia_to_stencil(A, grid)
+        cst = stencil_to_const(st)
+        assert cst is not None, f"Poisson stencil on {grid} must const-detect"
+        x = rng.standard_normal(grid)
+        ref = oracle.spmv(A, x.reshape(-1)).reshape(grid)
+        np.testing.assert_allclose(np.asarray(spmv_const_stencil(cst.device_put(), x)), ref, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(spmv_const_stencil_roll(cst.device_put(), x)), ref, atol=1e-12
+        )
+        np.testing.assert_allclose(oracle.spmv(cst, x.reshape(-1)).reshape(grid), ref, atol=1e-12)
+
+    # variable-coefficient matrices must NOT const-detect
+    from conjugategradient_tpu.core.generators import banded_sin_matrix
+
+    st = dia_to_stencil(banded_sin_matrix(32, 4), (32,))
+    assert stencil_to_const(st) is None
