@@ -367,8 +367,8 @@ def stencil_to_const(st: "StencilMatrix"):
     Host-side setup helper — call on concrete (non-traced) data."""
     data = np.asarray(st.data)
     coeffs = []
+    idx = np.indices(st.grid)
     for k, s in enumerate(st.shifts):
-        idx = np.indices(st.grid)
         valid = np.ones(st.grid, dtype=bool)
         for ax, d in enumerate(s):
             coord = idx[ax] + d

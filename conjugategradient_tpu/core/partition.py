@@ -141,9 +141,16 @@ def halo_hops(csr: CsrMatrix, part: RowBlockPartition) -> int:
     """
     if not part.uniform:
         raise ValueError("halo_hops requires a uniform partition (pad_system first)")
+    return hops_from_ranges(halo_ranges_from_csr(csr, part), part)
+
+
+def hops_from_ranges(ranges, part: RowBlockPartition) -> int:
+    """Smallest h such that every shard's [lo, hi] column window lies within
+    h shards of its own row block (the one ceil-division formula, shared by
+    the CSR and ELL paths)."""
     n_local = part.counts[0]
     hops = 0
-    for (lo, hi), off, cnt in zip(halo_ranges_from_csr(csr, part), part.offsets, part.counts):
+    for (lo, hi), off, cnt in zip(ranges, part.offsets, part.counts):
         left = (off - lo + n_local - 1) // n_local if lo < off else 0
         right = (hi - (off + cnt - 1) + n_local - 1) // n_local if hi >= off + cnt else 0
         hops = max(hops, left, right)

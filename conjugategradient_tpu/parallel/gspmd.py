@@ -101,18 +101,11 @@ def make_gspmd_mgcg(
 
     nd = len(grid)
 
+    from conjugategradient_tpu.parallel.mesh import specs_for_grid
+
     def specs_for(g):
-        """(data_spec, vector_spec) sharding the leading len(axes) grid axes
-        that divide their mesh axes (NamedSharding requires even divisibility);
-        tiny/odd coarse levels replicate — they cost nothing."""
-        names = []
-        for i, ax_name in enumerate(axes[: len(g)]):  # never exceed grid rank
-            ok = g[i] % mesh.shape[ax_name] == 0
-            names.append(ax_name if ok else None)
-        if not any(names):
-            return P(), P()
-        tail = [None] * (len(g) - len(names))
-        return P(None, *names, *tail), P(*names, *tail)
+        # tiny/odd coarse levels replicate — they cost nothing
+        return specs_for_grid(g, mesh, axes)
 
     import dataclasses as _dc
 

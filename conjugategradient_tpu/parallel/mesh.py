@@ -26,3 +26,19 @@ def make_mesh(num_devices: int | None = None, axis: str = "x") -> Mesh:
             raise ValueError(f"requested {num_devices} devices, have {len(devices)}")
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (axis,))
+
+
+def specs_for_grid(g, mesh, axes):
+    """(data_spec, vector_spec) sharding the leading ``len(axes)`` grid axes
+    that divide their mesh axes (NamedSharding requires even divisibility);
+    non-divisible axes replicate.  The one divisibility rule shared by
+    ``parallel.gspmd`` and ``precond.distributed``."""
+    from jax.sharding import PartitionSpec as P
+
+    names = []
+    for i, ax_name in enumerate(tuple(axes)[: len(g)]):
+        names.append(ax_name if g[i] % mesh.shape[ax_name] == 0 else None)
+    if not any(names):
+        return P(), P()
+    tail = [None] * (len(g) - len(names))
+    return P(None, *names, *tail), P(*names, *tail)

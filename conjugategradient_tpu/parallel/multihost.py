@@ -107,8 +107,13 @@ def make_distributed_system(
     ndiags = len(offsets)
     diag_k = offsets.index(0)
 
+    import functools
+
+    @functools.lru_cache(maxsize=64)
     def block(lo, hi):
-        """(ndiags, hi-lo) data block, identity rows beyond n."""
+        """(ndiags, hi-lo) data block, identity rows beyond n — memoized:
+        the A/b/x0 callbacks each ask for the same slab (generating the
+        closed forms three times tripled rung-5 assembly time)."""
         hi_real = min(hi, n)
         if hi_real > lo:
             _, d, b_blk, x0_blk = w.build_rows(lo, hi_real, dtype=dt)

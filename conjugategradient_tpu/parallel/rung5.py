@@ -44,7 +44,7 @@ def unit_shifts(d: int) -> Tuple[Tuple[int, ...], ...]:
 
 
 def poisson_stencil_slab(
-    grid: GridShape, pad0: int, lo: int, hi: int, dtype=np.float32
+    grid: GridShape, lo: int, hi: int, dtype=np.float32
 ) -> np.ndarray:
     """Stencil legs ``(nlegs, hi-lo, *grid[1:])`` for the axis-0 slab
     [lo, hi) of the identity-padded Poisson grid (Dirichlet, unit spacing;
@@ -74,7 +74,7 @@ def poisson_stencil_slab(
 
 
 def poisson_rhs_slab(
-    grid: GridShape, pad0: int, lo: int, hi: int, dtype=np.float32, seed: int = 0
+    grid: GridShape, lo: int, hi: int, dtype=np.float32, seed: int = 0
 ) -> np.ndarray:
     """Grid-shaped RHS slab: the ``poisson_system`` recipe on real rows
     (flat index over the ORIGINAL grid), zero on the padded plane."""
@@ -88,10 +88,7 @@ def poisson_rhs_slab(
         coords.append(np.arange(grid[ax], dtype=np.int64).reshape(shp))
     i = sum(coords[ax] * int(strides[ax]) for ax in range(d)).astype(np.float64)
     vals = np.sin(0.37 * i + seed) + 0.25 * np.cos(1.3 * i)
-    out = np.where(coords[0] < g0, vals, 0.0).astype(dtype)
-    return np.broadcast_to(out, (hi - lo,) + tuple(grid[1:])).copy() if out.shape != (
-        (hi - lo,) + tuple(grid[1:])
-    ) else out
+    return np.where(coords[0] < g0, vals, 0.0).astype(dtype)
 
 
 def make_rung5_system(
@@ -114,11 +111,11 @@ def make_rung5_system(
 
     def leg_cb(idx):
         lo, hi, _ = idx[1].indices(G0)
-        return jnp.asarray(poisson_stencil_slab(grid, pad0, lo, hi, dtype=dtype))
+        return jnp.asarray(poisson_stencil_slab(grid, lo, hi, dtype=dtype))
 
     def b_cb(idx):
         lo, hi, _ = idx[0].indices(G0)
-        return jnp.asarray(poisson_rhs_slab(grid, pad0, lo, hi, dtype=dtype, seed=seed))
+        return jnp.asarray(poisson_rhs_slab(grid, lo, hi, dtype=dtype, seed=seed))
 
     def x0_cb(idx):
         lo, hi, _ = idx[0].indices(G0)

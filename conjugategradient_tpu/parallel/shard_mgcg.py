@@ -123,7 +123,7 @@ def make_shard_mgcg(
     """
     from conjugategradient_tpu.precond import build_hierarchy
 
-    if smoother == "rbgs":
+    if smoother == "rbgs" or (hierarchy is not None and hierarchy.smoother == "rbgs"):
         raise NotImplementedError("rbgs masks are not wired through the sharded V-cycle yet")
     grid = tuple(grid)
     dt = dtype or np.asarray(system.A.data).dtype
@@ -174,6 +174,7 @@ def make_shard_mgcg(
             halo0=max((abs(s[0]) for s in lvl.A.shifts), default=0),
             bounds=lvl.cheb_bounds,
             kind=lvl.transfer,
+            sa_smooth=lvl.sa_smooth,
         )
         for lvl in sh_levels
     ]
@@ -226,13 +227,21 @@ def make_shard_mgcg(
             x = jnp.zeros_like(r)
             x = _smooth_local(op, invd_l, m, r, x, h.pre)
             res = r - op(x)
-            if m["kind"] == "agg":
+            if m["kind"] == "agg" and m["sa_smooth"]:
                 c = _SA_W / m["bounds"][1]
                 W_l = weights_[level]
                 rc = transfer.restrict_agg_grid(W_l * (res - c * op(invd_l * res)))
                 ec = v_local(level + 1, rc)
                 w = W_l * transfer.prolong_agg_grid(ec, r.shape)
                 x = x + (w - c * (invd_l * op(w)))
+            elif m["kind"] == "agg":
+                # plain weighted aggregation (sa_smooth=False, e.g. probed
+                # hierarchies): transfers must match the UNsmoothed P the
+                # coarse Galerkin products were built from
+                W_l = weights_[level]
+                rc = transfer.restrict_agg_grid(W_l * res)
+                ec = v_local(level + 1, rc)
+                x = x + W_l * transfer.prolong_agg_grid(ec, r.shape)
             else:  # num == 1 fallback: plain full weighting, fully local
                 rc = transfer.restrict_grid(res)
                 ec = v_local(level + 1, rc)

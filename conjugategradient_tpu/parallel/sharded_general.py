@@ -48,17 +48,16 @@ from conjugategradient_tpu.solvers.policy import ConvergencePolicy
 
 def _ell_hops(A: EllMatrix, part: RowBlockPartition) -> int:
     """halo_hops for ELL: per-shard column ranges straight from ``cols``
-    (padding slots point at the row's own index — always in-shard, harmless)."""
+    (padding slots point at the row's own index — always in-shard, harmless);
+    the hop arithmetic is the shared ``partition.hops_from_ranges``."""
+    from conjugategradient_tpu.core.partition import hops_from_ranges
+
     cols = np.asarray(A.cols)
-    n_local = part.counts[0]
-    hops = 0
+    ranges = []
     for off, cnt in zip(part.offsets, part.counts):
         c = cols[off : off + cnt]
-        lo, hi = int(c.min()), int(c.max())
-        left = (off - lo + n_local - 1) // n_local if lo < off else 0
-        right = (hi - (off + cnt - 1) + n_local - 1) // n_local if hi >= off + cnt else 0
-        hops = max(hops, left, right)
-    return hops
+        ranges.append((int(c.min()), int(c.max())))
+    return hops_from_ranges(ranges, part)
 
 
 def _csr_shard_arrays(A: CsrMatrix, part: RowBlockPartition, hops: int, rebase: bool):

@@ -168,18 +168,10 @@ def _probe_coarse(legs, W, shifts: Tuple[Tuple[int, ...], ...], fine: GridShape)
 
 
 def _specs_for(g: GridShape, mesh, axes: Tuple[str, ...]):
-    """(data_spec, vector_spec) sharding the leading grid axes that divide
-    their mesh axes; non-divisible axes replicate (same rule as
-    ``parallel.gspmd.make_gspmd_mgcg``)."""
-    from jax.sharding import PartitionSpec as P
+    """Shared divisibility rule — see ``parallel.mesh.specs_for_grid``."""
+    from conjugategradient_tpu.parallel.mesh import specs_for_grid
 
-    names = []
-    for i, ax_name in enumerate(axes[: len(g)]):
-        names.append(ax_name if g[i] % mesh.shape[ax_name] == 0 else None)
-    if not any(names):
-        return P(), P()
-    tail = [None] * (len(g) - len(names))
-    return P(None, *names, *tail), P(*names, *tail)
+    return specs_for_grid(g, mesh, axes)
 
 
 def build_hierarchy_probed(

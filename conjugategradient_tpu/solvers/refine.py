@@ -181,7 +181,7 @@ def refined_solve(
 
     r, res = true_residual(x)
     history.append(res)
-    if raise_on_divergence:
+    if raise_on_divergence and res >= tol:
         raise NotConvergedError(
             f"iterative refinement: {max_outer} outer passes, residual {res:.3e}"
         )
