@@ -128,7 +128,9 @@ def make_shard_mgcg(
     grid = tuple(grid)
     dt = dtype or np.asarray(system.A.data).dtype
     h = hierarchy or build_hierarchy(
-        system.A, grid, smoother=smoother, pre=pre, post=post, dtype=dt, layout="stencil"
+        system.A, grid, smoother=smoother, pre=pre, post=post, dtype=dt,
+        layout="stencil", transfer_kind="agg",  # hyb transfers need halo
+        # exchange inside restrict/prolong — GSPMD territory (parallel.gspmd)
     )
     # the explicit shard_map path needs grid-shaped legs (its per-level data
     # arrays are row-sharded); expand constant-coefficient levels back

@@ -52,14 +52,17 @@ from conjugategradient_tpu.precond.multigrid import MgHierarchy, MgLevel
 GridShape = Tuple[int, ...]
 
 
-def _box_shifts(d: int) -> Tuple[Tuple[int, ...], ...]:
-    """The full {-1, 0, 1}^d shift box, sorted (matches ``unit_shifts``'s
-    ordering convention for the subset it covers)."""
-    return tuple(sorted(product((-1, 0, 1), repeat=d)))
+def _box_shifts(extents: Tuple[int, ...]) -> Tuple[Tuple[int, ...], ...]:
+    """The full per-axis shift box prod_ax {-e_ax..e_ax}, sorted (matches
+    ``unit_shifts``'s ordering convention for the subset it covers)."""
+    return tuple(sorted(product(*[range(-e, e + 1) for e in extents])))
 
 
-def _iota_mod3(grid: GridShape):
-    return [jax.lax.broadcasted_iota(jnp.int32, grid, ax) % 3 for ax in range(len(grid))]
+def _iota_mod(grid: GridShape, periods: Tuple[int, ...]):
+    return [
+        jax.lax.broadcasted_iota(jnp.int32, grid, ax) % periods[ax]
+        for ax in range(len(grid))
+    ]
 
 
 def _coset_mask(iotas, c: Tuple[int, ...]):
@@ -129,8 +132,33 @@ def _lam_max_dev(A: StencilMatrix, inv_diag: jnp.ndarray, iters: int = 30):
     return lam
 
 
-def _probe_coarse(legs, W, shifts: Tuple[Tuple[int, ...], ...], fine: GridShape):
-    """Traced: the 3^d coarse legs of C = R_w A P_w by coset probing.
+def _probe_geometry(fine: GridShape, kind: str):
+    """(coarse_shape, periods, extents) for coset probing.
+
+    The coarse operator's per-axis coupling EXTENT sets the probing period:
+    two coarse columns with the same residue mod p are p apart, so probing
+    is exact iff p >= 2*extent + 1.  Plain aggregation and full weighting
+    keep extent 1 (period 3); cell-centered interpolation has extent 2
+    (period 5) — mixed hybrid axes probe with mixed periods.
+    """
+    if kind == "hyb":
+        kinds = transfer.hybrid_kinds(fine)
+        gc = transfer.hybrid_coarse_shape(fine)
+        extents = tuple(2 if k == "cc" else 1 for k in kinds)
+    else:
+        gc = transfer.agg_coarse_shape(fine)
+        extents = tuple(1 for _ in fine)
+    periods = tuple(2 * e + 1 for e in extents)
+    return gc, periods, extents
+
+
+def _probe_coarse(legs, W, shifts: Tuple[Tuple[int, ...], ...], fine: GridShape, kind: str = "agg"):
+    """Traced: the coarse legs of C = R A P by per-axis coset probing.
+
+    ``kind``: "agg" = plain weighted aggregation (C = R_w A P_w with the
+    aggregate weights ``W``); "hyb" = per-axis fw/cell-centered
+    interpolation (geometric, W unused).  Periods per axis come from
+    ``_probe_geometry`` (3 for extent-1 transfers, 5 for cell-centered).
 
     ``legs``/``W`` are (sharded) device arrays; everything inside is
     shardable grid ops, so under jit the mesh partitioning of the inputs
@@ -138,31 +166,36 @@ def _probe_coarse(legs, W, shifts: Tuple[Tuple[int, ...], ...], fine: GridShape)
     """
     d = len(fine)
     A = StencilMatrix(legs, shifts, fine)
-    gc = transfer.agg_coarse_shape(fine)
-    iotas = _iota_mod3(gc)
-    cosets = jnp.asarray(list(product(range(3), repeat=d)), dtype=jnp.int32)
+    gc, periods, extents = _probe_geometry(fine, kind)
+    iotas = _iota_mod(gc, periods)
+    cosets = jnp.asarray(list(product(*[range(p) for p in periods])), dtype=jnp.int32)
 
     def apply_C(c):
         m = None
         for ax in range(d):
             e = iotas[ax] == c[ax]
             m = e if m is None else (m & e)
-        v = W * transfer.prolong_agg_grid(m.astype(legs.dtype), fine)
+        e0 = m.astype(legs.dtype)
+        if kind == "hyb":
+            v = transfer.prolong_hybrid_grid(e0, fine)
+            return transfer.restrict_hybrid_grid(spmv_stencil_roll(A, v))
+        v = W * transfer.prolong_agg_grid(e0, fine)
         y = spmv_stencil_roll(A, v)
         return transfer.restrict_agg_grid(W * y)
 
-    # sequential over the 3^d probes: peak memory = ONE fine-sized apply
-    # (an unrolled loop let XLA keep all 27 probes' intermediates live —
+    # sequential over the prod(periods) probes: peak memory = ONE fine-sized
+    # apply (an unrolled loop let XLA keep all probes' intermediates live —
     # measured 20x the fine footprint at 255^3)
-    Y = jax.lax.map(apply_C, cosets)  # (3^d, *gc)
+    Y = jax.lax.map(apply_C, cosets)  # (prod(periods), *gc)
 
-    # legs[s][j] = Y[flat((j + s) mod 3)][j]: one gather per output leg
+    # legs[s][j] = Y[flat((j + s) mod p)][j]: one gather per output leg
     out = []
-    for s in _box_shifts(d):
+    for s in _box_shifts(extents):
         idx = None
         for ax in range(d):
-            r = (iotas[ax] + (s[ax] % 3)) % 3
-            idx = r if idx is None else idx * 3 + r
+            p_ax = periods[ax]
+            r = (iotas[ax] + (s[ax] % p_ax)) % p_ax
+            idx = r if idx is None else idx * p_ax + r
         out.append(jnp.take_along_axis(Y, idx[None], axis=0)[0])
     return jnp.stack(out)
 
@@ -185,6 +218,7 @@ def build_hierarchy_probed(
     max_coarse: int = 1025,
     max_levels: int = 25,
     power_iters: int = 30,
+    transfer_kind: str = "auto",
 ) -> MgHierarchy:
     """Aggregation hierarchy from a mesh-sharded fine stencil — all device.
 
@@ -216,10 +250,29 @@ def build_hierarchy_probed(
     d = len(g)
     center = shifts.index(tuple([0] * d))
 
+    if transfer_kind not in ("auto", "hyb", "agg"):
+        raise ValueError(f"unknown transfer_kind {transfer_kind!r} (probed setup)")
+
+    def _pick(gg, geom_ok=True):
+        """``geom_ok``: the constant is the near-null candidate — required
+        for the geometric hyb transfers (cf. multigrid._const_near_null);
+        aggregation adapts its weights to either candidate."""
+        if transfer_kind == "agg":
+            return "agg" if transfer.can_aggregate(gg) else None
+        if transfer_kind == "hyb":
+            return "hyb" if transfer.can_hybrid(gg) else None
+        if geom_ok and transfer.can_hybrid(gg) and all(
+            n >= 5 for n in transfer.hybrid_coarse_shape(gg)
+        ):
+            return "hyb"  # ~2x fewer MGCG its than plain aggregation
+        if transfer.can_aggregate(gg):
+            return "agg"
+        return None
+
     levels = []
     while (
         int(np.prod(g)) > max_coarse
-        and transfer.can_aggregate(g)
+        and _pick(g) is not None
         and len(levels) < max_levels - 1
     ):
         # per-shape jitted setup kernels (shapes shrink level by level, so
@@ -230,10 +283,13 @@ def build_hierarchy_probed(
         lam_f = float(lam) * 1.1
         bounds = (0.25 * lam_f, lam_f)
         z_is_ones = float(q_ones) <= float(q_alt)
+        kind = _pick(g, geom_ok=z_is_ones)
+        if kind is None:
+            break
 
         W, z_c, coarse_legs = jax.jit(
-            lambda legs_, s=shifts, gg=g, c=center, zo=z_is_ones: _level_coarsen(
-                legs_, s, gg, zo
+            lambda legs_, s=shifts, gg=g, c=center, zo=z_is_ones, kk=kind: _level_coarsen(
+                legs_, s, gg, zo, kk
             )
         )(legs)
 
@@ -245,15 +301,15 @@ def build_hierarchy_probed(
                 grid=g,
                 cheb_bounds=bounds,
                 mask=None,
-                transfer="agg",
-                weight=put(W, vspec),
+                transfer=kind,
+                weight=put(W, vspec) if kind == "agg" else None,
                 sa_smooth=False,
             )
         )
 
         # prune structurally-zero legs (host decision on tiny readbacks)
-        gc = transfer.agg_coarse_shape(g)
-        box = _box_shifts(d)
+        gc, _, extents = _probe_geometry(g, kind)
+        box = _box_shifts(extents)
         mags = np.asarray(jax.jit(lambda cl: jnp.stack([jnp.max(jnp.abs(l)) for l in cl]))(
             coarse_legs
         ))
@@ -264,13 +320,12 @@ def build_hierarchy_probed(
         shifts, g = new_shifts, gc
         center = shifts.index(tuple([0] * d))
 
-    # coarsest: tiny — gather, invert densely (MXU matvec at solve time)
+    # coarsest: tiny — gather, invert densely (MXU matvec at solve time).
+    # Assemble dense straight from the legs: on very small grids distinct
+    # shifts can alias the same flat DIA offset, so no DIA roundtrip.
     legs_h = np.asarray(legs)
-    A_c = stencil_to_dia(StencilMatrix(legs_h, shifts, g))
-    dense = formats.dia_to_dense(A_c)
-    coarse_inv = jnp.asarray(
-        np.linalg.inv(np.asarray(dense.data, dtype=np.float64)).astype(legs_h.dtype)
-    )
+    dense_c = _legs_to_dense(legs_h, shifts, g)
+    coarse_inv = jnp.asarray(np.linalg.inv(dense_c.astype(np.float64)).astype(legs_h.dtype))
     from jax.sharding import PartitionSpec as P
 
     return MgHierarchy(
@@ -283,6 +338,22 @@ def build_hierarchy_probed(
     )
 
 
+def _legs_to_dense(legs_h: np.ndarray, shifts, g: GridShape) -> np.ndarray:
+    """(nlegs, *g) stencil legs -> dense (n, n), exact grid-neighbour logic."""
+    n = int(np.prod(g))
+    idx = np.indices(g).reshape(len(g), -1)
+    strides = np.cumprod([1] + list(g[:0:-1]))[::-1]
+    out = np.zeros((n, n), dtype=legs_h.dtype)
+    rows = np.arange(n)
+    for k, sh in enumerate(shifts):
+        nb = idx + np.asarray(sh)[:, None]
+        valid = np.all((nb >= 0) & (nb < np.asarray(g)[:, None]), axis=0)
+        cols = (nb * strides[:, None]).sum(axis=0)
+        v = legs_h[k].reshape(-1)
+        out[rows[valid], cols[valid]] += v[valid]
+    return out
+
+
 def _level_pack(legs, shifts, g, center, power_iters):
     """Traced per-level statistics: inverse diagonal, both near-null Rayleigh
     quotients, lam_max(D^{-1}A)."""
@@ -293,9 +364,11 @@ def _level_pack(legs, shifts, g, center, power_iters):
     return inv_d, q1, q2, lam
 
 
-def _level_coarsen(legs, shifts, g, z_is_ones):
-    """Traced per-level coarsening: aggregate weights + probed coarse legs."""
-    A_ = StencilMatrix(legs, shifts, g)
+def _level_coarsen(legs, shifts, g, z_is_ones, kind):
+    """Traced per-level coarsening: (aggregate weights +) probed coarse legs."""
+    if kind == "hyb":
+        one = jnp.ones((), legs.dtype)
+        return one, one, _probe_coarse(legs, None, shifts, g, kind="hyb")
     z = jnp.ones(g, legs.dtype) if z_is_ones else _checkerboard(g, legs.dtype)
     W, z_c = _agg_weights_dev(z, g)
     coarse = _probe_coarse(legs, W, shifts, g)

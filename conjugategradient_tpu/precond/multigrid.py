@@ -171,6 +171,22 @@ def _near_null(A_h: DiaMatrix, grid: GridShape) -> np.ndarray:
     return best
 
 
+def _const_near_null(A_h: DiaMatrix, grid: GridShape) -> bool:
+    """True iff the constant (not the checkerboard) is the near-null
+    candidate — the precondition for GEOMETRIC transfers (fw/cc linear
+    interpolation assume smooth = constant-like error; on alternating
+    near-null operators like the (+1, 2, +1) tridiagonal they leave the
+    slow mode uncorrected — measured 1541 MGCG its vs 4 with aggregation
+    at n=4096)."""
+    from conjugategradient_tpu.core import oracle as _oracle
+
+    ones = np.ones(A_h.n)
+    alt = np.where(np.indices(grid).sum(axis=0).reshape(-1) % 2 == 0, 1.0, -1.0)
+    q1 = float(ones @ _oracle.spmv(A_h, ones))
+    q2 = float(alt @ _oracle.spmv(A_h, alt))
+    return q1 <= q2
+
+
 def _agg_weights(z: np.ndarray, grid: GridShape):
     """Per-aggregate-normalised candidate -> (W, z_coarse).
 
@@ -219,6 +235,8 @@ def galerkin_coarse(
     S = _dia_to_scipy(A)
     if kind == "fw":
         P = transfer.prolong_matrix(fine)
+    elif kind == "hyb":
+        P = transfer.prolong_hybrid_matrix(fine)
     else:
         P = transfer.prolong_agg_matrix(fine)
         if weight is None:
@@ -247,6 +265,7 @@ def build_hierarchy(
     layout: str = "stencil",
     sa_smooth_levels: int | None = None,
     const_detect: bool = True,
+    transfer_kind: str = "auto",
 ) -> MgHierarchy:
     """Build the static hierarchy from the fine operator.
 
@@ -270,6 +289,8 @@ def build_hierarchy(
     """
     if layout not in ("stencil", "dia"):
         raise ValueError(f"unknown layout {layout!r}")
+    if transfer_kind not in ("auto", "fw", "hyb", "agg"):
+        raise ValueError(f"unknown transfer_kind {transfer_kind!r}")
     if int(np.prod(grid)) != A.n:
         raise ValueError(f"prod(grid)={int(np.prod(grid))} != n={A.n}")
     if smoother not in ("jacobi", "chebyshev", "rbgs"):
@@ -278,12 +299,44 @@ def build_hierarchy(
     levels = []
     A_h = A  # host-side numpy DIA
     g = tuple(grid)
+    def _pick_kind(gg, geom_ok=True):
+        """auto: vertex-centered full weighting (all axes odd) > hybrid
+        fw/cell-centered (mixed parity; ~2x fewer MGCG its than plain
+        aggregation, extent-1 coarse stencils preserved) > aggregation.
+
+        ``geom_ok`` gates the geometric (interpolating) transfers on the
+        operator's near-null space being constant-like — see
+        ``_const_near_null``.  Aggregation adapts its weights to either
+        candidate, so it is always safe."""
+        if transfer_kind != "auto":
+            can = {
+                "fw": transfer.can_coarsen,
+                "hyb": transfer.can_hybrid,
+                "agg": transfer.can_aggregate,
+            }[transfer_kind]
+            return transfer_kind if can(gg) else None
+        if geom_ok and transfer.can_coarsen(gg):
+            return "fw"
+        # hyb only while the RESULTING coarse grid keeps every axis >= 5:
+        # cell-centered Galerkin operators have extent 2, and on smaller
+        # axes distinct grid shifts alias the same flat offset (no DIA
+        # representation); the tiny tail is agg
+        if geom_ok and transfer.can_hybrid(gg) and all(
+            n >= 5 for n in transfer.hybrid_coarse_shape(gg)
+        ):
+            return "hyb"
+        if transfer.can_aggregate(gg):
+            return "agg"
+        return None
+
     while (
         A_h.n > max_coarse
-        and (transfer.can_coarsen(g) or transfer.can_aggregate(g))
+        and _pick_kind(g) is not None
         and len(levels) < max_levels - 1
     ):
-        kind = "fw" if transfer.can_coarsen(g) else "agg"
+        kind = _pick_kind(g, geom_ok=_const_near_null(A_h, g))
+        if kind is None:
+            break
         diag = dia_diagonal(A_h)
         if np.any(diag <= 0):
             raise ValueError("non-positive diagonal; not SPD-compatible with Jacobi scaling")
@@ -330,7 +383,7 @@ def build_hierarchy(
         A_h = galerkin_coarse(
             A_h, g, kind, lam_max=bounds[1] or None, weight=W_host, sa_smooth=sa_smooth
         )
-        g = transfer.coarse_shape(g) if kind == "fw" else transfer.agg_coarse_shape(g)
+        g = _coarse_shape_of(g, kind)
 
     dt = dtype or np.asarray(A_h.data).dtype
     dense = formats.dia_to_dense(A_h)
@@ -357,6 +410,14 @@ def _smooth(h: MgHierarchy, lvl: MgLevel, op, b, x, sweeps: int, post: bool = Fa
     return jacobi_smooth(op, lvl.inv_diag, b, x, sweeps, h.omega)
 
 
+def _coarse_shape_of(g: GridShape, kind: str) -> GridShape:
+    if kind == "fw":
+        return transfer.coarse_shape(g)
+    if kind == "hyb":
+        return transfer.hybrid_coarse_shape(g)
+    return transfer.agg_coarse_shape(g)
+
+
 def _level_transfers(lvl: MgLevel, op):
     """(restrict, prolong) closures for a level, grid-shaped arrays.
 
@@ -364,6 +425,8 @@ def _level_transfers(lvl: MgLevel, op):
     scipy P used for the Galerkin product (symmetry = PCG validity):
     P = (I - c D^{-1}A) diag(W) P_plain, R = P^T / 2^d.
     """
+    if lvl.transfer == "hyb":
+        return transfer.restrict_hybrid_grid, transfer.prolong_hybrid_grid
     if lvl.transfer != "agg":
         return transfer.restrict_grid, transfer.prolong_grid
     W = lvl.weight
@@ -447,11 +510,7 @@ def v_cycle(
             rc = rg(r)
             ec = v_cycle(h, rc, level + 1, use_pallas, roll, gamma)
             return x + pg(ec, lvl.grid)
-        cg_shape = (
-            transfer.agg_coarse_shape(lvl.grid)
-            if lvl.transfer == "agg"
-            else transfer.coarse_shape(lvl.grid)
-        )
+        cg_shape = _coarse_shape_of(lvl.grid, lvl.transfer)
         rc = rg(r.reshape(lvl.grid)).reshape(-1)
         ec = v_cycle(h, rc, level + 1, use_pallas, roll, gamma)
         return x + pg(ec.reshape(cg_shape), lvl.grid).reshape(-1)
@@ -497,11 +556,7 @@ def fmg(h: MgHierarchy, b: jnp.ndarray, use_pallas: bool = False, roll: bool = F
         if grid_native:
             x = pg(x, lvl.grid)
         else:
-            cshape = (
-                transfer.agg_coarse_shape(lvl.grid)
-                if lvl.transfer == "agg"
-                else transfer.coarse_shape(lvl.grid)
-            )
+            cshape = _coarse_shape_of(lvl.grid, lvl.transfer)
             x = pg(x.reshape(cshape), lvl.grid).reshape(-1)
         x = v_cycle(h, bs[level], level, use_pallas, roll, x0=x)
     return x.reshape(-1) if flat_in else x

@@ -178,3 +178,114 @@ def prolong_matrix(fine: GridShape) -> sp.csr_matrix:
 def restrict_matrix(fine: GridShape) -> sp.csr_matrix:
     """R = P^T / 2^d (full weighting)."""
     return (prolong_matrix(fine).T * (0.5 ** len(fine))).tocsr()
+
+
+# ---------------------------------------------------------------------------
+# Hybrid per-axis transfers — full weighting on odd axes, CELL-CENTERED
+# linear interpolation on even axes.
+#
+# Plain pairwise aggregation (above) coarsens any size but converges ~2x
+# slower than interpolating transfers (measured: 7-9 MGCG its vs 4 on the
+# Poisson family).  Even axes cannot use vertex-centered full weighting, but
+# the cell-centered P
+#
+#     ef[2J]   = (3 ec[J] + ec[J-1]) / 4
+#     ef[2J+1] = (3 ec[J] + ec[J+1]) / 4        (missing neighbours dropped)
+#
+# interpolates linearly between cell centers, needs only even extents, and —
+# critically for the distributed probed setup — keeps Galerkin coarse
+# stencils at extent <= 1 (unlike SA smoothing, which widens by a ring per
+# level).  R = P^T / 2 per axis, as everywhere else.
+# ---------------------------------------------------------------------------
+
+
+def hybrid_kinds(fine: GridShape):
+    """Per-axis transfer choice ("fw" | "cc"), or None if some axis cannot
+    coarsen (odd axes need >= 3, even axes >= 2)."""
+    kinds = []
+    for n in fine:
+        if n % 2 == 1 and n >= 3:
+            kinds.append("fw")
+        elif n % 2 == 0 and n >= 2:
+            kinds.append("cc")
+        else:
+            return None
+    return tuple(kinds)
+
+
+def can_hybrid(fine: GridShape) -> bool:
+    return hybrid_kinds(fine) is not None
+
+
+def hybrid_coarse_shape(fine: GridShape) -> GridShape:
+    kinds = hybrid_kinds(fine)
+    if kinds is None:
+        raise ValueError(f"shape {fine} not hybrid-coarsenable")
+    return tuple((n - 1) // 2 if k == "fw" else n // 2 for n, k in zip(fine, kinds))
+
+
+def _restrict_cc_axis(v: jnp.ndarray) -> jnp.ndarray:
+    """R = P_cc^T / 2 along the last axis (even size n = 2m -> m):
+    rc[J] = (3 v[2J] + 3 v[2J+1] + v[2J-1] + v[2J+2]) / 8."""
+    n = v.shape[-1]
+    m = n // 2
+    a = v[..., 0:n:2]
+    b = v[..., 1:n:2]
+    pad1 = [(0, 0)] * (v.ndim - 1)
+    lft = jnp.pad(v[..., 1 : 2 * m - 2 : 2], pad1 + [(1, 0)]) if m > 1 else jnp.zeros_like(a)
+    rgt = jnp.pad(v[..., 2:n:2], pad1 + [(0, 1)]) if m > 1 else jnp.zeros_like(a)
+    return (3.0 * (a + b) + lft + rgt) / 8.0
+
+
+def _prolong_cc_axis(e: jnp.ndarray, n_fine: int) -> jnp.ndarray:
+    """P_cc along the last axis (m -> 2m)."""
+    pad1 = [(0, 0)] * (e.ndim - 1)
+    left = jnp.pad(e[..., :-1], pad1 + [(1, 0)])
+    right = jnp.pad(e[..., 1:], pad1 + [(0, 1)])
+    even = (3.0 * e + left) / 4.0
+    odd = (3.0 * e + right) / 4.0
+    out = jnp.stack([even, odd], axis=-1).reshape(e.shape[:-1] + (n_fine,))
+    return out
+
+
+def restrict_hybrid_grid(v: jnp.ndarray) -> jnp.ndarray:
+    kinds = hybrid_kinds(v.shape)
+    for ax, k in enumerate(kinds):
+        fn = _restrict_axis if k == "fw" else _restrict_cc_axis
+        v = jnp.moveaxis(fn(jnp.moveaxis(v, ax, -1)), -1, ax)
+    return v
+
+
+def prolong_hybrid_grid(e: jnp.ndarray, fine: GridShape) -> jnp.ndarray:
+    kinds = hybrid_kinds(fine)
+    for ax, k in enumerate(kinds):
+        fn = _prolong_axis if k == "fw" else _prolong_cc_axis
+        e = jnp.moveaxis(fn(jnp.moveaxis(e, ax, -1), fine[ax]), -1, ax)
+    return e
+
+
+def prolong_cc_matrix_1d(n_fine: int) -> sp.csr_matrix:
+    m = n_fine // 2
+    rows, cols, vals = [], [], []
+    for J in range(m):
+        rows.append(2 * J); cols.append(J); vals.append(0.75)
+        if J >= 1:
+            rows.append(2 * J); cols.append(J - 1); vals.append(0.25)
+        rows.append(2 * J + 1); cols.append(J); vals.append(0.75)
+        if J + 1 < m:
+            rows.append(2 * J + 1); cols.append(J + 1); vals.append(0.25)
+    return sp.csr_matrix((vals, (rows, cols)), shape=(n_fine, m))
+
+
+def prolong_hybrid_matrix(fine: GridShape) -> sp.csr_matrix:
+    """Mixed per-axis P as the Kronecker product (host Galerkin twin of the
+    device operators above — exact transposes keep the V-cycle symmetric)."""
+    kinds = hybrid_kinds(fine)
+    mats = [
+        prolong_matrix_1d(n) if k == "fw" else prolong_cc_matrix_1d(n)
+        for n, k in zip(fine, kinds)
+    ]
+    P = mats[0]
+    for M in mats[1:]:
+        P = sp.kron(P, M, format="csr")
+    return P

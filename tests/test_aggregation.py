@@ -36,7 +36,12 @@ def test_power_of_two_tridiagonal_mgcg():
     sys_ = tridiagonal_system(n)
     pol = ConvergencePolicy(tol=1e-8, norm="rel_l2", max_iteration=8 * n)
     mg, h = mgcg_solve(sys_.A, sys_.b, (n,), policy=pol)
-    assert all(lvl.transfer == "agg" for lvl in h.levels)
+    # (+1, 2, +1): the near-null space is the ALTERNATING vector, so auto
+    # must keep the geometric (hyb/fw) transfers off on the FINE level
+    # (forced hyb measured 1541 its at n=4096 vs 4 with gating); the
+    # weighted-agg Galerkin flips the coarse operator Laplacian-like, so
+    # deeper levels may legitimately re-enable hyb
+    assert h.levels[0].transfer == "agg"
     assert bool(mg.converged)
     assert int(mg.iterations) <= 60
     r = sys_.b - oracle.spmv(sys_.A, np.asarray(mg.x))
@@ -74,12 +79,12 @@ def test_even_grid_2d_mgcg_dia_layout():
 def test_mixed_fw_then_agg_levels():
     """Odd fine grid coarsens with full weighting until an even size appears,
     then aggregation continues — the hierarchy mixes transfer kinds."""
-    grid = (21, 21)  # 21 -> 10 (fw) -> agg from there
+    grid = (21, 21)  # 21 -> 10 (fw), then hyb/agg on the even tail
     sys_ = poisson_system(grid)
     h = build_hierarchy(sys_.A, grid, smoother="jacobi", max_coarse=8)
     kinds = [lvl.transfer for lvl in h.levels]
     assert kinds[0] == "fw"
-    assert "agg" in kinds
+    assert len(set(kinds)) >= 2  # mixes transfer kinds
     # symmetric (PCG-valid) even with mixed transfers
     import jax.numpy as jnp
 

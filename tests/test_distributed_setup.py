@@ -38,11 +38,14 @@ def test_probed_hierarchy_matches_host_builder(grid):
     assert len(h.levels) == len(hh.levels) and len(h.levels) >= 2
     for lp, lh in zip(h.levels, hh.levels):
         assert lp.grid == lh.grid
-        assert lp.transfer == "agg" and lp.sa_smooth is False
+        assert lp.transfer == lh.transfer and lp.sa_smooth is False
         np.testing.assert_allclose(_dense(lp.A), _dense(lh.A), atol=1e-12)
-        np.testing.assert_allclose(
-            np.asarray(lp.weight), np.asarray(lh.weight), atol=1e-12
-        )
+        if lp.weight is None:
+            assert lh.weight is None
+        else:
+            np.testing.assert_allclose(
+                np.asarray(lp.weight), np.asarray(lh.weight), atol=1e-12
+            )
         np.testing.assert_allclose(
             np.asarray(lp.inv_diag), np.asarray(lh.inv_diag), atol=1e-12
         )
@@ -51,15 +54,42 @@ def test_probed_hierarchy_matches_host_builder(grid):
     )
 
 
-def test_probed_star_stencils_stay_star():
-    """Leg pruning: a 5/7-point star fine stencil must coarsen to star
-    stencils on every level (pairwise aggregation adds no corners)."""
+def test_probed_leg_pruning_per_kind():
+    """Leg pruning: aggregation levels keep extent-1 stencils; hybrid
+    (fw/cell-centered) levels stay within extent 2 per axis, never the full
+    probing box."""
     mesh = make_mesh()
     A, *_ = rung5.make_rung5_system((14, 16), mesh, dtype=np.float32)
     h = build_hierarchy_probed(A, mesh, max_coarse=4)
+    kinds = [lvl.transfer for lvl in h.levels]
+    assert "hyb" in kinds  # 16x16 fine level qualifies
+    parent_kind = None  # a level's operator extent is set by its PARENT's
+    # transfer (Galerkin product of the level above); fine level is extent 1
     for lvl in h.levels:
+        max_ext = 2 if parent_kind == "hyb" else 1
+        assert all(max(abs(c) for c in s) <= max_ext for s in lvl.A.shifts)
+        parent_kind = lvl.transfer
+    # agg-only build keeps the 5-point star everywhere (round-1 invariant)
+    h_agg = build_hierarchy_probed(A, mesh, max_coarse=4, transfer_kind="agg")
+    for lvl in h_agg.levels:
         assert len(lvl.A.shifts) == 5  # 2d+1 in 2-D
         assert all(sum(abs(c) for c in s) <= 1 for s in lvl.A.shifts)
+
+
+def test_probed_hybrid_beats_agg_on_iterations():
+    """The hybrid transfers' purpose: fewer MGCG iterations than plain
+    aggregation on the same (even-axis padded) system."""
+    mesh = make_mesh()
+    grid = (30, 31, 31)
+    A, b, x0, padded, n_real = rung5.make_rung5_system(grid, mesh, dtype=np.float32)
+    pol = ConvergencePolicy(tol=1e-6, norm="rel_l2", max_iteration=100)
+    its = {}
+    for kind in ("hyb", "agg"):
+        h = build_hierarchy_probed(A, mesh, max_coarse=129, transfer_kind=kind)
+        res = rung5.make_rung5_mgcg(pol, h)(b, x0)
+        assert bool(res.converged), kind
+        its[kind] = int(res.iterations)
+    assert its["hyb"] < its["agg"], its
 
 
 def test_rung5_mgcg_solves_and_matches_oracle():

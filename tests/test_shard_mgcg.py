@@ -53,12 +53,23 @@ def test_sharded_stencil_spmv_matches_global():
 def test_shard_mgcg_matches_gspmd_to_fp_tolerance():
     """The VERDICT 'done' bar: 8-shard explicit shard_map MGCG == GSPMD MGCG
     on the same hierarchy, to fp tolerance."""
+    from conjugategradient_tpu.precond import build_hierarchy
+
     grid = (128, 128)
     sys_ = poisson_system(grid)
     pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=500)
     mesh = make_mesh(8)
-    res_sm = shard_mgcg_solve(sys_, grid, mesh=mesh, policy=pol, smoother="chebyshev")
-    res_gs = gspmd_mgcg_solve(sys_, grid, mesh=mesh, policy=pol, smoother="chebyshev")
+    # one shared agg hierarchy: the explicit path's halo transfers cover agg
+    # only (hyb needs in-transfer halo exchange — GSPMD's job)
+    h = build_hierarchy(
+        sys_.A, grid, smoother="chebyshev", transfer_kind="agg", layout="stencil"
+    )
+    res_sm = shard_mgcg_solve(
+        sys_, grid, mesh=mesh, policy=pol, smoother="chebyshev", hierarchy=h
+    )
+    res_gs = gspmd_mgcg_solve(
+        sys_, grid, mesh=mesh, policy=pol, smoother="chebyshev", hierarchy=h
+    )
     assert bool(res_sm.converged) and bool(res_gs.converged)
     assert _true_rel(sys_, res_sm) < 1e-9
     # same preconditioner maths -> same Krylov path: iteration counts agree
@@ -94,7 +105,9 @@ def test_shard_mgcg_multilevel_hierarchy_sharded_depth():
 
     grid = (128, 128)
     sys_ = poisson_system(grid)
-    h = build_hierarchy(sys_.A, grid, smoother="chebyshev", max_coarse=64)
+    h = build_hierarchy(
+        sys_.A, grid, smoother="chebyshev", max_coarse=64, transfer_kind="agg"
+    )
     n_sharded = 0
     for lvl in h.levels:
         if _shardable(lvl, 8):
@@ -120,16 +133,26 @@ def test_shard_mgcg_collective_count_vs_gspmd():
     schedule is fixed and small; record it next to GSPMD's derived one."""
     from conjugategradient_tpu.parallel.gspmd import make_gspmd_mgcg
 
+    from conjugategradient_tpu.precond import build_hierarchy
+
     grid = (64, 64)
     sys_ = poisson_system(grid)
     pol = ConvergencePolicy(tol=1e-8, norm="rel_l2", max_iteration=100)
     mesh = make_mesh(8)
 
-    solve_sm, (b_sm, x0_sm) = make_shard_mgcg(sys_, grid, mesh, pol, smoother="jacobi")
+    # one shared agg hierarchy so both programs run the same maths
+    h = build_hierarchy(
+        sys_.A, grid, smoother="jacobi", transfer_kind="agg", layout="stencil"
+    )
+    solve_sm, (b_sm, x0_sm) = make_shard_mgcg(
+        sys_, grid, mesh, pol, smoother="jacobi", hierarchy=h
+    )
     hlo_sm = solve_sm.jitted.lower(*solve_sm.lower_args).compile().as_text()
     counts_sm = _collective_counts(hlo_sm)
 
-    solve_gs, (b_gs, x0_gs) = make_gspmd_mgcg(sys_, grid, mesh, pol, smoother="jacobi")
+    solve_gs, (b_gs, x0_gs) = make_gspmd_mgcg(
+        sys_, grid, mesh, pol, smoother="jacobi", hierarchy=h
+    )
     # reach the underlying jitted fn: __wrapped__ of the returned lambda
     import conjugategradient_tpu.parallel.gspmd as gspmd_mod
 
@@ -174,3 +197,42 @@ def test_shard_mgcg_collective_count_vs_gspmd():
             f,
             indent=1,
         )
+
+
+def test_shard_mgcg_plain_agg_hierarchy_matches_vcycle():
+    """Review fix r2: a caller-supplied plain-aggregation hierarchy
+    (sa_smooth_levels=0, as the probed rung-5 setup produces) must get the
+    matching UNsmoothed transfers in the sharded V-cycle — the solve agrees
+    with the single-device MGCG on the same hierarchy."""
+    from conjugategradient_tpu.precond import build_hierarchy
+    from conjugategradient_tpu.precond.multigrid import mgcg_solve
+
+    grid = (64, 64)
+    sys_ = poisson_system(grid)
+    pol = ConvergencePolicy(tol=1e-8, norm="rel_l2", max_iteration=200)
+    mesh = make_mesh(8)
+
+    h = build_hierarchy(
+        sys_.A, grid, sa_smooth_levels=0, layout="stencil", transfer_kind="agg"
+    )
+    solve, (b, x0) = make_shard_mgcg(sys_, grid, mesh, pol, hierarchy=h)
+    res = solve(b, x0)
+    assert bool(res.converged)
+
+    ref, _ = mgcg_solve(sys_.A, sys_.b, grid, sys_.x0, policy=pol, hierarchy=h)
+    assert bool(ref.converged)
+    # same preconditioner => same Krylov sequence => same iteration count
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res.x, np.float64), np.asarray(ref.x, np.float64), rtol=1e-5, atol=1e-8
+    )
+
+
+def test_shard_mgcg_rejects_rbgs_hierarchy():
+    from conjugategradient_tpu.precond import build_hierarchy
+
+    grid = (32, 32)
+    sys_ = poisson_system(grid)
+    h = build_hierarchy(sys_.A, grid, smoother="rbgs", layout="stencil")
+    with pytest.raises(NotImplementedError):
+        make_shard_mgcg(sys_, grid, make_mesh(8), ConvergencePolicy(), hierarchy=h)
