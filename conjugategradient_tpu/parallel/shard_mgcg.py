@@ -15,6 +15,11 @@ This module distributes the V-cycle itself with explicit collectives:
   index pairs along each axis, and a shard whose local extent is even never
   owns half an aggregate — restriction/prolongation stay local (the SA
   smoothing term ``(I - c D^{-1}A)`` reuses the halo SpMV);
+- hybrid fw/cell-centered transfers (``transfer_kind="hyb"``, the default
+  for even grids — ~2x fewer MGCG iterations than aggregation) exchange ONE
+  boundary element along the sharded axis per restrict/prolong (a 1-element
+  ``ppermute`` pair), since cc interpolation couples adjacent cells across
+  the pair boundary;
 - coarse levels whose leading axis stops dividing the mesh switch to
   *replicated*: one ``all_gather`` of the restricted residual, the standard
   single-device ``v_cycle`` below (zero collectives), and a local slice of
@@ -86,11 +91,83 @@ def spmv_stencil_shard(data_l, shifts, x, halo0: int, axis: str, num: int):
     return y
 
 
+def _cc0_halo(v, axis: str, num: int):
+    """(left, right): ring neighbors' edge slabs (1 element) along the
+    leading axis, zeroed at the global boundary — matching the zero padding
+    of the unsharded cell-centered transfers (``transfer._restrict_cc_axis``).
+    """
+    if num == 1:
+        z = jnp.zeros_like(v[:1])
+        return z, z
+    fwd = [(i, (i + 1) % num) for i in range(num)]
+    bwd = [(i, (i - 1) % num) for i in range(num)]
+    left = jax.lax.ppermute(v[-1:], axis, fwd)  # previous shard's last element
+    right = jax.lax.ppermute(v[:1], axis, bwd)  # next shard's first element
+    idx = jax.lax.axis_index(axis)
+    left = jnp.where(idx == 0, 0.0, left)
+    right = jnp.where(idx == num - 1, 0.0, right)
+    return left, right
+
+
+def _restrict_cc0_shard(v, axis: str, num: int):
+    """Cell-centered restriction along the sharded leading axis:
+    ``rc[J] = (3 v[2J] + 3 v[2J+1] + v[2J-1] + v[2J+2]) / 8`` on the local
+    block — the two boundary terms cost one 1-element ppermute pair."""
+    a = v[0::2]
+    b = v[1::2]
+    left, right = _cc0_halo(v, axis, num)
+    lft = jnp.concatenate([left, b[:-1]], axis=0)  # v[2J-1]
+    rgt = jnp.concatenate([a[1:], right], axis=0)  # v[2J+2]
+    return (3.0 * (a + b) + lft + rgt) / 8.0
+
+
+def _prolong_cc0_shard(e, axis: str, num: int):
+    """Cell-centered prolongation along the sharded leading axis
+    (exact transpose of ``_restrict_cc0_shard`` up to the 1/2 scaling)."""
+    left, right = _cc0_halo(e, axis, num)
+    lf = jnp.concatenate([left, e[:-1]], axis=0)  # ec[J-1]
+    rt = jnp.concatenate([e[1:], right], axis=0)  # ec[J+1]
+    even = (3.0 * e + lf) / 4.0
+    odd = (3.0 * e + rt) / 4.0
+    return jnp.stack([even, odd], axis=1).reshape((2 * e.shape[0],) + e.shape[1:])
+
+
+def restrict_hybrid_shard(v, global_grid, axis: str, num: int):
+    """Hybrid fw/cc restriction on an axis-0 row block.  Only axis 0 crosses
+    shards (a sharded axis is even, hence cell-centered); the other axes run
+    the local per-axis operators unchanged."""
+    kinds = transfer.hybrid_kinds(global_grid)
+    if kinds[0] == "cc":
+        v = _restrict_cc0_shard(v, axis, num)
+    else:  # odd axis 0 -> only reachable when num == 1
+        v = jnp.moveaxis(transfer._restrict_axis(jnp.moveaxis(v, 0, -1)), -1, 0)
+    for ax in range(1, len(kinds)):
+        fn = transfer._restrict_axis if kinds[ax] == "fw" else transfer._restrict_cc_axis
+        v = jnp.moveaxis(fn(jnp.moveaxis(v, ax, -1)), -1, ax)
+    return v
+
+
+def prolong_hybrid_shard(e, global_grid, axis: str, num: int):
+    """Hybrid fw/cc prolongation onto an axis-0 row block of ``global_grid``."""
+    kinds = transfer.hybrid_kinds(global_grid)
+    if kinds[0] == "cc":
+        e = _prolong_cc0_shard(e, axis, num)
+    else:
+        e = jnp.moveaxis(
+            transfer._prolong_axis(jnp.moveaxis(e, 0, -1), global_grid[0]), -1, 0
+        )
+    for ax in range(1, len(kinds)):
+        fn = transfer._prolong_axis if kinds[ax] == "fw" else transfer._prolong_cc_axis
+        e = jnp.moveaxis(fn(jnp.moveaxis(e, ax, -1), global_grid[ax]), -1, ax)
+    return e
+
+
 def _shardable(lvl, num: int) -> bool:
     """A level runs sharded iff its leading axis splits evenly with an even
-    local extent (aggregates must not straddle shards), its stencil halo fits
-    in one neighbor hop, and its transfers are aggregation (full weighting
-    needs odd axes, which never divide an even mesh)."""
+    local extent (aggregates/cc pairs must not straddle shards), its stencil
+    halo fits in one neighbor hop, and its transfers are aggregation or
+    hybrid (vertex-centered full weighting needs odd axes, which never
+    divide an even mesh)."""
     g0 = lvl.grid[0]
     if g0 % num:
         return False
@@ -98,7 +175,7 @@ def _shardable(lvl, num: int) -> bool:
     halo0 = max((abs(s[0]) for s in lvl.A.shifts), default=0)
     if halo0 > n_local:
         return False
-    if num > 1 and lvl.transfer != "agg":
+    if num > 1 and lvl.transfer not in ("agg", "hyb"):
         return False
     return num == 1 or n_local % 2 == 0
 
@@ -129,8 +206,7 @@ def make_shard_mgcg(
     dt = dtype or np.asarray(system.A.data).dtype
     h = hierarchy or build_hierarchy(
         system.A, grid, smoother=smoother, pre=pre, post=post, dtype=dt,
-        layout="stencil", transfer_kind="agg",  # hyb transfers need halo
-        # exchange inside restrict/prolong — GSPMD territory (parallel.gspmd)
+        layout="stencil",
     )
     # the explicit shard_map path needs grid-shaped legs (its per-level data
     # arrays are row-sharded); expand constant-coefficient levels back
@@ -161,7 +237,7 @@ def make_shard_mgcg(
     if n_sharded == 0:
         raise ValueError(
             f"fine grid {grid} axis 0 does not shard over {num} devices "
-            "(need even local extents and agg transfers); use parallel.gspmd"
+            "(need even local extents and agg/hyb transfers); use parallel.gspmd"
         )
 
     def put(a, spec):
@@ -244,6 +320,12 @@ def make_shard_mgcg(
                 rc = transfer.restrict_agg_grid(W_l * res)
                 ec = v_local(level + 1, rc)
                 x = x + W_l * transfer.prolong_agg_grid(ec, r.shape)
+            elif m["kind"] == "hyb":
+                # hybrid fw/cell-centered: the cc boundary terms along the
+                # sharded axis cost one 1-element ppermute pair each way
+                rc = restrict_hybrid_shard(res, m["grid"], axis, num)
+                ec = v_local(level + 1, rc)
+                x = x + prolong_hybrid_shard(ec, m["grid"], axis, num)
             else:  # num == 1 fallback: plain full weighting, fully local
                 rc = transfer.restrict_grid(res)
                 ec = v_local(level + 1, rc)

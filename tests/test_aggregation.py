@@ -96,6 +96,53 @@ def test_mixed_fw_then_agg_levels():
     np.testing.assert_allclose(Mr @ s, r @ Ms, rtol=1e-9)
 
 
+@pytest.mark.parametrize("shape", [(16,), (32, 24), (10, 64)])
+def test_hybrid_device_transfers_match_scipy(shape):
+    """Device cc/fw hybrid transfers == the scipy Kronecker P (and R=P^T/2^d)
+    used for the Galerkin product — exact transposes keep the V-cycle SPD."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    n = int(np.prod(shape))
+    P = transfer.prolong_hybrid_matrix(shape)
+    nc = P.shape[1]
+    e = rng.standard_normal(nc)
+    r = rng.standard_normal(n)
+    cshape = transfer.hybrid_coarse_shape(shape)
+    got_p = np.asarray(
+        transfer.prolong_hybrid_grid(jnp.asarray(e).reshape(cshape), shape)
+    ).reshape(-1)
+    np.testing.assert_allclose(got_p, P @ e, rtol=1e-12)
+    got_r = np.asarray(transfer.restrict_hybrid_grid(jnp.asarray(r).reshape(shape))).reshape(-1)
+    want_r = (P.T * (0.5 ** len(shape))) @ r
+    np.testing.assert_allclose(got_r, want_r, rtol=1e-12)
+
+
+def test_hybrid_vcycle_symmetric_and_fewer_iterations():
+    """Hyb on an even Poisson grid: the V-cycle stays symmetric (PCG-valid)
+    and beats plain aggregation on iteration count — its reason to exist."""
+    import jax.numpy as jnp
+
+    grid = (64, 64)
+    sys_ = poisson_system(grid)
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=200)
+    its = {}
+    for kind in ("hyb", "agg"):
+        h = build_hierarchy(sys_.A, grid, transfer_kind=kind)
+        if kind == "hyb":
+            assert h.levels[0].transfer == "hyb"
+            rng = np.random.default_rng(3)
+            r = rng.standard_normal(sys_.n)
+            s = rng.standard_normal(sys_.n)
+            Mr = np.asarray(v_cycle(h, jnp.asarray(r)))
+            Ms = np.asarray(v_cycle(h, jnp.asarray(s)))
+            np.testing.assert_allclose(Mr @ s, r @ Ms, rtol=1e-9)
+        mg, _ = mgcg_solve(sys_.A, sys_.b, grid, policy=pol, hierarchy=h)
+        assert bool(mg.converged)
+        its[kind] = int(mg.iterations)
+    assert its["hyb"] < its["agg"], its
+
+
 def test_agg_galerkin_preserves_spd():
     from conjugategradient_tpu.core import formats
     from conjugategradient_tpu.precond import galerkin_coarse

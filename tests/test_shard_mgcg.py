@@ -228,6 +228,41 @@ def test_shard_mgcg_plain_agg_hierarchy_matches_vcycle():
     )
 
 
+def test_shard_mgcg_hybrid_transfers_match_gspmd():
+    """Hyb transfers in the explicit path (1-element ppermute pair per cc
+    restrict/prolong): same hierarchy through shard_map and GSPMD gives the
+    same Krylov path."""
+    from conjugategradient_tpu.precond import build_hierarchy
+
+    grid = (64, 64)
+    sys_ = poisson_system(grid)
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=200)
+    mesh = make_mesh(8)
+    h = build_hierarchy(sys_.A, grid, smoother="chebyshev", layout="stencil")
+    assert h.levels[0].transfer == "hyb"  # even grid: auto picks hyb
+    res_sm = shard_mgcg_solve(sys_, grid, mesh=mesh, policy=pol, hierarchy=h)
+    res_gs = gspmd_mgcg_solve(sys_, grid, mesh=mesh, policy=pol, hierarchy=h)
+    assert bool(res_sm.converged) and bool(res_gs.converged)
+    assert _true_rel(sys_, res_sm) < 1e-9
+    assert abs(int(res_sm.iterations) - int(res_gs.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res_sm.x), np.asarray(res_gs.x), rtol=1e-8, atol=1e-11
+    )
+
+
+@pytest.mark.parametrize("num", [1, 2, 4, 8])
+def test_shard_mgcg_hybrid_shard_count_invariance(num):
+    """The hyb boundary exchange must be exact: any shard count reproduces
+    the single-device hybrid V-cycle result."""
+    grid = (64, 32)
+    sys_ = poisson_system(grid)
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=200)
+    res = shard_mgcg_solve(sys_, grid, mesh=make_mesh(num), policy=pol)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 10  # the hyb iteration win, sharded
+    assert _true_rel(sys_, res) < 1e-9
+
+
 def test_shard_mgcg_rejects_rbgs_hierarchy():
     from conjugategradient_tpu.precond import build_hierarchy
 
