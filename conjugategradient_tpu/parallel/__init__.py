@@ -20,6 +20,10 @@ from conjugategradient_tpu.parallel.shard_mgcg import (  # noqa: F401
     make_shard_mgcg,
     shard_mgcg_solve,
 )
+from conjugategradient_tpu.parallel.shard_multi import (  # noqa: F401
+    make_shard_multi_mgcg,
+    shard_multi_mgcg_solve,
+)
 from conjugategradient_tpu.parallel.gspmd import (  # noqa: F401
     gspmd_mgcg_solve,
     make_gspmd_mgcg,

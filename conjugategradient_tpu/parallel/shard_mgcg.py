@@ -180,32 +180,30 @@ def _shardable(lvl, num: int) -> bool:
     return num == 1 or n_local % 2 == 0
 
 
-def make_shard_mgcg(
-    system: LinearSystem,
+def _prep_shard_hierarchy(
+    A_dia,
     grid,
     mesh: Mesh,
-    policy: ConvergencePolicy = ConvergencePolicy(),
-    axis: str = "x",
-    smoother: str = "chebyshev",
-    pre: int = 2,
-    post: int = 2,
-    dtype=None,
-    hierarchy: Optional[MgHierarchy] = None,
+    axis: str,
+    smoother: str,
+    pre: int,
+    post: int,
+    dt,
+    hierarchy: Optional[MgHierarchy],
 ):
-    """Build a jitted explicit-collective MGCG solver over a 1-D mesh.
+    """Shared setup for the explicit shard_map MGCG paths: build (or take)
+    the hierarchy, expand constant-coefficient levels to grid legs, split it
+    at the deepest shardable level, and pre-place every array on the mesh.
 
-    Returns ``(solve, (b, x0))`` with ``solve(b, x0) -> CGResult`` (flat x),
-    mirroring ``gspmd.make_gspmd_mgcg``.  All matrix/hierarchy arrays ride as
-    sharded jit arguments (never closure constants).
+    Returns ``(h, n_sharded, metas, datas, invds, weights, rep_h, put)``.
     """
     from conjugategradient_tpu.precond import build_hierarchy
 
     if smoother == "rbgs" or (hierarchy is not None and hierarchy.smoother == "rbgs"):
         raise NotImplementedError("rbgs masks are not wired through the sharded V-cycle yet")
     grid = tuple(grid)
-    dt = dtype or np.asarray(system.A.data).dtype
     h = hierarchy or build_hierarchy(
-        system.A, grid, smoother=smoother, pre=pre, post=post, dtype=dt,
+        A_dia, grid, smoother=smoother, pre=pre, post=post, dtype=dt,
         layout="stencil",
     )
     # the explicit shard_map path needs grid-shaped legs (its per-level data
@@ -270,6 +268,33 @@ def make_shard_mgcg(
         omega=h.omega,
     )
     rep_h = jax.device_put(rep_h)  # replicated (single-sharding default)
+    return h, n_sharded, metas, datas, invds, weights, rep_h, put
+
+
+def make_shard_mgcg(
+    system: LinearSystem,
+    grid,
+    mesh: Mesh,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    axis: str = "x",
+    smoother: str = "chebyshev",
+    pre: int = 2,
+    post: int = 2,
+    dtype=None,
+    hierarchy: Optional[MgHierarchy] = None,
+):
+    """Build a jitted explicit-collective MGCG solver over a 1-D mesh.
+
+    Returns ``(solve, (b, x0))`` with ``solve(b, x0) -> CGResult`` (flat x),
+    mirroring ``gspmd.make_gspmd_mgcg``.  All matrix/hierarchy arrays ride as
+    sharded jit arguments (never closure constants).
+    """
+    grid = tuple(grid)
+    dt = dtype or np.asarray(system.A.data).dtype
+    h, n_sharded, metas, datas, invds, weights, rep_h, put = _prep_shard_hierarchy(
+        system.A, grid, mesh, axis, smoother, pre, post, dt, hierarchy
+    )
+    num = mesh.shape[axis]
 
     b_dev = put(np.asarray(system.b, dtype=dt).reshape(grid), P(axis))
     x0_dev = put(np.asarray(system.x0, dtype=dt).reshape(grid), P(axis))
