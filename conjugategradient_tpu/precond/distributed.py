@@ -245,6 +245,16 @@ def build_hierarchy_probed(
     def put(arr, spec):
         return jax.device_put(arr, NamedSharding(mesh, spec))
 
+    def host_read(arr):
+        """Multi-process-safe host copy of a (small) sharded array: jit an
+        identity with fully-replicated output sharding — every process then
+        addresses a complete copy — and read that.  A plain ``np.asarray``
+        on a mesh-sharded array raises on pods (non-addressable shards)."""
+        from jax.sharding import PartitionSpec as P
+
+        rep = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))(arr)
+        return np.asarray(rep)
+
     g = tuple(A.grid)
     legs, shifts = A.data, A.shifts
     d = len(g)
@@ -310,7 +320,7 @@ def build_hierarchy_probed(
         # prune structurally-zero legs (host decision on tiny readbacks)
         gc, _, extents = _probe_geometry(g, kind)
         box = _box_shifts(extents)
-        mags = np.asarray(jax.jit(lambda cl: jnp.stack([jnp.max(jnp.abs(l)) for l in cl]))(
+        mags = host_read(jax.jit(lambda cl: jnp.stack([jnp.max(jnp.abs(l)) for l in cl]))(
             coarse_legs
         ))
         keep = [k for k in range(len(box)) if mags[k] > 0]
@@ -323,7 +333,7 @@ def build_hierarchy_probed(
     # coarsest: tiny — gather, invert densely (MXU matvec at solve time).
     # Assemble dense straight from the legs: on very small grids distinct
     # shifts can alias the same flat DIA offset, so no DIA roundtrip.
-    legs_h = np.asarray(legs)
+    legs_h = host_read(legs)
     dense_c = _legs_to_dense(legs_h, shifts, g)
     coarse_inv = jnp.asarray(np.linalg.inv(dense_c.astype(np.float64)).astype(legs_h.dtype))
     from jax.sharding import PartitionSpec as P
