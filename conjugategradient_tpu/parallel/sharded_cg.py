@@ -52,21 +52,68 @@ def _pdot(a, b, axis):
     return jax.lax.psum(jnp.dot(a.ravel(), b.ravel(), preferred_element_type=a.dtype), axis)
 
 
+def _pdot_fused(pairs, axis):
+    """Several dots in ONE collective: local partials are stacked into a
+    single (k,) vector and psum'd together.
+
+    The reference pays one host allreduce per dot (``resultsDot.Sum()`` at
+    ``ConjugateGradientParallelGpu.cs:463,499,525``); standard CG needs its
+    dots at two separate dependency points, so even on-device it costs two
+    allreduce latencies per iteration.  The communication-reduced variants
+    below restructure the recurrence so all scalars are needed at the SAME
+    point — this helper then makes them one wire message.
+    """
+    parts = jnp.stack(
+        [jnp.dot(a.ravel(), b.ravel(), preferred_element_type=a.dtype) for a, b in pairs]
+    )
+    return jax.lax.psum(parts, axis)
+
+
 def _presidual(r_local, rr, rr0, norm, axis):
     if norm == "linf":
         return jax.lax.pmax(jnp.max(jnp.abs(r_local)), axis)
     return _residual_norm(r_local, rr, rr0, norm)
 
 
-def sharded_cg_loop(op, M, b, x0, policy: ConvergencePolicy, axis: str, n_global: int) -> CGResult:
+def sharded_cg_loop(
+    op,
+    M,
+    b,
+    x0,
+    policy: ConvergencePolicy,
+    axis: str,
+    n_global: int,
+    variant: str = "cg",
+) -> CGResult:
     """The sharded CG recurrence, format-agnostic: ``op``/``M`` act on this
     shard's local slice (with whatever collectives they need inside), dots are
-    ``psum`` over ``axis``.  Shared by the DIA solver below and the
-    general-sparsity (CSR/ELL exact-halo) solver in ``sharded_general``.
+    ``psum`` over ``axis``.  Shared by the DIA solver below, the
+    general-sparsity (CSR/ELL exact-halo) solver in ``sharded_general`` and
+    the explicit shard_map MGCG fine loop.
     Runs inside ``shard_map``; the whole loop is one ``lax.while_loop`` —
     scalars never leave the devices (the re-design of the reference's
     host-allreduce choreography, ``ConjugateGradientParallelGpu.cs:424-565``).
+
+    ``variant`` selects the communication structure (identical maths in exact
+    arithmetic; see the variant docstrings for the fp caveats):
+
+    - ``"cg"`` — textbook recurrence: the p·Ap dot and the r·z / r·r pair sit
+      at two dependency points, so every iteration pays TWO allreduce
+      latencies (XLA fuses the adjacent rz/rr pair into one collective).
+    - ``"cg1"`` — Chronopoulos–Gear single-reduce CG: one fused (3,)-psum per
+      iteration, at the cost of two extra vector recurrences (HBM traffic).
+      Wins when allreduce latency > two axpy passes — i.e. multi-host DCN
+      meshes, or large ICI meshes on small shards.
+    - ``"pipelined"`` — Ghysels–Vanroose: like cg1, but the SpMV is made data
+      -independent of the reduction so XLA's latency-hiding scheduler can run
+      the allreduce UNDER the SpMV (async collectives) instead of before it.
     """
+    if variant == "cg1":
+        return _cg1_loop(op, M, b, x0, policy, axis, n_global, pipelined=False)
+    if variant == "pipelined":
+        return _cg1_loop(op, M, b, x0, policy, axis, n_global, pipelined=True)
+    if variant != "cg":
+        raise ValueError(f"unknown CG variant {variant!r}; want cg|cg1|pipelined")
     dtype = b.dtype
     tol = jnp.asarray(policy.tol, dtype)
     min_iter = policy.min_iteration
@@ -108,6 +155,121 @@ def sharded_cg_loop(op, M, b, x0, policy: ConvergencePolicy, axis: str, n_global
     return CGResult(x=x, iterations=it, residual=res, converged=converged)
 
 
+def _cg1_loop(op, M, b, x0, policy, axis, n_global, pipelined: bool) -> CGResult:
+    """Chronopoulos–Gear single-reduce CG, optionally Ghysels–Vanroose
+    pipelined.  Same Krylov sequence as ``sharded_cg_loop`` in exact
+    arithmetic.
+
+    The restructuring: introduce u = M r and w = A u as carried state, so
+    that the three scalars an iteration needs — γ=(r,u), δ=(w,u) for α/β and
+    (r,r) for the convergence predicate — are all available at ONE dependency
+    point and ship as a single fused (3,)-psum (``_pdot_fused``).  The extra
+    price is two more recurrences (s = A p, plus q = M s / z = A q when
+    pipelined): pure local HBM traffic traded against a wire latency.  The
+    reference's multi-GPU loop pays three sequential host allreduces per
+    iteration (``ConjugateGradientParallelGpu.cs:463,499,525``) — this is the
+    opposite end of that design axis.
+
+    ``pipelined=False`` (cg1): u = M r and w = A u are recomputed from the
+    fresh residual every iteration; the fused reduction sits between them and
+    the updates — one latency per iteration, numerically closest to PCG.
+
+    ``pipelined=True`` (Ghysels & Vanroose 2014): u and w advance by AXPY
+    recurrences (u -= α q, w -= α z) and the body computes m = M w, n = A m —
+    which have NO data dependence on the fused reduction of the same body, so
+    XLA's latency-hiding scheduler is free to run the psum underneath the
+    SpMV (async collective-start/done).  Costs: two more vectors of state,
+    and the recurrences let u/w drift from M r / A u in finite precision —
+    the classic pipelined-CG trade (use for latency-bound meshes, not for
+    squeezing the last digits; the convergence check also lags one iteration,
+    so it never under-runs the tolerance, and the reported final residual is
+    recomputed fresh).
+    """
+    dtype = b.dtype
+    tol = jnp.asarray(policy.tol, dtype)
+    min_iter = policy.min_iteration
+    max_iter = policy.resolve_max(n_global)
+    norm = policy.norm
+
+    x = x0
+    r = b - op(x)
+    u = M(r)
+    w = op(u)
+    gamma, delta, rr = _pdot_fused(((r, u), (w, u), (r, r)), axis)
+    rr0 = rr
+    zerov = jnp.zeros_like(b)
+    zero = jnp.zeros((), dtype)
+
+    def res_of(r, rr):
+        return _presidual(r, rr, rr0, norm, axis)
+
+    def scalars(gamma, delta, gamma_prev, alpha_prev):
+        # beta = 0 on the first trip (gamma_prev = 0 -> safe_div = 0), which
+        # collapses alpha to gamma/delta exactly as plain CG's first step
+        beta = _safe_div(gamma, gamma_prev)
+        alpha = _safe_div(gamma, delta - _safe_div(beta * gamma, alpha_prev))
+        return alpha, beta
+
+    if not pipelined:
+        # state scalars (gamma, delta, rr) always describe the CURRENT (r, u, w)
+        def cond(state):
+            x, r, u, w, p, s, g_prev, a_prev, gamma, delta, rr, it = state
+            res = res_of(r, rr)
+            return jnp.logical_and(jnp.logical_or(it < min_iter, res >= tol), it < max_iter)
+
+        def body(state):
+            x, r, u, w, p, s, g_prev, a_prev, gamma, delta, rr, it = state
+            alpha, beta = scalars(gamma, delta, g_prev, a_prev)
+            p = u + beta * p
+            s = w + beta * s
+            x = x + alpha * p
+            r = r - alpha * s
+            u = M(r)
+            w = op(u)
+            g2, d2, rr2 = _pdot_fused(((r, u), (w, u), (r, r)), axis)
+            return (x, r, u, w, p, s, gamma, alpha, g2, d2, rr2, it + 1)
+
+        state = (x, r, u, w, zerov, zerov, zero, zero, gamma, delta, rr, jnp.int32(0))
+        x, r, u, w, p, s, g_prev, a_prev, gamma, delta, rr, it = jax.lax.while_loop(
+            cond, body, state
+        )
+        res = res_of(r, rr)
+    else:
+        # dots are computed at the TOP of the body over the state's (r, u, w),
+        # next to the independent m = M w / n = A m — the overlap window.  The
+        # state's rr therefore describes the PREVIOUS body's r: the predicate
+        # lags one update (conservative), and the final residual is
+        # recomputed after the loop.
+        def cond(state):
+            x, r, u, w, p, s, q, z, g_prev, a_prev, rr, it = state
+            res = res_of(r, rr)
+            return jnp.logical_and(jnp.logical_or(it < min_iter, res >= tol), it < max_iter)
+
+        def body(state):
+            x, r, u, w, p, s, q, z, g_prev, a_prev, _rr, it = state
+            gamma, delta, rr = _pdot_fused(((r, u), (w, u), (r, r)), axis)
+            m = M(w)
+            n = op(m)  # <- no data dependence on the psum above: overlappable
+            alpha, beta = scalars(gamma, delta, g_prev, a_prev)
+            z = n + beta * z
+            q = m + beta * q
+            p = u + beta * p
+            s = w + beta * s
+            x = x + alpha * p
+            r = r - alpha * s
+            u = u - alpha * q
+            w = w - alpha * z
+            return (x, r, u, w, p, s, q, z, gamma, alpha, rr, it + 1)
+
+        state = (x, r, u, w, zerov, zerov, zerov, zerov, zero, zero, rr, jnp.int32(0))
+        x, r, u, w, p, s, q, z, g_prev, a_prev, rr, it = jax.lax.while_loop(cond, body, state)
+        rr = _pdot(r, r, axis)  # fresh: the carried rr lags one update
+        res = res_of(r, rr)
+
+    converged = jnp.logical_and(res < tol, it >= min_iter)
+    return CGResult(x=x, iterations=it, residual=res, converged=converged)
+
+
 def make_sharded_cg(
     A: DiaMatrix,
     mesh: Mesh,
@@ -115,6 +277,7 @@ def make_sharded_cg(
     axis: str = "x",
     M_local: Optional[Callable] = None,
     donate: bool = True,
+    variant: str = "cg",
 ):
     """Build a jitted sharded solver.
 
@@ -158,7 +321,7 @@ def make_sharded_cg(
         def M(r):
             return M_local(r, m_aux) if M_local is not None else r
 
-        return sharded_cg_loop(op, M, b, x0, policy, axis, n)
+        return sharded_cg_loop(op, M, b, x0, policy, axis, n, variant=variant)
 
     in_specs = (P(None, axis), P(axis), P(axis))
     if M_local is not None:
@@ -185,6 +348,7 @@ def sharded_cg_solve(
     M_local: Optional[Callable] = None,
     M_aux=None,
     dtype=None,
+    variant: str = "cg",
 ) -> CGResult:
     """One-call convenience: place the system on the mesh and solve.
 
@@ -199,7 +363,7 @@ def sharded_cg_solve(
         from conjugategradient_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(axis=axis)
-    solve = make_sharded_cg(A, mesh, policy, axis=axis, M_local=M_local, donate=False)
+    solve = make_sharded_cg(A, mesh, policy, axis=axis, M_local=M_local, donate=False, variant=variant)
     dt = dtype or np.asarray(A.data).dtype
     row_sharding = NamedSharding(mesh, P(axis))
     data = jax.device_put(jnp.asarray(np.asarray(A.data, dtype=dt)), NamedSharding(mesh, P(None, axis)))

@@ -95,6 +95,7 @@ def make_sharded_cg_general(
     axis: str = "x",
     M_local: Optional[Callable] = None,
     donate: bool = False,
+    variant: str = "cg",
 ):
     """Build a jitted sharded CG for a CSR or ELL matrix with exact halos.
 
@@ -182,7 +183,7 @@ def make_sharded_cg_general(
             m_aux = None
         op = local_op(tuple(mats))
         M = (lambda r: M_local(r, m_aux)) if M_local is not None else (lambda r: r)
-        return sharded_cg_loop(op, M, b, x0, policy, axis, n)
+        return sharded_cg_loop(op, M, b, x0, policy, axis, n, variant=variant)
 
     mat_specs = tuple(P(axis, None) for _ in mat_inputs)
     in_specs = mat_specs + ((row_spec, row_spec, row_spec) if M_local else (row_spec, row_spec))
@@ -206,6 +207,7 @@ def sharded_cg_solve_general(
     M_local: Optional[Callable] = None,
     M_aux=None,
     dtype=None,
+    variant: str = "cg",
 ) -> CGResult:
     """One-call convenience: place a CSR/ELL system on the mesh and solve with
     exact-halo-range communication."""
@@ -215,7 +217,9 @@ def sharded_cg_solve_general(
         mesh = make_mesh(axis=axis)
     dt = dtype or np.asarray(A.data).dtype
     A = A.astype(dt) if np.asarray(A.data).dtype != dt else A
-    solve, mat_inputs = make_sharded_cg_general(A, mesh, policy, axis=axis, M_local=M_local)
+    solve, mat_inputs = make_sharded_cg_general(
+        A, mesh, policy, axis=axis, M_local=M_local, variant=variant
+    )
     row = NamedSharding(mesh, P(axis))
     b_dev = jax.device_put(jnp.asarray(np.asarray(b, dtype=dt)), row)
     x0_arr = np.zeros(A.n, dtype=dt) if x0 is None else np.asarray(x0, dtype=dt)
