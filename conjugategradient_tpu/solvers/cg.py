@@ -100,10 +100,13 @@ def _cg_init(op, b, x0, M, dot, dtype):
 def _make_step(op, M, dot):
     """THE CG recurrence (``R/CG.R:38-58``), written once.
 
-    Returns ``step(x, r, p, rz, rr) -> (x, r, p, rz, rr)`` performing one
-    unconditional iteration.  NaN-free even at exact convergence (r = 0) via
-    ``_safe_div`` — required by the masked drivers, which keep executing the
-    step after convergence and select the old state.
+    Returns ``step(x, r, p, rz, rr) -> ((x, r, p, rz, rr), (alpha, beta))``
+    performing one unconditional iteration.  NaN-free even at exact
+    convergence (r = 0) via ``_safe_div`` — required by the masked drivers,
+    which keep executing the step after convergence and select the old state.
+    The step's scalars are returned because they are the Lanczos coefficients
+    in disguise (see ``solvers.eigen.spectrum_from_cg``); drivers that don't
+    record them drop them.
     """
 
     def step(x, r, p, rz, rr):
@@ -116,24 +119,26 @@ def _make_step(op, M, dot):
         rr_new = dot(r, r)
         beta = _safe_div(rz_new, rz)
         p = z + beta * p
-        return x, r, p, rz_new, rr_new
+        return (x, r, p, rz_new, rr_new), (alpha, beta)
 
     return step
 
 
 def _make_masked_step(op, M, dot):
-    """Fixed-trip-count variant: ``step(state, active) -> state`` where
-    ``state = (x, r, p, rz, rr, it)``.  When ``active`` is False the state is
-    frozen (scalar-predicate selects, fused by XLA) — iterations after
-    convergence are no-ops, so scans of static length terminate correctly."""
+    """Fixed-trip-count variant: ``step(state, active) -> (state, (alpha,
+    beta))`` where ``state = (x, r, p, rz, rr, it)``.  When ``active`` is
+    False the state is frozen (scalar-predicate selects, fused by XLA) —
+    iterations after convergence are no-ops, so scans of static length
+    terminate correctly (the scalars of frozen steps are meaningless;
+    consumers truncate by the final iteration count)."""
     raw = _make_step(op, M, dot)
 
     def step(state, active):
         x, r, p, rz, rr, it = state
-        new = raw(x, r, p, rz, rr)
+        new, coeffs = raw(x, r, p, rz, rr)
         sel = lambda a, b: jnp.where(active, a, b)
         x2, r2, p2, rz2, rr2 = (sel(a, b) for a, b in zip(new, (x, r, p, rz, rr)))
-        return x2, r2, p2, rz2, rr2, it + active.astype(jnp.int32)
+        return (x2, r2, p2, rz2, rr2, it + active.astype(jnp.int32)), coeffs
 
     return step
 
@@ -184,7 +189,8 @@ def cg_solve(
 
     def body(state):
         x, r, p, rz, rr, it = state
-        return (*step(x, r, p, rz, rr), it + 1)
+        new, _coeffs = step(x, r, p, rz, rr)
+        return (*new, it + 1)
 
     x, r, p, rz, rr, it = jax.lax.while_loop(cond, body, (x, r, p, rz, rr, jnp.int32(0)))
     res = res_of(r, rr)
@@ -201,6 +207,7 @@ def cg_solve_traced(
     num_steps: int = 100,
     precise_dot: bool = False,
     use_pallas: bool = False,
+    with_coefficients: bool = False,
 ):
     """Fixed-length CG that records the residual at every iteration.
 
@@ -210,7 +217,16 @@ def cg_solve_traced(
     single ``lax.scan``.  Iterations after convergence freeze the state, so
     the trailing history is flat.
 
-    Returns ``(CGResult, residual_history)``.
+    Returns ``(CGResult, residual_history)`` — or, with
+    ``with_coefficients=True``, ``(CGResult, residual_history, (alphas,
+    betas))`` where the two ``(num_steps,)`` arrays are the recurrence
+    scalars of every iteration.  They cost nothing extra (the scan computes
+    them anyway) and feed ``solvers.eigen.spectrum_from_cg``: the CG run IS a
+    Lanczos process, so the extremal eigenvalues and condition number of the
+    (preconditioned) operator fall out of a solve for free — the diagnostics
+    the reference prototyped as commented-out R probes (``R/CG.R:26-27``) and
+    a separate dense Jacobi eigensolver (``SparseMatrix.cs:234-372``).
+    Entries past ``iterations`` are from frozen steps; truncate before use.
     """
     op = as_operator(A, use_pallas=use_pallas)
     dtype = b.dtype
@@ -229,14 +245,19 @@ def cg_solve_traced(
     def step(state, _):
         _, r, _, _, rr, it = state
         active = jnp.logical_or(it < min_iter, res_of(r, rr) >= tol)
-        new_state = masked(state, active)
-        return new_state, res_of(new_state[1], new_state[4])
+        new_state, coeffs = masked(state, active)
+        return new_state, (res_of(new_state[1], new_state[4]), *coeffs)
 
-    state, history = jax.lax.scan(step, (x, r, p, rz, rr, jnp.int32(0)), None, length=num_steps)
+    state, (history, alphas, betas) = jax.lax.scan(
+        step, (x, r, p, rz, rr, jnp.int32(0)), None, length=num_steps
+    )
     x, r, p, rz, rr, it = state
     res = res_of(r, rr)
     converged = jnp.logical_and(res < tol, it >= min_iter)
-    return CGResult(x=x, iterations=it, residual=res, converged=converged), history
+    result = CGResult(x=x, iterations=it, residual=res, converged=converged)
+    if with_coefficients:
+        return result, history, (alphas, betas)
+    return result, history
 
 
 def cg_solve_chunked(
@@ -315,7 +336,7 @@ def cg_solve_chunked(
                 jnp.logical_or(it < min_iter, res_of(r, rr, rr0) >= tol),
                 it < jnp.int32(max_iter),
             )
-            return masked(state, active), None
+            return masked(state, active)[0], None
 
         (x, r, p, rz, rr, it), _ = jax.lax.scan(
             step, (x, r, p, rz, rr, it), None, length=chunk

@@ -201,3 +201,52 @@ def condition_number(A, k: int = 30) -> float:
     if lo <= 0:
         return float("inf")
     return hi / lo
+
+
+def spectrum_from_cg(alphas, betas, iterations: int):
+    """Extremal eigenvalues + condition number of the (preconditioned)
+    operator from a CG run's own scalars — spectral diagnostics for free.
+
+    A CG solve is a Lanczos process on M⁻¹A in disguise: its step scalars
+    assemble the Lanczos tridiagonal (Saad, *Iterative Methods*, §6.7.3)
+
+        T[j, j]   = 1/alpha_j + beta_{j-1}/alpha_{j-1}   (beta_{-1} = 0)
+        T[j, j+1] = sqrt(beta_j)/alpha_j
+
+    whose eigenvalues (Ritz values) converge to the extremal spectrum of
+    M⁻¹A as the iteration proceeds.  Feed it the ``(alphas, betas)`` that
+    ``cg_solve_traced(..., with_coefficients=True)`` records and the
+    result's ``iterations``; this turns every traced solve into the probe
+    the reference kept commented out in R (``R/CG.R:26-27``) and the
+    diagnostic its Jacobi eigensolver served (``SparseMatrix.cs:234-372``)
+    — at zero extra matrix passes, and *through the preconditioner*: for
+    MGCG it measures kappa(M⁻¹A), i.e. how good the V-cycle actually is.
+
+    Returns ``(lam_min, lam_max, kappa)`` — estimates are interior to the
+    true spectrum (Ritz values underestimate kappa slightly until
+    convergence).  Needs ``iterations >= 1``; host-side fp64 numpy.
+    """
+    m = int(iterations)
+    if m < 1:
+        raise ValueError("spectrum_from_cg needs at least one CG iteration")
+    a = np.asarray(alphas, dtype=np.float64)[:m]
+    b = np.asarray(betas, dtype=np.float64)[:m]
+    if np.any(a == 0):
+        # frozen/exact-convergence steps inside the window: trim at first 0
+        m = int(np.argmax(a == 0))
+        if m < 1:
+            raise ValueError("no usable CG coefficients (alpha[0] == 0)")
+        a, b = a[:m], b[:m]
+    diag = 1.0 / a
+    diag[1:] += b[:-1] / a[:-1]
+    off = np.sqrt(np.maximum(b[:-1], 0.0)) / a[:-1]
+    try:
+        from scipy.linalg import eigh_tridiagonal
+
+        w = eigh_tridiagonal(diag, off, eigvals_only=True)
+    except ImportError:  # pragma: no cover
+        T = np.diag(diag) + np.diag(off, 1) + np.diag(off, -1)
+        w = np.linalg.eigvalsh(T)
+    lam_min, lam_max = float(w[0]), float(w[-1])
+    kappa = lam_max / lam_min if lam_min > 0 else float("inf")
+    return lam_min, lam_max, kappa

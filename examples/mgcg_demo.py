@@ -24,6 +24,12 @@ def main() -> int:
     ap.add_argument("--pre", type=int, default=2)
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument(
+        "--spectrum",
+        action="store_true",
+        help="estimate kappa(A) and kappa(M^-1 A) from the solves' own CG "
+        "coefficients (the R prototype's commented kappa probe, R/CG.R:26-27)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -96,6 +102,22 @@ def main() -> int:
     print(f"true fp64 residual {true_res:.3e} | max elementwise rel err vs oracle "
           f"{rel_err:.3e} | iteration reduction {int(plain.iterations)}/"
           f"{int(mg.iterations)} = {int(plain.iterations)/max(int(mg.iterations),1):.1f}x")
+
+    if args.spectrum:
+        # zero extra matrix passes: the Ritz values fall out of the traced
+        # solves' own recurrence scalars (solvers.eigen.spectrum_from_cg)
+        from conjugategradient_tpu.solvers.cg import cg_solve_traced
+        from conjugategradient_tpu.solvers.eigen import spectrum_from_cg
+
+        for label, M in (("A", None), ("M^-1 A", as_preconditioner(h))):
+            steps = int((plain if M is None else mg).iterations) + 1
+            tres, _, (al, be) = jax.jit(
+                lambda b, M=M, steps=steps: cg_solve_traced(
+                    A, b, policy=policy, M=M, num_steps=steps, with_coefficients=True
+                )
+            )(b)
+            lo, hi, kappa = spectrum_from_cg(al, be, int(tres.iterations))
+            print(f"spectrum({label}): lam in [{lo:.4e}, {hi:.4e}]  kappa ~ {kappa:.1f}")
 
     ok = (
         bool(mg.converged)

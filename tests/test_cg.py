@@ -167,3 +167,61 @@ def test_cg_krylov_exactness_few_distinct_eigenvalues():
     )
     assert bool(res.converged)
     assert int(res.iterations) <= k + 1
+
+
+def test_spectrum_from_cg_unpreconditioned():
+    """The CG-is-Lanczos identity: Ritz values from a traced solve's own
+    (alpha, beta) scalars recover the extremal eigenvalues of A."""
+    from conjugategradient_tpu.solvers.eigen import spectrum_from_cg
+
+    rng = np.random.default_rng(5)
+    n = 48
+    B = rng.standard_normal((n, n))
+    A = formats.DenseMatrix(B @ B.T + n * np.eye(n))
+    b = rng.standard_normal(n)
+    res, _hist, (alphas, betas) = cg_solve_traced(
+        A.device_put(),
+        jnp.asarray(b),
+        policy=ConvergencePolicy(tol=1e-12, norm="rel_l2", max_iteration=3 * n),
+        num_steps=3 * n,
+        with_coefficients=True,
+    )
+    assert bool(res.converged)
+    lam_min, lam_max, kappa = spectrum_from_cg(alphas, betas, int(res.iterations))
+    w = np.linalg.eigvalsh(np.asarray(A.data))
+    # Ritz values sit inside the true spectrum and converge to its ends
+    assert w[0] * 0.999 <= lam_min <= lam_max <= w[-1] * 1.001
+    np.testing.assert_allclose(lam_max, w[-1], rtol=1e-4)
+    np.testing.assert_allclose(lam_min, w[0], rtol=1e-2)
+    assert 0.95 * (w[-1] / w[0]) <= kappa <= 1.001 * (w[-1] / w[0])
+
+
+def test_spectrum_from_cg_measures_the_preconditioned_operator():
+    """With Jacobi M the recovered spectrum is spec(M^-1 A), not spec(A) —
+    i.e. the probe measures what the preconditioner actually achieved."""
+    from conjugategradient_tpu.solvers.eigen import spectrum_from_cg
+
+    rng = np.random.default_rng(6)
+    n = 40
+    B = rng.standard_normal((n, n))
+    dense = B @ B.T + n * np.diag(1.0 + 9.0 * rng.random(n))  # wild diagonal
+    A = formats.DenseMatrix(dense)
+    d = np.diag(dense)
+    inv_d = jnp.asarray(1.0 / d)
+    b = rng.standard_normal(n)
+    res, _hist, (alphas, betas) = cg_solve_traced(
+        A.device_put(),
+        jnp.asarray(b),
+        policy=ConvergencePolicy(tol=1e-12, norm="rel_l2", max_iteration=3 * n),
+        num_steps=3 * n,
+        M=lambda r: inv_d * r,
+        with_coefficients=True,
+    )
+    assert bool(res.converged)
+    lam_min, lam_max, kappa = spectrum_from_cg(alphas, betas, int(res.iterations))
+    # spec(M^-1 A) == spec(D^-1/2 A D^-1/2)
+    S = dense / np.sqrt(np.outer(d, d))
+    w = np.linalg.eigvalsh(S)
+    np.testing.assert_allclose(lam_max, w[-1], rtol=1e-3)
+    np.testing.assert_allclose(lam_min, w[0], rtol=5e-2)
+    assert kappa < np.linalg.eigvalsh(dense)[-1] / np.linalg.eigvalsh(dense)[0]
