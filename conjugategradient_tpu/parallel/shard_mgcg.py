@@ -282,12 +282,18 @@ def make_shard_mgcg(
     post: int = 2,
     dtype=None,
     hierarchy: Optional[MgHierarchy] = None,
+    variant: str = "cg",
 ):
     """Build a jitted explicit-collective MGCG solver over a 1-D mesh.
 
     Returns ``(solve, (b, x0))`` with ``solve(b, x0) -> CGResult`` (flat x),
     mirroring ``gspmd.make_gspmd_mgcg``.  All matrix/hierarchy arrays ride as
-    sharded jit arguments (never closure constants).
+    sharded jit arguments (never closure constants).  ``variant`` selects the
+    outer Krylov loop's communication structure (``sharded_cg_loop``):
+    ``"cg1"``/``"pipelined"`` collapse the per-iteration scalar allreduces to
+    one fused psum — with a V-cycle preconditioner each iteration is
+    M-application-dominated, but on latency-bound (multi-host) meshes the
+    saved allreduce still matters at small shard sizes.
     """
     grid = tuple(grid)
     dt = dtype or np.asarray(system.A.data).dtype
@@ -359,7 +365,9 @@ def make_shard_mgcg(
             return x
 
         op0 = make_op(0)
-        res = sharded_cg_loop(op0, lambda r: v_local(0, r), b_l, x0_l, policy, axis, n)
+        res = sharded_cg_loop(
+            op0, lambda r: v_local(0, r), b_l, x0_l, policy, axis, n, variant=variant
+        )
         return CGResult(
             x=res.x,
             iterations=res.iterations,

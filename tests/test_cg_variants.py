@@ -166,3 +166,20 @@ def test_hlo_single_allreduce_per_iteration():
             f,
             indent=1,
         )
+
+
+def test_shard_mgcg_variant_cg1():
+    """The explicit shard_map MGCG accepts the single-reduce outer loop."""
+    from conjugategradient_tpu.parallel.shard_mgcg import shard_mgcg_solve
+
+    grid = (64, 64)
+    sys_ = poisson_system(grid)
+    pol = ConvergencePolicy(tol=1e-9, norm="rel_l2", max_iteration=200)
+    res = shard_mgcg_solve(sys_, grid, mesh=make_mesh(8), policy=pol, variant="cg1")
+    assert bool(res.converged)
+    x = np.asarray(res.x, dtype=np.float64)
+    r = sys_.b - oracle.spmv(sys_.A, x)
+    assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-8
+    # same iteration count as the textbook loop (identical maths in fp64)
+    res_cg = shard_mgcg_solve(sys_, grid, mesh=make_mesh(8), policy=pol, variant="cg")
+    assert abs(int(res.iterations) - int(res_cg.iterations)) <= 1
