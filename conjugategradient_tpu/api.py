@@ -8,6 +8,9 @@ here one function routes to the right solver:
 - ``method="jacobi_cg"`` — point-Jacobi PCG
 - ``method="mgcg"``   — multigrid-preconditioned CG (needs ``grid``)
 - ``method="refined"``— mixed-precision iterative refinement to fp64 tol
+- ``method="sharded_cg"`` — row-block-sharded CG over the device mesh
+  (DIA → halo-exchange solver; CSR/ELL → exact-halo-range solver); pass
+  ``mesh=``/``variant=``/``M_local=`` through ``**kw``
 - ``method="oracle"`` — fp64 numpy CPU oracle
 - ``method="native"`` — C++ OpenMP CPU solver
 
@@ -62,6 +65,18 @@ def solve(
         if not isinstance(A, DiaMatrix):
             raise TypeError("refined solve requires a DiaMatrix")
         return refined_solve(A, b, x0, tol=tol, norm=norm, grid=grid, **kw)
+    if method == "sharded_cg":
+        if isinstance(A, DiaMatrix):
+            from conjugategradient_tpu.parallel.sharded_cg import sharded_cg_solve
+
+            return sharded_cg_solve(A, b, x0, policy, dtype=dtype, **kw)
+        if isinstance(A, (formats.CsrMatrix, formats.EllMatrix)):
+            from conjugategradient_tpu.parallel.sharded_general import (
+                sharded_cg_solve_general,
+            )
+
+            return sharded_cg_solve_general(A, b, x0, policy, dtype=dtype, **kw)
+        raise TypeError("sharded_cg requires a DiaMatrix, CsrMatrix or EllMatrix")
     if method == "mgcg":
         from conjugategradient_tpu.precond import mgcg_solve
 

@@ -74,3 +74,23 @@ def test_sharded_solve_is_deterministic():
     a = np.asarray(solve_fn(data, b, x0).x)
     c = np.asarray(solve_fn(data, b, x0).x)
     np.testing.assert_array_equal(a, c)  # bitwise — the "race sanitizer"
+
+
+def test_sharded_cg_through_facade():
+    """method='sharded_cg' routes DIA to the halo solver and CSR to the
+    exact-halo-range solver, accepting mesh/variant kwargs."""
+    from conjugategradient_tpu.core.formats import dia_to_csr
+    from conjugategradient_tpu.parallel import make_mesh
+
+    from conjugategradient_tpu.core import oracle
+
+    sys_ = banded_sin_system(512, 8)
+    mesh = make_mesh(8)
+    for A in (sys_.A, dia_to_csr(sys_.A)):
+        res = solve(
+            A, sys_.b, sys_.x0, method="sharded_cg", tol=1e-9, norm="rel_l2",
+            mesh=mesh, variant="cg1",
+        )
+        assert bool(res.converged)
+        r = sys_.b - oracle.spmv(sys_.A, np.asarray(res.x, np.float64))
+        assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-8
