@@ -6,6 +6,9 @@ here one function routes to the right solver:
 
 - ``method="cg"``     — device-resident plain CG
 - ``method="jacobi_cg"`` — point-Jacobi PCG
+- ``method="cheb_cg"`` — Chebyshev-polynomial PCG (``degree=`` through kw;
+  bounds estimated by Lanczos at setup) — for matrices with no grid to
+  hang a multigrid on
 - ``method="mgcg"``   — multigrid-preconditioned CG (needs ``grid``)
 - ``method="refined"``— mixed-precision iterative refinement to fp64 tol
 - ``method="sharded_cg"`` — row-block-sharded CG over the device mesh
@@ -100,6 +103,10 @@ def solve(
 
         diag = _diagonal(A)
         M = jacobi_preconditioner(jnp.asarray((1.0 / diag), dtype=b_dev.dtype))
+    elif method == "cheb_cg":
+        from conjugategradient_tpu.precond import chebyshev_preconditioner_for
+
+        M, _ = chebyshev_preconditioner_for(A, degree=int(kw.pop("degree", 3)))
     elif method != "cg":
         raise ValueError(f"unknown method {method!r}")
     return cg_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)

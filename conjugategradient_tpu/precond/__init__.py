@@ -16,6 +16,8 @@ from conjugategradient_tpu.precond.multigrid import (  # noqa: F401
     v_cycle,
 )
 from conjugategradient_tpu.precond.smoothers import (  # noqa: F401
+    chebyshev_preconditioner,
+    chebyshev_preconditioner_for,
     chebyshev_smooth,
     jacobi_preconditioner,
     jacobi_smooth,

@@ -80,6 +80,68 @@ def chebyshev_smooth(
     return x
 
 
+def chebyshev_preconditioner(
+    op: Operator,
+    inv_diag: jnp.ndarray,
+    degree: int,
+    lam_min: float,
+    lam_max: float,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Fixed-degree Chebyshev polynomial preconditioner M r = p(D⁻¹A) D⁻¹ r.
+
+    For matrices with no grid structure to hang a multigrid hierarchy on
+    (and where point Jacobi is too weak), a fixed matrix polynomial is the
+    TPU-natural middle ground: each application is ``degree`` SpMVs + fused
+    axpys — no triangular solves, no data-dependent ordering — and, unlike a
+    tolerance-controlled inner solve, it is a FIXED linear SPD operator, so
+    plain (non-flexible) CG theory applies.  Bounds must cover the whole
+    spectrum of D⁻¹A (use ``solvers.eigen.lanczos_bounds`` / Gershgorin at
+    setup), unlike the smoothing interval [lam_max/4, lam_max] used inside
+    multigrid.
+
+    Row-shard equivariant whenever ``op`` is (pass a halo-exchange SpMV to
+    use it inside ``shard_map`` loops).
+    """
+    if not (0.0 < lam_min < lam_max):
+        raise ValueError(f"need 0 < lam_min < lam_max, got [{lam_min}, {lam_max}]")
+
+    def M(r):
+        return chebyshev_smooth(op, inv_diag, r, jnp.zeros_like(r), degree, lam_max, lam_min)
+
+    return M
+
+
+def chebyshev_preconditioner_for(A, degree: int = 3, k: int = 30):
+    """Host-side convenience: estimate spec(D⁻¹A) bounds by Lanczos (with a
+    Gershgorin fallback floor) and return ``(M, (lam_min, lam_max))`` for the
+    device operator of ``A``."""
+    import numpy as np
+
+    from conjugategradient_tpu.core import formats, oracle
+    from conjugategradient_tpu.core.formats import DiaMatrix, dia_diagonal
+    from conjugategradient_tpu.ops.spmv import as_operator
+    from conjugategradient_tpu.solvers import eigen
+
+    if isinstance(A, DiaMatrix):
+        d = dia_diagonal(A)
+    else:
+        csr = formats._any_to_csr(A)
+        d = np.zeros(csr.n)
+        rows, cols = np.asarray(csr.row_ids), np.asarray(csr.indices)
+        on_diag = rows == cols
+        d[rows[on_diag]] = np.asarray(csr.data)[on_diag]
+    if np.any(d <= 0):
+        raise ValueError("Chebyshev preconditioning needs a positive diagonal")
+    inv_d_h = 1.0 / d
+    lo, hi = eigen.lanczos_bounds(lambda v: inv_d_h * oracle.spmv(A, v), A.n, k)
+    if not (lo > 0):  # Lanczos underestimate hit zero: fall back to a floor
+        lo = max(lo, 1e-3 * hi)
+    lo, hi = 0.9 * lo, 1.1 * hi  # Ritz values are interior: widen slightly
+    A_dev = A.device_put()
+    inv_d = jnp.asarray(inv_d_h, dtype=np.asarray(A_dev.data).dtype)
+    return chebyshev_preconditioner(as_operator(A_dev), inv_d, degree, lo, hi), (lo, hi)
+
+
 def parity_mask(grid) -> jnp.ndarray:
     """Checkerboard mask over a tensor grid: True where sum(indices) is even."""
     import numpy as np

@@ -330,3 +330,54 @@ def test_rbgs_beats_jacobi_iterations():
     rb, _ = mgcg_solve(sys_.A, sys_.b, grid, policy=pol, smoother="rbgs", pre=1, post=1)
     ja, _ = mgcg_solve(sys_.A, sys_.b, grid, policy=pol, smoother="jacobi", pre=1, post=1)
     assert int(rb.iterations) <= int(ja.iterations)
+
+
+def test_chebyshev_preconditioner_cuts_iterations():
+    """Fixed-degree Chebyshev PCG: fewer iterations than plain CG (roughly
+    degree+1-fold), same solution; kappa(M^-1 A) shrinks accordingly."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.core.generators import banded_sin_system
+    from conjugategradient_tpu.precond import chebyshev_preconditioner_for
+    from conjugategradient_tpu.solvers.cg import cg_solve, cg_solve_traced
+    from conjugategradient_tpu.solvers.eigen import spectrum_from_cg
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    sys_ = banded_sin_system(2048, 24)
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=2000)
+    A = sys_.A.device_put()
+    b = jnp.asarray(sys_.b)
+
+    plain = cg_solve(A, b, policy=pol)
+    M, (lo, hi) = chebyshev_preconditioner_for(sys_.A, degree=3)
+    pcg = cg_solve(A, b, policy=pol, M=M)
+    assert bool(plain.converged) and bool(pcg.converged)
+    assert 0 < lo < hi
+    # degree-3 polynomial: ~4 SpMV-equivalents per iteration; require the
+    # iteration count to drop by at least 2.5x so the work tradeoff is real
+    assert int(pcg.iterations) * 2.5 <= int(plain.iterations), (
+        int(pcg.iterations), int(plain.iterations))
+    x64 = oracle.cg(sys_.A, sys_.b, tol=1e-10, norm="rel_l2", max_iteration=2000).x
+    np.testing.assert_allclose(np.asarray(pcg.x), x64, rtol=1e-6, atol=1e-9)
+
+    # the spectrum probe sees the compressed preconditioned spectrum
+    _, _, (al, be) = cg_solve_traced(
+        A, b, policy=pol, M=M, num_steps=int(pcg.iterations) + 1, with_coefficients=True
+    )
+    _, _, kappa_pre = spectrum_from_cg(al, be, int(pcg.iterations))
+    _, _, (al0, be0) = cg_solve_traced(
+        A, b, policy=pol, num_steps=int(plain.iterations) + 1, with_coefficients=True
+    )
+    _, _, kappa_plain = spectrum_from_cg(al0, be0, int(plain.iterations))
+    assert kappa_pre < 0.25 * kappa_plain, (kappa_pre, kappa_plain)
+
+
+def test_cheb_cg_through_facade():
+    from conjugategradient_tpu import solve
+    from conjugategradient_tpu.core.generators import banded_sin_system
+
+    sys_ = banded_sin_system(1024, 16)
+    res = solve(sys_.A, sys_.b, sys_.x0, method="cheb_cg", tol=1e-9, norm="rel_l2", degree=4)
+    assert bool(res.converged)
+    r = sys_.b - oracle.spmv(sys_.A, np.asarray(res.x, np.float64))
+    assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-8
