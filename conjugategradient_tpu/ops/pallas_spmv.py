@@ -358,6 +358,102 @@ def make_cm_operator(A: DiaMatrix, interpret: Optional[bool] = None):
     return op, functools.partial(to_cm, plan=plan), functools.partial(from_cm, plan=plan)
 
 
+# ---------------------------------------------------------------------------
+# Multi-RHS: one coefficient stream serves k right-hand sides.  The matrix
+# block (up to 2 MB/group) is read ONCE per program while k (R, 128) x-slabs
+# ride beside it, so the dominant HBM traffic drops k-fold versus k single
+# SpMVs — the Pallas twin of ops/spmm.py's stencil SpMM and the reason
+# cg_solve_multi(use_pallas=True) exists for flat banded systems.
+# Measured (band-160 |sin|, n=414,720, k=8, fp32, on chip): 813 us vs
+# 2685 us for 8 sequential single-RHS kernel passes — 3.3x; the residual gap
+# to the ideal 8x is the k-fold slab working set throttling the pipeline
+# (artifacts/spmm_multirhs_r02.json, scripts/spmm_multirhs_bench.py).
+# ---------------------------------------------------------------------------
+
+
+def to_cm_multi(X: jnp.ndarray, plan: CmPlan) -> jnp.ndarray:
+    """(n, k) columns -> (k, segp, 128) stacked column-major views."""
+    return jax.vmap(lambda col: to_cm(col, plan), in_axes=1, out_axes=0)(X)
+
+
+def from_cm_multi(Y: jnp.ndarray, plan: CmPlan) -> jnp.ndarray:
+    """(k, segp, 128) -> (n, k)."""
+    return jax.vmap(lambda y: from_cm(y, plan), in_axes=0, out_axes=1)(Y)
+
+
+def _cm_kernel_multi(*refs, rels, has_yin: bool, k: int):
+    x0, x1, x2, d = refs[:4]
+    slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=1)  # (k, 3R, 128)
+    acc = None
+    for j, rel in enumerate(rels):
+        w = jax.lax.slice(slab, (0, rel, 0), (k, rel + _R, _LANE))  # (k, R, 128)
+        t = d[j][None] * w  # coefficient block broadcast over the RHS axis
+        acc = t if acc is None else acc + t
+    pos = 4
+    if has_yin:
+        acc = acc + refs[pos][...]
+        pos += 1
+    refs[pos][...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "gi", "has_yin", "interpret"))
+def _group_spmm(Xt, Dg, y_in, plan: CmPlan, gi: int, has_yin: bool, interpret: bool):
+    s, rels, idx = plan.groups[gi]
+    L = len(idx)
+    k = Xt.shape[0]
+    tiles = plan.tiles
+
+    def xspec(f):
+        return pl.BlockSpec(
+            (k, _R, _LANE), lambda i, f=f: (0, i + s + f, 0), memory_space=pltpu.VMEM
+        )
+
+    in_specs = [xspec(0), xspec(1), xspec(2)]
+    in_specs.append(
+        pl.BlockSpec((L, _R, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    )
+    args = [Xt, Xt, Xt, Dg]
+    aliases = {}
+    if has_yin:
+        in_specs.append(
+            pl.BlockSpec((k, _R, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(y_in)
+        aliases = {4: 0}
+    out = pl.pallas_call(
+        functools.partial(_cm_kernel_multi, rels=rels, has_yin=has_yin, k=k),
+        out_shape=jax.ShapeDtypeStruct((k, plan.segp, _LANE), Dg.dtype),
+        grid=(tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((k, _R, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def cm_apply_multi(A: DiaMatrix, V: jnp.ndarray, interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Column-major multi-RHS apply: (k, segp, 128) -> (k, segp, 128), one
+    coefficient stream for all k columns.  Traced-friendly like ``cm_apply``."""
+    plan = plan_dia_cm(tuple(A.offsets), A.n)
+    dtype = jnp.result_type(A.data.dtype, V.dtype)
+    itp = _should_interpret() if interpret is None else interpret
+    Dgs = dia_data_cm(A, plan, dtype)
+    Xt = jax.vmap(lambda v: expand_cm(v, plan))(V.astype(dtype))
+    y = None
+    for gi in range(len(plan.groups)):
+        y = _group_spmm(Xt, Dgs[gi], y, plan, gi, has_yin=gi > 0, interpret=itp)
+    return y
+
+
+def spmm_dia_pallas(A: DiaMatrix, X: jnp.ndarray, interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Y = A @ X for (n, k) right-hand sides via the multi-RHS column-major
+    kernel (k-fold amortisation of the matrix stream)."""
+    plan = plan_dia_cm(tuple(A.offsets), A.n)
+    return from_cm_multi(cm_apply_multi(A, to_cm_multi(X, plan), interpret), plan)
+
+
 def spmv_dia_cm_xla(A: DiaMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """The same column-major formulation as ONE fused XLA expression (no
     Pallas): static sublane-slice windows over the halo'd expansion.  The

@@ -81,6 +81,7 @@ def cg_solve_multi(
     X0: Optional[jnp.ndarray] = None,
     policy: ConvergencePolicy = ConvergencePolicy(),
     M=None,
+    use_pallas: bool = False,
 ) -> MultiCGResult:
     """Solve A X = B, B of shape (n, k), fully on device.
 
@@ -90,8 +91,19 @@ def cg_solve_multi(
     ``as_multi_preconditioner`` for the multigrid one); with it this is
     multi-RHS MGCG — k Krylov recurrences sharing one matrix stream per
     iteration.
+
+    ``use_pallas=True`` with a flat DIA matrix routes the SpMM through the
+    multi-RHS column-major Pallas kernel (``ops.pallas_spmv.spmm_dia_pallas``)
+    — one 2 MB coefficient block per program serves all k slabs, so the
+    dominant matrix traffic is amortised k-fold on top of the kernel's
+    single-RHS roofline.
     """
-    op = _as_multi_operator(A)
+    if use_pallas and isinstance(A, DiaMatrix):
+        from conjugategradient_tpu.ops.pallas_spmv import spmm_dia_pallas
+
+        op = lambda P: spmm_dia_pallas(A, P)
+    else:
+        op = _as_multi_operator(A)
     n, k = B.shape
     dtype = B.dtype
     tol = jnp.asarray(policy.tol, dtype)

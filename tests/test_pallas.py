@@ -126,3 +126,46 @@ def test_pallas_ell_csr_entry_points():
     np.testing.assert_allclose(np.asarray(spmv_ell_pallas(ell, x)), ref, atol=1e-10)
     op = make_pallas_operator(csr)
     np.testing.assert_allclose(np.asarray(op(x)), ref, atol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "make, k",
+    [
+        (lambda: tridiagonal_matrix(1000), 3),
+        (lambda: banded_sin_matrix(700, 16), 8),
+        (lambda: poisson2d_matrix(37), 5),
+    ],
+)
+def test_pallas_multi_rhs_spmm_matches_oracle(make, k):
+    """One coefficient stream, k right-hand sides: every column must equal
+    the single-RHS oracle."""
+    from conjugategradient_tpu.ops.pallas_spmv import spmm_dia_pallas
+
+    A = make()
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((A.n, k))
+    Y = np.asarray(spmm_dia_pallas(A.device_put(), X))
+    for j in range(k):
+        np.testing.assert_allclose(Y[:, j], oracle.spmv(A, X[:, j]), rtol=1e-12, atol=1e-12)
+
+
+def test_multi_rhs_cg_pallas_path():
+    """cg_solve_multi(use_pallas=True) converges per column and matches the
+    XLA-SpMM path."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.core.generators import banded_sin_system
+    from conjugategradient_tpu.solvers.multi import cg_solve_multi
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    sys_ = banded_sin_system(768, 12)
+    rng = np.random.default_rng(2)
+    B = jnp.asarray(rng.standard_normal((sys_.n, 4)))
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=2000)
+    res_p = cg_solve_multi(sys_.A.device_put(), B, policy=pol, use_pallas=True)
+    res_x = cg_solve_multi(sys_.A.device_put(), B, policy=pol, use_pallas=False)
+    assert bool(np.asarray(res_p.converged).all())
+    np.testing.assert_allclose(np.asarray(res_p.x), np.asarray(res_x.x), rtol=1e-8, atol=1e-10)
+    for j in range(4):
+        r = np.asarray(B[:, j]) - oracle.spmv(sys_.A, np.asarray(res_p.x[:, j], np.float64))
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(B[:, j])) < 1e-9
