@@ -106,7 +106,11 @@ def solve(
     elif method == "cheb_cg":
         from conjugategradient_tpu.precond import chebyshev_preconditioner_for
 
-        M, _ = chebyshev_preconditioner_for(A, degree=int(kw.pop("degree", 3)))
+        # reuse the already-placed matrix and solve at b's dtype: one device
+        # copy, M applications dtype-consistent with the CG state
+        M, _ = chebyshev_preconditioner_for(
+            A, degree=int(kw.pop("degree", 3)), A_dev=A_dev, dtype=b_dev.dtype
+        )
     elif method != "cg":
         raise ValueError(f"unknown method {method!r}")
     return cg_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
@@ -117,12 +121,4 @@ def _to_csr(A) -> formats.CsrMatrix:
 
 
 def _diagonal(A) -> np.ndarray:
-    if isinstance(A, DiaMatrix):
-        return formats.dia_diagonal(A)
-    csr = _to_csr(A)
-    d = np.zeros(csr.n)
-    rows = np.asarray(csr.row_ids)
-    cols = np.asarray(csr.indices)
-    on_diag = rows == cols
-    d[rows[on_diag]] = np.asarray(csr.data)[on_diag]
-    return d
+    return formats.matrix_diagonal(A)

@@ -763,6 +763,20 @@ def dia_diagonal(dia: DiaMatrix) -> np.ndarray:
     return np.asarray(dia.data)[dia.offsets.index(0)].copy()
 
 
+def matrix_diagonal(A) -> np.ndarray:
+    """Main diagonal for any storage format (host numpy) — the shared helper
+    behind Jacobi/Chebyshev preconditioner setup."""
+    if isinstance(A, DiaMatrix):
+        return dia_diagonal(A)
+    csr = _any_to_csr(A)
+    d = np.zeros(csr.n)
+    rows = np.asarray(csr.row_ids)
+    cols = np.asarray(csr.indices)
+    on_diag = rows == cols
+    d[rows[on_diag]] = np.asarray(csr.data)[on_diag]
+    return d
+
+
 def to_bcoo(A):
     """Convert any container to a ``jax.experimental.sparse.BCOO`` — the
     ecosystem interchange point (users of jax's own sparse stack can hand

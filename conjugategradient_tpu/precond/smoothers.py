@@ -111,34 +111,39 @@ def chebyshev_preconditioner(
     return M
 
 
-def chebyshev_preconditioner_for(A, degree: int = 3, k: int = 30):
-    """Host-side convenience: estimate spec(D⁻¹A) bounds by Lanczos (with a
-    Gershgorin fallback floor) and return ``(M, (lam_min, lam_max))`` for the
-    device operator of ``A``."""
+def chebyshev_preconditioner_for(A, degree: int = 3, k: int = 30, A_dev=None, dtype=None):
+    """Host-side convenience: estimate spec(D⁻¹A) bounds by Lanczos and
+    return ``(M, (lam_min, lam_max))`` for the device operator of ``A``.
+
+    The bounds come from Lanczos on the SYMMETRIC similar operator
+    ``v -> D^{-1/2} A D^{-1/2} v`` (same spectrum as D⁻¹A; Euclidean Lanczos
+    on the non-symmetric D⁻¹A itself would silently discard its
+    upper-Hessenberg part and can misestimate the interval — fatal here,
+    since the Chebyshev polynomial explodes outside it).
+
+    ``A_dev``/``dtype`` let callers that already placed the matrix reuse it
+    (one device copy, preconditioner applied at the solver's dtype)."""
     import numpy as np
 
-    from conjugategradient_tpu.core import formats, oracle
-    from conjugategradient_tpu.core.formats import DiaMatrix, dia_diagonal
+    from conjugategradient_tpu.core import oracle
+    from conjugategradient_tpu.core.formats import matrix_diagonal
     from conjugategradient_tpu.ops.spmv import as_operator
     from conjugategradient_tpu.solvers import eigen
 
-    if isinstance(A, DiaMatrix):
-        d = dia_diagonal(A)
-    else:
-        csr = formats._any_to_csr(A)
-        d = np.zeros(csr.n)
-        rows, cols = np.asarray(csr.row_ids), np.asarray(csr.indices)
-        on_diag = rows == cols
-        d[rows[on_diag]] = np.asarray(csr.data)[on_diag]
+    d = matrix_diagonal(A)
     if np.any(d <= 0):
         raise ValueError("Chebyshev preconditioning needs a positive diagonal")
-    inv_d_h = 1.0 / d
-    lo, hi = eigen.lanczos_bounds(lambda v: inv_d_h * oracle.spmv(A, v), A.n, k)
+    d_isqrt = 1.0 / np.sqrt(d)
+    lo, hi = eigen.lanczos_bounds(
+        lambda v: d_isqrt * oracle.spmv(A, d_isqrt * v), A.n, k
+    )
     if not (lo > 0):  # Lanczos underestimate hit zero: fall back to a floor
         lo = max(lo, 1e-3 * hi)
     lo, hi = 0.9 * lo, 1.1 * hi  # Ritz values are interior: widen slightly
-    A_dev = A.device_put()
-    inv_d = jnp.asarray(inv_d_h, dtype=np.asarray(A_dev.data).dtype)
+    if A_dev is None:
+        A_dev = A.device_put(dtype=dtype) if dtype is not None else A.device_put()
+    dt = dtype or np.asarray(A_dev.data).dtype
+    inv_d = jnp.asarray(1.0 / d, dtype=dt)
     return chebyshev_preconditioner(as_operator(A_dev), inv_d, degree, lo, hi), (lo, hi)
 
 

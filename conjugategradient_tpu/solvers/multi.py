@@ -93,15 +93,20 @@ def cg_solve_multi(
     iteration.
 
     ``use_pallas=True`` with a flat DIA matrix routes the SpMM through the
-    multi-RHS column-major Pallas kernel (``ops.pallas_spmv.spmm_dia_pallas``)
+    multi-RHS column-major Pallas kernel (``ops.pallas_spmv.cm_apply_multi``)
     — one 2 MB coefficient block per program serves all k slabs, so the
     dominant matrix traffic is amortised k-fold on top of the kernel's
-    single-RHS roofline.
+    single-RHS roofline.  The whole Krylov state then lives column-major
+    (k, segp, 128): layout conversion happens twice per SOLVE, not twice per
+    SpMM (the ``make_cm_operator`` lesson); only an (n, k) preconditioner
+    still costs a round-trip per application.
     """
+    cm_plan = None
     if use_pallas and isinstance(A, DiaMatrix):
-        from conjugategradient_tpu.ops.pallas_spmv import spmm_dia_pallas
+        from conjugategradient_tpu.ops import pallas_spmv as _ps
 
-        op = lambda P: spmm_dia_pallas(A, P)
+        cm_plan = _ps.plan_dia_cm(tuple(A.offsets), A.n)
+        op = lambda P: _ps.cm_apply_multi(A, P)
     else:
         op = _as_multi_operator(A)
     n, k = B.shape
@@ -110,12 +115,28 @@ def cg_solve_multi(
     min_iter = jnp.int32(policy.min_iteration)
     max_iter = jnp.int32(policy.resolve_max(n))
 
-    def cdot(U, V):
-        return jnp.sum(U * V, axis=0)  # (k,)
+    if cm_plan is not None:
+        # column-major state: columns lead, per-column scalars broadcast
+        # over the trailing (segp, 128) axes; padded rows are exact zeros
+        # (zero coefficients x zero pads), so dots/norms are unaffected
+        B = _ps.to_cm_multi(B, cm_plan)
+        if X0 is not None:
+            X0 = _ps.to_cm_multi(X0.astype(dtype), cm_plan)
+        cdot = lambda U, V: jnp.sum(U * V, axis=(1, 2))
+        cexp = lambda s: s[:, None, None]
+        clinf = lambda R: jnp.max(jnp.abs(R), axis=(1, 2))
+        M_work = None if M is None else (
+            lambda R: _ps.to_cm_multi(M(_ps.from_cm_multi(R, cm_plan)), cm_plan)
+        )
+    else:
+        cdot = lambda U, V: jnp.sum(U * V, axis=0)
+        cexp = lambda s: s[None, :]
+        clinf = lambda R: jnp.max(jnp.abs(R), axis=0)
+        M_work = M
 
     X = jnp.zeros_like(B) if X0 is None else X0.astype(dtype)
     R = B - op(X)
-    Z = M(R) if M is not None else R
+    Z = M_work(R) if M_work is not None else R
     P = Z
     rz = cdot(R, Z)
     rr = cdot(R, R)
@@ -125,7 +146,7 @@ def cg_solve_multi(
         if policy.norm == "l2":
             return jnp.sqrt(rr)
         if policy.norm == "linf":
-            return jnp.max(jnp.abs(R), axis=0)
+            return clinf(R)
         if policy.norm == "rel_l2":
             return jnp.sqrt(rr / jnp.where(rr0 == 0, 1.0, rr0))
         raise ValueError(policy.norm)
@@ -145,16 +166,16 @@ def cg_solve_multi(
         active = active_of(R, rr, it)  # (k,)
         AP = op(P)
         alpha = jnp.where(active, _safe_div(rz, cdot(P, AP)), 0.0)
-        X = X + alpha[None, :] * P
-        R2 = R - alpha[None, :] * AP
-        Z2 = M(R2) if M is not None else R2
+        X = X + cexp(alpha) * P
+        R2 = R - cexp(alpha) * AP
+        Z2 = M_work(R2) if M_work is not None else R2
         rz2 = cdot(R2, Z2)
         rr2 = cdot(R2, R2)
         beta = jnp.where(active, _safe_div(rz2, rz), 0.0)
-        P2 = jnp.where(active[None, :], Z2 + beta[None, :] * P, P)
+        P2 = jnp.where(cexp(active), Z2 + cexp(beta) * P, P)
         rz2 = jnp.where(active, rz2, rz)
         rr2 = jnp.where(active, rr2, rr)
-        R2 = jnp.where(active[None, :], R2, R)
+        R2 = jnp.where(cexp(active), R2, R)
         return (X, R2, P2, rz2, rr2, it + active.astype(jnp.int32))
 
     X, R, P, rz, rr, it = jax.lax.while_loop(
@@ -162,4 +183,8 @@ def cg_solve_multi(
     )
     res = res_of(R, rr)
     converged = jnp.logical_and(res < tol, it >= min_iter)
+    if cm_plan is not None:
+        from conjugategradient_tpu.ops import pallas_spmv as _ps
+
+        X = _ps.from_cm_multi(X, cm_plan)
     return MultiCGResult(x=X, iterations=it, residual=res, converged=converged)

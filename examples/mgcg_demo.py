@@ -43,7 +43,7 @@ def main() -> int:
 
     from conjugategradient_tpu import ConvergencePolicy, cg_solve
     from conjugategradient_tpu.core import generators, oracle
-    from conjugategradient_tpu.precond import as_preconditioner, build_hierarchy
+    from conjugategradient_tpu.precond import build_hierarchy
 
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = np.float32 if (on_tpu or not jax.config.jax_enable_x64) else np.float64
@@ -64,11 +64,13 @@ def main() -> int:
     A = system.A.device_put(dtype=dtype)
     b = jnp.asarray(system.b, dtype=dtype)
 
-    # Plain CG.
-    plain_solve = jax.jit(lambda b: cg_solve(A, b, policy=policy))
-    jax.block_until_ready(plain_solve(b).x)
+    # Plain CG.  A and (below) the hierarchy ride as pytree ARGUMENTS, not
+    # closure constants (CLAUDE.md: closure constants ship with the compile
+    # request — ~600 MB / HTTP 413 at 16M rows through the tunnel).
+    plain_solve = jax.jit(lambda A_, b: cg_solve(A_, b, policy=policy))
+    jax.block_until_ready(plain_solve(A, b).x)
     t0 = time.perf_counter()
-    plain = plain_solve(b)
+    plain = plain_solve(A, b)
     jax.block_until_ready(plain.x)
     t_plain = time.perf_counter() - t0
 
@@ -77,10 +79,14 @@ def main() -> int:
     h = build_hierarchy(system.A, grid, smoother=args.smoother, pre=args.pre,
                         post=args.pre, dtype=dtype)
     t_setup = time.perf_counter() - t0
-    mg_solve = jax.jit(lambda b: cg_solve(A, b, policy=policy, M=as_preconditioner(h)))
-    jax.block_until_ready(mg_solve(b).x)
+    from conjugategradient_tpu.precond.multigrid import v_cycle
+
+    mg_solve = jax.jit(
+        lambda A_, h_, b: cg_solve(A_, b, policy=policy, M=(v_cycle, h_))
+    )
+    jax.block_until_ready(mg_solve(A, h, b).x)
     t0 = time.perf_counter()
-    mg = mg_solve(b)
+    mg = mg_solve(A, h, b)
     jax.block_until_ready(mg.x)
     t_mg = time.perf_counter() - t0
 
@@ -109,13 +115,16 @@ def main() -> int:
         from conjugategradient_tpu.solvers.cg import cg_solve_traced
         from conjugategradient_tpu.solvers.eigen import spectrum_from_cg
 
-        for label, M in (("A", None), ("M^-1 A", as_preconditioner(h))):
-            steps = int((plain if M is None else mg).iterations) + 1
-            tres, _, (al, be) = jax.jit(
-                lambda b, M=M, steps=steps: cg_solve_traced(
-                    A, b, policy=policy, M=M, num_steps=steps, with_coefficients=True
+        for label, use_mg in (("A", False), ("M^-1 A", True)):
+            steps = int((mg if use_mg else plain).iterations) + 1
+            # matrix + hierarchy as pytree arguments (see note above)
+            traced = jax.jit(
+                lambda A_, h_, b, use_mg=use_mg, steps=steps: cg_solve_traced(
+                    A_, b, policy=policy, M=(v_cycle, h_) if use_mg else None,
+                    num_steps=steps, with_coefficients=True,
                 )
-            )(b)
+            )
+            tres, _, (al, be) = traced(A, h, b)
             lo, hi, kappa = spectrum_from_cg(al, be, int(tres.iterations))
             print(f"spectrum({label}): lam in [{lo:.4e}, {hi:.4e}]  kappa ~ {kappa:.1f}")
 

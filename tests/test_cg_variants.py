@@ -156,16 +156,23 @@ def test_hlo_single_allreduce_per_iteration():
     assert body_counts["pipelined"] == 1, body_counts
 
     path = os.path.join(os.path.dirname(__file__), "..", "artifacts", "collectives_cg_variants.json")
-    with open(path, "w") as f:
-        json.dump(
-            {
-                "workload": "band-16 n=1024, 8-device virtual mesh",
-                "allreduce_per_iteration": body_counts,
-                "allreduce_total_program": totals,
-            },
-            f,
-            indent=1,
-        )
+    payload = json.dumps(
+        {
+            "workload": "band-16 n=1024, 8-device virtual mesh",
+            "allreduce_per_iteration": body_counts,
+            "allreduce_total_program": totals,
+        },
+        indent=1,
+    )
+    # refresh the committed artifact only when the counts actually changed,
+    # so a local XLA-version drift doesn't silently dirty the working tree
+    try:
+        current = open(path).read()
+    except OSError:
+        current = None
+    if current != payload:
+        with open(path, "w") as f:
+            f.write(payload)
 
 
 def test_shard_mgcg_variant_cg1():
