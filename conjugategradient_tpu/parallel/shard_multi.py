@@ -295,3 +295,69 @@ def shard_multi_mgcg_solve(
         mesh = make_mesh()
     solve, (B_dev, X0_dev) = make_shard_multi_mgcg(system, B, grid, mesh, policy, **kw)
     return solve(B_dev, X0_dev)
+
+
+def sharded_cg_multi_solve(
+    A,
+    B,
+    X0=None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    mesh: Optional[Mesh] = None,
+    axis: str = "x",
+    dtype=None,
+) -> MultiCGResult:
+    """Row-block-sharded block CG for a flat DIA matrix, k right-hand sides.
+
+    Fills the [multi-RHS x flat-band x distributed] cell: the halo-exchange
+    SpMV (``parallel.halo``) is vmapped over the trailing column axis — the
+    two ``ppermute``s move (halo, k) slabs, so the per-iteration collective
+    count is independent of k — and the recurrence is ``cg_solve_multi``
+    itself running inside ``shard_map`` with ONE (k,)-psum per dot
+    (``psum_axis``; no third copy of the block recurrence).
+    """
+    from jax.sharding import NamedSharding
+
+    from conjugategradient_tpu.core.formats import DiaMatrix
+    from conjugategradient_tpu.parallel.halo import (
+        spmv_dia_allgather,
+        spmv_dia_local_overlap,
+    )
+    from conjugategradient_tpu.solvers.multi import cg_solve_multi
+
+    if not isinstance(A, DiaMatrix):
+        raise TypeError("sharded_cg_multi_solve wants a DiaMatrix")
+    if mesh is None:
+        from conjugategradient_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis=axis)
+    num = mesh.shape[axis]
+    n = A.n
+    if n % num:
+        raise ValueError(f"n={n} not divisible by {num} shards; pad_system first")
+    n_local = n // num
+    halo = A.bandwidth
+    offsets = A.offsets
+    use_allgather = halo > n_local
+    dt = dtype or np.asarray(A.data).dtype
+
+    def local_solve(data, B_l, X0_l):
+        if use_allgather:
+            base = lambda p: spmv_dia_allgather(data, offsets, p, axis, num)
+        else:
+            base = lambda p: spmv_dia_local_overlap(data, offsets, p, halo, axis, num)
+        op = lambda P: jax.vmap(base, in_axes=1, out_axes=1)(P)
+        return cg_solve_multi(op, B_l, X0_l, policy, psum_axis=axis, n_global=n)
+
+    row2d = P(axis, None)
+    shard_fn = jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(None, axis), row2d, row2d),
+        out_specs=MultiCGResult(x=row2d, iterations=P(), residual=P(), converged=P()),
+    )
+    put = lambda a, spec: jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+    data = put(np.asarray(A.data, dtype=dt), P(None, axis))
+    B_d = put(np.asarray(B, dtype=dt), row2d)
+    X0_a = np.zeros_like(np.asarray(B, dtype=dt)) if X0 is None else np.asarray(X0, dtype=dt)
+    X0_d = put(X0_a, row2d)
+    return jax.jit(shard_fn)(data, B_d, X0_d)

@@ -82,6 +82,8 @@ def cg_solve_multi(
     policy: ConvergencePolicy = ConvergencePolicy(),
     M=None,
     use_pallas: bool = False,
+    psum_axis: Optional[str] = None,
+    n_global: Optional[int] = None,
 ) -> MultiCGResult:
     """Solve A X = B, B of shape (n, k), fully on device.
 
@@ -100,7 +102,16 @@ def cg_solve_multi(
     (k, segp, 128): layout conversion happens twice per SOLVE, not twice per
     SpMM (the ``make_cm_operator`` lesson); only an (n, k) preconditioner
     still costs a round-trip per application.
+
+    ``psum_axis`` runs the same loop inside ``shard_map``: ``A`` must then be
+    a shard-local (n_local, k) operator (with its own halo collectives), and
+    every per-column dot becomes ONE (k,)-vector ``psum`` over the mesh axis
+    (k scalars per collective — the multi-RHS wire economy).  Pass
+    ``n_global`` so the max-iteration policy sees the true system size.  See
+    ``parallel.shard_multi.sharded_cg_multi_solve`` for the placed wrapper.
     """
+    if psum_axis is not None and use_pallas:
+        raise ValueError("psum_axis and use_pallas are mutually exclusive")
     cm_plan = None
     if use_pallas and isinstance(A, DiaMatrix):
         from conjugategradient_tpu.ops import pallas_spmv as _ps
@@ -113,7 +124,7 @@ def cg_solve_multi(
     dtype = B.dtype
     tol = jnp.asarray(policy.tol, dtype)
     min_iter = jnp.int32(policy.min_iteration)
-    max_iter = jnp.int32(policy.resolve_max(n))
+    max_iter = jnp.int32(policy.resolve_max(n_global if n_global is not None else n))
 
     if cm_plan is not None:
         # column-major state: columns lead, per-column scalars broadcast
@@ -128,6 +139,11 @@ def cg_solve_multi(
         M_work = None if M is None else (
             lambda R: _ps.to_cm_multi(M(_ps.from_cm_multi(R, cm_plan)), cm_plan)
         )
+    elif psum_axis is not None:
+        cdot = lambda U, V: jax.lax.psum(jnp.sum(U * V, axis=0), psum_axis)
+        cexp = lambda s: s[None, :]
+        clinf = lambda R: jax.lax.pmax(jnp.max(jnp.abs(R), axis=0), psum_axis)
+        M_work = M
     else:
         cdot = lambda U, V: jnp.sum(U * V, axis=0)
         cexp = lambda s: s[None, :]

@@ -157,3 +157,42 @@ def test_shard_multi_rejects_bad_shapes():
     sys_ = poisson_system(grid)
     with pytest.raises(ValueError):
         make_shard_multi_mgcg(sys_, _rhs(100, 2), grid, make_mesh(4))
+
+
+def test_sharded_flat_dia_multi_rhs():
+    """Block CG for a flat banded matrix over 8 shards: per-column solutions
+    match the oracle; iteration counts match the single-device block solve."""
+    from conjugategradient_tpu.core.generators import banded_sin_system
+    from conjugategradient_tpu.parallel.shard_multi import sharded_cg_multi_solve
+    from conjugategradient_tpu.solvers.multi import cg_solve_multi
+
+    sys_ = banded_sin_system(1024, 16)
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((sys_.n, 3))
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=2000)
+    res = sharded_cg_multi_solve(sys_.A, B, policy=pol, mesh=make_mesh(8))
+    assert bool(np.asarray(res.converged).all())
+    for j in range(3):
+        r = B[:, j] - oracle.spmv(sys_.A, np.asarray(res.x[:, j], np.float64))
+        assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-9
+    import jax.numpy as jnp
+
+    ref = cg_solve_multi(sys_.A.device_put(), jnp.asarray(B), policy=pol)
+    np.testing.assert_array_equal(np.asarray(res.iterations), np.asarray(ref.iterations))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_flat_multi_rhs_linf():
+    """The pmax path: per-column L-inf convergence over the mesh."""
+    from conjugategradient_tpu.core.generators import banded_sin_system
+    from conjugategradient_tpu.parallel.shard_multi import sharded_cg_multi_solve
+
+    sys_ = banded_sin_system(512, 8)
+    rng = np.random.default_rng(4)
+    B = rng.standard_normal((sys_.n, 2))
+    pol = ConvergencePolicy(tol=1e-8, norm="linf", max_iteration=2000)
+    res = sharded_cg_multi_solve(sys_.A, B, policy=pol, mesh=make_mesh(4))
+    assert bool(np.asarray(res.converged).all())
+    for j in range(2):
+        r = B[:, j] - oracle.spmv(sys_.A, np.asarray(res.x[:, j], np.float64))
+        assert np.max(np.abs(r)) < 1e-7
