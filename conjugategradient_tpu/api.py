@@ -49,6 +49,10 @@ def solve(
     policy = ConvergencePolicy(
         tol=tol, norm=norm, min_iteration=min_iteration, max_iteration=max_iteration
     )
+    if np.asarray(b).ndim == 2:
+        # (n, k) right-hand sides: route to the block solver (one matrix
+        # pass serves k Krylov recurrences; see solvers.multi)
+        return _solve_multi(A, b, x0, method, policy, grid, dtype, **kw)
     if method == "oracle":
         return oracle.cg(
             A, b, x0, tol=tol, norm=norm, min_iteration=min_iteration,
@@ -114,6 +118,36 @@ def solve(
     elif method != "cg":
         raise ValueError(f"unknown method {method!r}")
     return cg_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
+
+
+def _solve_multi(A, B, X0, method, policy, grid, dtype, **kw):
+    """Multi-RHS facade routing: cg / jacobi_cg / mgcg over (n, k) blocks."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.solvers.multi import (
+        as_multi_preconditioner,
+        cg_solve_multi,
+    )
+
+    A_dev = A.device_put(dtype=dtype) if hasattr(A, "device_put") else A
+    B_dev = jnp.asarray(np.asarray(B), dtype=dtype)
+    X0_dev = None if X0 is None else jnp.asarray(np.asarray(X0), dtype=dtype)
+    M = None
+    if method == "jacobi_cg":
+        inv = jnp.asarray(1.0 / _diagonal(A), dtype=B_dev.dtype)
+        M = lambda R: inv[:, None] * R
+    elif method == "mgcg":
+        from conjugategradient_tpu.precond import build_hierarchy
+
+        if grid is None:
+            raise ValueError("mgcg requires grid=")
+        if not isinstance(A, DiaMatrix):
+            raise TypeError("mgcg requires a DiaMatrix")
+        h = build_hierarchy(A, grid, dtype=np.dtype(B_dev.dtype))
+        M = as_multi_preconditioner(h)
+    elif method != "cg":
+        raise ValueError(f"method {method!r} does not support (n, k) right-hand sides")
+    return cg_solve_multi(A_dev, B_dev, X0_dev, policy, M=M, **kw)
 
 
 def _to_csr(A) -> formats.CsrMatrix:

@@ -94,3 +94,18 @@ def test_sharded_cg_through_facade():
         assert bool(res.converged)
         r = sys_.b - oracle.spmv(sys_.A, np.asarray(res.x, np.float64))
         assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-8
+
+
+def test_multi_rhs_through_facade():
+    """(n, k) b routes to the block solver for cg / jacobi_cg / mgcg."""
+    from conjugategradient_tpu.core import oracle
+
+    sys_ = poisson_system((16, 16))
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((sys_.n, 3))
+    for method, kw in (("cg", {}), ("jacobi_cg", {}), ("mgcg", {"grid": (16, 16)})):
+        res = solve(sys_.A, B, method=method, tol=1e-9, norm="rel_l2", **kw)
+        assert bool(np.asarray(res.converged).all()), method
+        for j in range(3):
+            r = B[:, j] - oracle.spmv(sys_.A, np.asarray(res.x[:, j], np.float64))
+            assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-8, method
