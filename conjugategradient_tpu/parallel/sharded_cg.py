@@ -37,9 +37,7 @@ from jax.sharding import PartitionSpec as P
 from conjugategradient_tpu.core.formats import DiaMatrix
 from conjugategradient_tpu.ops.blas import residual_norm as _residual_norm
 from conjugategradient_tpu.parallel.halo import (
-    halo_exchange,
     spmv_dia_allgather,
-    spmv_dia_local,
     spmv_dia_local_overlap,
 )
 from conjugategradient_tpu.solvers.cg import CGResult, _safe_div
