@@ -208,6 +208,12 @@ def main() -> None:
     y_o = oracle.spmv(Av, np.asarray(xv, np.float64))
     pallas_err = float(np.abs(y_c - y_i).max() / np.abs(y_o).max())
     assert pallas_err < 1e-5, f"Pallas compiled vs interpret diverge: {pallas_err}"
+    # same for the multi-RHS kernel (k slabs sharing one coefficient stream)
+    Xv = jnp.asarray(np.random.default_rng(1).standard_normal((20_000, 4)).astype(np.float32))
+    Ym_c = np.asarray(pallas_spmv.spmm_dia_pallas(Av, Xv))
+    Ym_i = np.asarray(pallas_spmv.spmm_dia_pallas(Av, Xv, interpret=True))
+    pallas_multi_err = float(np.abs(Ym_c - Ym_i).max() / np.abs(y_o).max())
+    assert pallas_multi_err < 1e-5, f"multi-RHS Pallas diverges: {pallas_multi_err}"
 
     # one reference workload time: cublas_flagship through mixed-precision
     # refinement (the fp64-tolerance path on fp64-less hardware)

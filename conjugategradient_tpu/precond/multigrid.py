@@ -583,8 +583,10 @@ def mgcg_solve(
     use_pallas: bool = False,
     precise_dot: bool = False,
     layout: str = "stencil",
+    gamma: int = 1,
 ):
     """Multigrid-preconditioned CG — the solver the reference's name promised.
+    ``gamma=2`` runs W-cycles as the preconditioner.
 
     Convenience wrapper: builds (or reuses) the hierarchy, then runs the
     device-resident PCG loop with one V-cycle per iteration as M.
@@ -610,7 +612,7 @@ def mgcg_solve(
         b,
         x0,
         policy,
-        M=as_preconditioner(h, use_pallas=use_pallas),
+        M=as_preconditioner(h, use_pallas=use_pallas, gamma=gamma),
         use_pallas=use_pallas,
         precise_dot=precise_dot,
     )
