@@ -102,7 +102,7 @@ class CmPlan:
 
 
 @functools.lru_cache(maxsize=64)
-def plan_dia_cm(offsets: Tuple[int, ...], n: int) -> CmPlan:
+def plan_dia_cm(offsets: Tuple[int, ...], n: int, lmax: int = _LMAX) -> CmPlan:
     segp = _round_up(max(-(-n // _LANE), 1), _R)
     tiles = segp // _R
     off_min = min(offsets)
@@ -117,7 +117,7 @@ def plan_dia_cm(offsets: Tuple[int, ...], n: int) -> CmPlan:
         if not cur_idx:
             s = (off + H) // _R
         rel = (off + H) - s * _R
-        if cur_idx and (rel > 2 * _R or len(cur_idx) >= _LMAX):
+        if cur_idx and (rel > 2 * _R or len(cur_idx) >= lmax):
             groups.append((s, tuple(cur_rels), tuple(cur_idx)))
             cur_idx, cur_rels = [], []
             s = (off + H) // _R
@@ -364,11 +364,27 @@ def make_cm_operator(A: DiaMatrix, interpret: Optional[bool] = None):
 # ride beside it, so the dominant HBM traffic drops k-fold versus k single
 # SpMVs — the Pallas twin of ops/spmm.py's stencil SpMM and the reason
 # cg_solve_multi(use_pallas=True) exists for flat banded systems.
-# Measured (band-160 |sin|, n=414,720, k=8, fp32, on chip): 813 us vs
-# 2685 us for 8 sequential single-RHS kernel passes — 3.3x; the residual gap
-# to the ideal 8x is the k-fold slab working set throttling the pipeline
-# (artifacts/spmm_multirhs_r02.json, scripts/spmm_multirhs_bench.py).
+# Measured (band-160 |sin|, n=414,720, k=8, fp32, on chip): 711 us vs
+# 2675 us for 8 sequential single-RHS kernel passes — 3.8x at 1485
+# useful-GFLOP/s.  The gap to the ideal 8x is slab+y re-streaming per
+# diagonal GROUP (the k slabs ride past once per group): fatter groups
+# (_LMAX_MULTI = 48 vs 32; 64 exceeds the 16 MB scoped-VMEM limit) cut
+# groups 5 -> 4 and bought 13% — the remaining traffic model
+# (matrix + groups*3k slabs + 2(groups-1)k y) puts the kernel at the HBM
+# roofline (artifacts/spmm_multirhs_r02.json, scripts/spmm_multirhs_bench.py).
 # ---------------------------------------------------------------------------
+
+
+#: max diagonals per group for the multi-RHS kernel: the k x-slabs re-stream
+#: once per GROUP, so fewer/fatter groups cut the dominant overhead (the
+#: coefficient block grows to lmax * R * 128 * 4B = 3 MB — still
+#: double-buffered beside the k slabs)
+_LMAX_MULTI = 48
+
+
+def plan_dia_cm_multi(offsets: Tuple[int, ...], n: int) -> CmPlan:
+    """The multi-RHS plan: identical layout (segp/H), fatter diagonal groups."""
+    return plan_dia_cm(offsets, n, lmax=_LMAX_MULTI)
 
 
 def to_cm_multi(X: jnp.ndarray, plan: CmPlan) -> jnp.ndarray:
@@ -436,7 +452,7 @@ def _group_spmm(Xt, Dg, y_in, plan: CmPlan, gi: int, has_yin: bool, interpret: b
 def cm_apply_multi(A: DiaMatrix, V: jnp.ndarray, interpret: Optional[bool] = None) -> jnp.ndarray:
     """Column-major multi-RHS apply: (k, segp, 128) -> (k, segp, 128), one
     coefficient stream for all k columns.  Traced-friendly like ``cm_apply``."""
-    plan = plan_dia_cm(tuple(A.offsets), A.n)
+    plan = plan_dia_cm_multi(tuple(A.offsets), A.n)
     dtype = jnp.result_type(A.data.dtype, V.dtype)
     itp = _should_interpret() if interpret is None else interpret
     Dgs = dia_data_cm(A, plan, dtype)
@@ -450,7 +466,7 @@ def cm_apply_multi(A: DiaMatrix, V: jnp.ndarray, interpret: Optional[bool] = Non
 def spmm_dia_pallas(A: DiaMatrix, X: jnp.ndarray, interpret: Optional[bool] = None) -> jnp.ndarray:
     """Y = A @ X for (n, k) right-hand sides via the multi-RHS column-major
     kernel (k-fold amortisation of the matrix stream)."""
-    plan = plan_dia_cm(tuple(A.offsets), A.n)
+    plan = plan_dia_cm_multi(tuple(A.offsets), A.n)
     return from_cm_multi(cm_apply_multi(A, to_cm_multi(X, plan), interpret), plan)
 
 

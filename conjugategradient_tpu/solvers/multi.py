@@ -116,7 +116,7 @@ def cg_solve_multi(
     if use_pallas and isinstance(A, DiaMatrix):
         from conjugategradient_tpu.ops import pallas_spmv as _ps
 
-        cm_plan = _ps.plan_dia_cm(tuple(A.offsets), A.n)
+        cm_plan = _ps.plan_dia_cm_multi(tuple(A.offsets), A.n)
         op = lambda P: _ps.cm_apply_multi(A, P)
     else:
         op = _as_multi_operator(A)
