@@ -169,3 +169,39 @@ def test_multi_rhs_cg_pallas_path():
     for j in range(4):
         r = np.asarray(B[:, j]) - oracle.spmv(sys_.A, np.asarray(res_p.x[:, j], np.float64))
         assert np.linalg.norm(r) / np.linalg.norm(np.asarray(B[:, j])) < 1e-9
+
+
+def test_cm_plan_fuzz_random_offsets():
+    """Random DIA sparsity patterns through both CM kernels (interpret):
+    exercises group-window splits, the lmax boundary, the 0-offset group
+    reordering, and the multi plan's fatter groups."""
+    from conjugategradient_tpu.core.formats import DiaMatrix
+    from conjugategradient_tpu.ops.pallas_spmv import spmm_dia_pallas, spmv_dia_pallas
+
+    rng = np.random.default_rng(9)
+    for trial in range(6):
+        n = int(rng.integers(300, 3000))
+        nd = int(rng.integers(1, 40))
+        span = int(rng.integers(4, max(5, n // 2)))
+        offs = rng.choice(np.arange(-span, span + 1), size=nd, replace=False)
+        if trial % 2 == 0 and 0 not in offs:
+            offs[0] = 0  # half the trials exercise the 0-offset reorder
+        offs = np.sort(offs)
+        data = rng.standard_normal((len(offs), n))
+        # zero structurally-invalid entries (DIA convention)
+        for k, off in enumerate(offs):
+            if off < 0:
+                data[k, : -off] = 0.0
+            elif off > 0:
+                data[k, n - off :] = 0.0
+        A = DiaMatrix(data=data, offsets=tuple(int(o) for o in offs), shape=(n, n)).device_put()
+        x = rng.standard_normal(n)
+        y_ref = oracle.spmv(A, x)
+        scale = max(np.abs(y_ref).max(), 1e-30)
+        y1 = np.asarray(spmv_dia_pallas(A, x))
+        assert np.abs(y1 - y_ref).max() / scale < 1e-10, (trial, n, offs)
+        X = rng.standard_normal((n, 3))
+        Y = np.asarray(spmm_dia_pallas(A, X))
+        for j in range(3):
+            yr = oracle.spmv(A, X[:, j])
+            assert np.abs(Y[:, j] - yr).max() / max(np.abs(yr).max(), 1e-30) < 1e-10
