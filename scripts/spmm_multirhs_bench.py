@@ -60,7 +60,7 @@ def main() -> int:
         scale = max(scale, float(np.abs(Y[:, j] - yo).max() / np.abs(yo).max()))
     assert scale < 1e-5, scale
 
-    plan = ps.plan_dia_cm(tuple(A.offsets), n)
+    plan = ps.plan_dia_cm_multi(tuple(A.offsets), n)
     Vm = ps.to_cm_multi(X, plan)  # (k, segp, 128)
 
     def timed(step, v0):
