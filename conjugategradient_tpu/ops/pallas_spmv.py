@@ -190,13 +190,16 @@ def dia_data_cm(A: DiaMatrix, plan: CmPlan, dtype) -> Tuple[jnp.ndarray, ...]:
     return tuple(dt[jnp.asarray(idx)] for (_, _, idx) in plan.groups)
 
 
-def _cm_kernel(*refs, rels, has_yin: bool, fused: bool, center_rel: int):
+def _cm_kernel(*refs, rels, has_yin: bool, fused: bool, center_rel: int, acc_dtype):
     x0, x1, x2, d = refs[:4]
     slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)  # (3R, 128)
+    # mixed precision: bf16 STREAMS (the HBM traffic), acc_dtype (fp32) math —
+    # the casts are per-block register converts, free next to the FMAs
+    slab = slab.astype(acc_dtype)
     acc = None
     for k, rel in enumerate(rels):
         w = jax.lax.slice(slab, (rel, 0), (rel + _R, _LANE))
-        t = d[k] * w
+        t = d[k].astype(acc_dtype) * w
         acc = t if acc is None else acc + t
     pos = 4
     if has_yin:
@@ -221,6 +224,9 @@ def _group_spmv(Xt, Dg, y_in, plan: CmPlan, gi: int, has_yin: bool, fused: bool,
     s, rels, idx = plan.groups[gi]
     L = len(idx)
     tiles = plan.tiles
+    acc_dtype = jnp.result_type(Dg.dtype, Xt.dtype)
+    if acc_dtype == jnp.bfloat16:
+        acc_dtype = jnp.dtype(jnp.float32)
     # center window = the off=0 slice; in [0, 2R] by group construction
     center_rel = plan.H - s * _R if fused else 0
 
@@ -241,16 +247,17 @@ def _group_spmv(Xt, Dg, y_in, plan: CmPlan, gi: int, has_yin: bool, fused: bool,
         )
         args.append(y_in)
         aliases = {4: 0}
-    out_shape = [jax.ShapeDtypeStruct((plan.segp, _LANE), Dg.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((plan.segp, _LANE), acc_dtype)]
     out_specs = [pl.BlockSpec((_R, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     if fused:
-        out_shape.append(jax.ShapeDtypeStruct((tiles, 8, _LANE), Dg.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((tiles, 8, _LANE), acc_dtype))
         out_specs.append(
             pl.BlockSpec((1, 8, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         )
     out = pl.pallas_call(
         functools.partial(
-            _cm_kernel, rels=rels, has_yin=has_yin, fused=fused, center_rel=center_rel
+            _cm_kernel, rels=rels, has_yin=has_yin, fused=fused,
+            center_rel=center_rel, acc_dtype=acc_dtype,
         ),
         out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         grid=(tiles,),
@@ -271,11 +278,13 @@ def _should_interpret() -> bool:
 
 def _run_groups(A: DiaMatrix, x, interpret, fused: bool):
     plan = plan_dia_cm(tuple(A.offsets), A.n)
-    dtype = jnp.result_type(A.data.dtype, x.dtype)
     if interpret is None:
         interpret = _should_interpret()
-    Dgs = dia_data_cm(A, plan, dtype)
-    v = to_cm(jnp.asarray(x, dtype), plan)
+    # streams keep their ORIGINAL dtypes (a bf16 matrix rides HBM at half
+    # width); the kernel casts per-block to the accumulator dtype, which is
+    # exact for float widening — results are identical to host upcasting
+    Dgs = dia_data_cm(A, plan, jnp.asarray(A.data).dtype)
+    v = to_cm(jnp.asarray(x), plan)
     Xt = expand_cm(v, plan)
     y = None
     part = None
@@ -333,10 +342,9 @@ def cm_apply(A: DiaMatrix, v: jnp.ndarray, interpret: Optional[bool] = None) -> 
     solver loops by XLA.
     """
     plan = plan_dia_cm(tuple(A.offsets), A.n)
-    dtype = jnp.result_type(A.data.dtype, v.dtype)
     itp = _should_interpret() if interpret is None else interpret
-    Dgs = dia_data_cm(A, plan, dtype)
-    Xt = expand_cm(v.astype(dtype), plan)
+    Dgs = dia_data_cm(A, plan, jnp.asarray(A.data).dtype)
+    Xt = expand_cm(v, plan)
     y = None
     for gi in range(len(plan.groups)):
         y = _group_spmv(
@@ -397,13 +405,14 @@ def from_cm_multi(Y: jnp.ndarray, plan: CmPlan) -> jnp.ndarray:
     return jax.vmap(lambda y: from_cm(y, plan), in_axes=0, out_axes=1)(Y)
 
 
-def _cm_kernel_multi(*refs, rels, has_yin: bool, k: int):
+def _cm_kernel_multi(*refs, rels, has_yin: bool, k: int, acc_dtype):
     x0, x1, x2, d = refs[:4]
     slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=1)  # (k, 3R, 128)
+    slab = slab.astype(acc_dtype)
     acc = None
     for j, rel in enumerate(rels):
         w = jax.lax.slice(slab, (0, rel, 0), (k, rel + _R, _LANE))  # (k, R, 128)
-        t = d[j][None] * w  # coefficient block broadcast over the RHS axis
+        t = d[j][None].astype(acc_dtype) * w  # coefficients broadcast over RHS
         acc = t if acc is None else acc + t
     pos = 4
     if has_yin:
@@ -418,6 +427,9 @@ def _group_spmm(Xt, Dg, y_in, plan: CmPlan, gi: int, has_yin: bool, interpret: b
     L = len(idx)
     k = Xt.shape[0]
     tiles = plan.tiles
+    acc_dtype = jnp.result_type(Dg.dtype, Xt.dtype)
+    if acc_dtype == jnp.bfloat16:
+        acc_dtype = jnp.dtype(jnp.float32)
 
     def xspec(f):
         return pl.BlockSpec(
@@ -437,8 +449,8 @@ def _group_spmm(Xt, Dg, y_in, plan: CmPlan, gi: int, has_yin: bool, interpret: b
         args.append(y_in)
         aliases = {4: 0}
     out = pl.pallas_call(
-        functools.partial(_cm_kernel_multi, rels=rels, has_yin=has_yin, k=k),
-        out_shape=jax.ShapeDtypeStruct((k, plan.segp, _LANE), Dg.dtype),
+        functools.partial(_cm_kernel_multi, rels=rels, has_yin=has_yin, k=k, acc_dtype=acc_dtype),
+        out_shape=jax.ShapeDtypeStruct((k, plan.segp, _LANE), acc_dtype),
         grid=(tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((k, _R, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
@@ -453,10 +465,9 @@ def cm_apply_multi(A: DiaMatrix, V: jnp.ndarray, interpret: Optional[bool] = Non
     """Column-major multi-RHS apply: (k, segp, 128) -> (k, segp, 128), one
     coefficient stream for all k columns.  Traced-friendly like ``cm_apply``."""
     plan = plan_dia_cm_multi(tuple(A.offsets), A.n)
-    dtype = jnp.result_type(A.data.dtype, V.dtype)
     itp = _should_interpret() if interpret is None else interpret
-    Dgs = dia_data_cm(A, plan, dtype)
-    Xt = jax.vmap(lambda v: expand_cm(v, plan))(V.astype(dtype))
+    Dgs = dia_data_cm(A, plan, jnp.asarray(A.data).dtype)
+    Xt = jax.vmap(lambda v: expand_cm(v, plan))(V)
     y = None
     for gi in range(len(plan.groups)):
         y = _group_spmm(Xt, Dgs[gi], y, plan, gi, has_yin=gi > 0, interpret=itp)

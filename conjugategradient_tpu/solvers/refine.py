@@ -60,6 +60,7 @@ def refined_solve(
     smoother: str = "chebyshev",
     raise_on_divergence: bool = False,
     use_pallas: Optional[bool] = None,
+    matrix_dtype=None,
 ) -> RefineResult:
     """Solve A x = b to an fp64 tolerance using fp32 device inner solves.
 
@@ -73,6 +74,14 @@ def refined_solve(
     chip, ~10-20x the flat-XLA DIA SpMV for the band-160 family.  Default:
     on for TPU backends, off elsewhere (interpret-mode Pallas on CPU is for
     tests, not speed).
+
+    ``matrix_dtype`` stores the device matrix narrower than the Krylov state
+    (e.g. ``jnp.bfloat16`` with fp32 vectors): the CM kernel streams it at
+    half HBM width and accumulates fp32 (measured 1.93x per SpMV on chip,
+    ``artifacts/bf16_spmv_r02.json``).  The inner CG then converges on the
+    bf16-rounded operator — a ~1e-3 relative perturbation of A — and the
+    fp64 outer refinement corrects for it with (typically) a few more outer
+    passes; the returned residual is still the TRUE fp64 residual.
     """
     import jax
     import jax.numpy as jnp
@@ -99,7 +108,7 @@ def refined_solve(
         M = as_preconditioner(h)
         shape = tuple(grid)
     else:
-        A_dev = A.device_put(device_dtype)
+        A_dev = A.device_put(matrix_dtype or device_dtype)
         shape = (n,)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"

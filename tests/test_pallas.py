@@ -205,3 +205,35 @@ def test_cm_plan_fuzz_random_offsets():
         for j in range(3):
             yr = oracle.spmv(A, X[:, j])
             assert np.abs(Y[:, j] - yr).max() / max(np.abs(yr).max(), 1e-30) < 1e-10
+
+
+def test_cm_kernel_bf16_streams_fp32_accumulate():
+    """bf16 matrix (and/or x) streams at half HBM width; the kernel
+    accumulates fp32, so the result carries ~bf16 input rounding only
+    (not bf16 accumulation drift over 159 terms)."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.ops.pallas_spmv import spmm_dia_pallas, spmv_dia_pallas
+
+    A = banded_sin_matrix(4096, 64, dtype=np.float32)
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal(4096).astype(np.float32)
+    y_ref = oracle.spmv(A, x.astype(np.float64))
+    scale = np.abs(y_ref).max()
+
+    A16 = A.device_put(dtype=jnp.bfloat16)
+    # bf16 matrix x fp32 vector: fp32 out, error ~ bf16 epsilon on the inputs
+    y = np.asarray(spmv_dia_pallas(A16, jnp.asarray(x)))
+    assert y.dtype == np.float32
+    assert np.abs(y - y_ref).max() / scale < 2e-2
+    # bf16 x bf16: still fp32 accumulated output
+    y2 = np.asarray(spmv_dia_pallas(A16, jnp.asarray(x, jnp.bfloat16)))
+    assert y2.dtype == np.float32
+    assert np.abs(y2 - y_ref).max() / scale < 3e-2
+    # multi-RHS path, bf16 matrix
+    X = rng.standard_normal((4096, 3)).astype(np.float32)
+    Y = np.asarray(spmm_dia_pallas(A16, jnp.asarray(X)))
+    assert Y.dtype == np.float32
+    for j in range(3):
+        yr = oracle.spmv(A, X[:, j].astype(np.float64))
+        assert np.abs(Y[:, j] - yr).max() / np.abs(yr).max() < 2e-2

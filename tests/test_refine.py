@@ -68,3 +68,22 @@ def test_slow_but_converging_refinement_completes():
     assert res.outer_iterations > 3  # genuinely many slow passes, not one lucky solve
     r = sys_.b - oracle.spmv(sys_.A, res.x)
     assert np.linalg.norm(r) < 1e-9
+
+
+def test_refined_solve_bf16_matrix_stream():
+    """bf16-stored device matrix (half-width stream, fp32 accumulation):
+    refinement still reaches the fp64 tolerance — the inner CG converges on
+    the bf16-rounded operator and the fp64 outer passes correct for it."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.core.generators import banded_sin_system
+
+    sys_ = banded_sin_system(4096, 32, dtype=np.float64)
+    res = refined_solve(
+        sys_.A, sys_.b, sys_.x0, tol=1e-8, norm="l2",
+        use_pallas=True,  # interpret-mode CM kernel on CPU
+        matrix_dtype=jnp.bfloat16,
+    )
+    assert res.converged
+    r = sys_.b - oracle.spmv(sys_.A, res.x)
+    assert np.linalg.norm(r) < 1e-8
