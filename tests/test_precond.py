@@ -381,3 +381,19 @@ def test_cheb_cg_through_facade():
     assert bool(res.converged)
     r = sys_.b - oracle.spmv(sys_.A, np.asarray(res.x, np.float64))
     assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-8
+
+
+def test_mgcg_w_cycle_gamma():
+    """mgcg_solve(gamma=2): W-cycle preconditioning converges in <= the
+    V-cycle's iterations (stronger cycle, more work per application)."""
+    from conjugategradient_tpu.core.generators import poisson_system
+    from conjugategradient_tpu.precond import mgcg_solve
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    grid = (63, 63)
+    sys_ = poisson_system(grid)
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=100)
+    res_v, _ = mgcg_solve(sys_.A, sys_.b, grid, policy=pol)
+    res_w, _ = mgcg_solve(sys_.A, sys_.b, grid, policy=pol, gamma=2)
+    assert bool(res_v.converged) and bool(res_w.converged)
+    assert int(res_w.iterations) <= int(res_v.iterations)
