@@ -380,6 +380,10 @@ def make_cm_operator(A: DiaMatrix, interpret: Optional[bool] = None):
 # groups 5 -> 4 and bought 13% — the remaining traffic model
 # (matrix + groups*3k slabs + 2(groups-1)k y) puts the kernel at the HBM
 # roofline (artifacts/spmm_multirhs_r02.json, scripts/spmm_multirhs_bench.py).
+# The obvious next step — ONE call with a sequential group grid dimension and
+# the y block revisited in VMEM — measured 2.2x SLOWER (the sequential dim
+# defeats the pipeliner); see scripts/spmm_acc_experiment.py for the
+# reproducible negative result (artifacts/spmm_acc_experiment_r02.json).
 # ---------------------------------------------------------------------------
 
 
