@@ -56,7 +56,10 @@ def main() -> None:
         grid = (1023, 1023)
         dtype = np.float32
         tol = 1e-6
-        k_short, k_long = 2, 42
+        # spread 80 solves: the difference carries ~80 ms of MGCG (vs tunnel
+        # jitter ~1 ms) and ~1.2 s of plain CG — halves the r2 noise at
+        # negligible wall cost
+        k_short, k_long = 2, 82
     else:
         grid = (511, 511)
         dtype = np.float64
