@@ -215,7 +215,7 @@ def main() -> None:
     Xv = jnp.asarray(np.random.default_rng(1).standard_normal((20_000, 4)).astype(np.float32))
     Ym_c = np.asarray(pallas_spmv.spmm_dia_pallas(Av, Xv))
     Ym_i = np.asarray(pallas_spmv.spmm_dia_pallas(Av, Xv, interpret=True))
-    pallas_multi_err = float(np.abs(Ym_c - Ym_i).max() / np.abs(y_o).max())
+    pallas_multi_err = float(np.abs(Ym_c - Ym_i).max() / np.abs(Ym_i).max())
     assert pallas_multi_err < 1e-5, f"multi-RHS Pallas diverges: {pallas_multi_err}"
 
     # one reference workload time: cublas_flagship through mixed-precision
@@ -254,6 +254,7 @@ def main() -> None:
                 "spmv_stencil": stencil_metrics,
                 "spmv_pallas_dia_band160": pallas_metrics,
                 "pallas_compiled_vs_interpret_relerr": pallas_err,
+                "pallas_multi_compiled_vs_interpret_relerr": pallas_multi_err,
                 "flagship_refined_s": flagship_s,
             }
         )

@@ -281,11 +281,16 @@ def _run_groups(A: DiaMatrix, x, interpret, fused: bool):
     if interpret is None:
         interpret = _should_interpret()
     # streams keep their ORIGINAL dtypes (a bf16 matrix rides HBM at half
-    # width); the kernel casts per-block to the accumulator dtype, which is
-    # exact for float widening — results are identical to host upcasting
-    Dgs = dia_data_cm(A, plan, jnp.asarray(A.data).dtype)
+    # width); the kernel casts per-block to the fp32 accumulator, which is
+    # exact for float widening — results are identical to host upcasting.
+    # The RETURNED dtype is the usual promotion result (bf16 in -> bf16 out,
+    # rounded once from the fp32 accumulator), so Krylov loops that carry
+    # bf16 state through this operator keep a stable while_loop carry.
+    d_dtype = jax.dtypes.canonicalize_dtype(A.data.dtype)
+    Dgs = dia_data_cm(A, plan, d_dtype)
     v = to_cm(jnp.asarray(x), plan)
     Xt = expand_cm(v, plan)
+    out_dtype = jnp.result_type(d_dtype, v.dtype)
     y = None
     part = None
     ng = len(plan.groups)
@@ -305,7 +310,9 @@ def _run_groups(A: DiaMatrix, x, interpret, fused: bool):
             y, part = out
         else:
             y = out
-    return plan, y, part
+    if part is not None:
+        part = part.astype(out_dtype)
+    return plan, y.astype(out_dtype), part
 
 
 def spmv_dia_pallas(
@@ -343,14 +350,16 @@ def cm_apply(A: DiaMatrix, v: jnp.ndarray, interpret: Optional[bool] = None) -> 
     """
     plan = plan_dia_cm(tuple(A.offsets), A.n)
     itp = _should_interpret() if interpret is None else interpret
-    Dgs = dia_data_cm(A, plan, jnp.asarray(A.data).dtype)
+    d_dtype = jax.dtypes.canonicalize_dtype(A.data.dtype)
+    Dgs = dia_data_cm(A, plan, d_dtype)
     Xt = expand_cm(v, plan)
     y = None
     for gi in range(len(plan.groups)):
         y = _group_spmv(
             Xt, Dgs[gi], y, plan, gi, has_yin=gi > 0, fused=False, interpret=itp
         )
-    return y
+    # stable carry dtype for Krylov loops over this operator (see _run_groups)
+    return y.astype(jnp.result_type(d_dtype, v.dtype))
 
 
 def make_cm_operator(A: DiaMatrix, interpret: Optional[bool] = None):
@@ -470,12 +479,14 @@ def cm_apply_multi(A: DiaMatrix, V: jnp.ndarray, interpret: Optional[bool] = Non
     coefficient stream for all k columns.  Traced-friendly like ``cm_apply``."""
     plan = plan_dia_cm_multi(tuple(A.offsets), A.n)
     itp = _should_interpret() if interpret is None else interpret
-    Dgs = dia_data_cm(A, plan, jnp.asarray(A.data).dtype)
+    d_dtype = jax.dtypes.canonicalize_dtype(A.data.dtype)
+    Dgs = dia_data_cm(A, plan, d_dtype)
     Xt = jax.vmap(lambda v: expand_cm(v, plan))(V)
     y = None
     for gi in range(len(plan.groups)):
         y = _group_spmm(Xt, Dgs[gi], y, plan, gi, has_yin=gi > 0, interpret=itp)
-    return y
+    # stable carry dtype for block-Krylov loops over this operator
+    return y.astype(jnp.result_type(d_dtype, V.dtype))
 
 
 def spmm_dia_pallas(A: DiaMatrix, X: jnp.ndarray, interpret: Optional[bool] = None) -> jnp.ndarray:

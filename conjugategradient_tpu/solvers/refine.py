@@ -75,7 +75,8 @@ def refined_solve(
     on for TPU backends, off elsewhere (interpret-mode Pallas on CPU is for
     tests, not speed).
 
-    ``matrix_dtype`` stores the device matrix narrower than the Krylov state
+    ``matrix_dtype`` (gridless path only — with ``grid`` it raises) stores
+    the device matrix narrower than the Krylov state
     (e.g. ``jnp.bfloat16`` with fp32 vectors): the CM kernel streams it at
     half HBM width and accumulates fp32 (measured 1.93x per SpMV on chip,
     ``artifacts/bf16_spmv_r02.json``).  The inner CG then converges on the
@@ -95,6 +96,13 @@ def refined_solve(
     # --- build the fp32 inner solver once -------------------------------
     M = None
     if grid is not None:
+        if matrix_dtype is not None:
+            raise ValueError(
+                "matrix_dtype applies to the gridless (flat DIA / CM-kernel) "
+                "path; the stencil-MGCG branch builds its operator at "
+                "device_dtype (and the Poisson family's const stencil ships "
+                "zero matrix bytes anyway)"
+            )
         from conjugategradient_tpu.precond import as_preconditioner, build_hierarchy
 
         h = hierarchy or build_hierarchy(

@@ -37,7 +37,6 @@ t0 = time.perf_counter()
 res = rung5.make_rung5_mgcg(pol, rh)(b, x0)
 jax.block_until_ready(res.x)
 t_solve_first = time.perf_counter() - t0
-x = np.asarray(res.x, np.float64).reshape(-1)[:real] if hasattr(res.x, "reshape") else None
 sys_h = generators.poisson_system(grid, dtype=np.float64)
 r = sys_h.b - oracle.spmv(sys_h.A, np.asarray(res.x, np.float64).reshape(-1)[: sys_h.n])
 rel = float(np.linalg.norm(r) / np.linalg.norm(sys_h.b))

@@ -94,11 +94,12 @@ def main() -> int:
     assert bool(np.asarray(convs).all()), np.asarray(ress)
     t_solve = max((times[k2] - times[k1]) / (k2 - k1), 1e-9)
 
-    # fp64 true-residual check on one solve (host)
-    res1 = jax.jit(
-        lambda h_, A_, b_: cg_solve(A_, b_, policy=policy, M=(v_cycle, h_), precise_dot=True)
-    )(h, A, b)
-    x64 = np.asarray(res1.x, np.float64).reshape(-1)
+    # fp64 true-residual check reuses the timed scan's final solution: it
+    # solves b*s_last (+ a 1e-30 seed term, negligible), so x/s_last checks
+    # against b without compiling a second full MGCG program through the
+    # tunnel (first compile ~minutes at this size)
+    s_last = float(np.asarray(scales)[-1])
+    x64 = np.asarray(x, np.float64).reshape(-1) / s_last
     r = np.asarray(system.b, np.float64) - oracle.spmv(system.A, x64)
     rel = float(np.linalg.norm(r) / np.linalg.norm(system.b))
 

@@ -226,9 +226,10 @@ def test_cm_kernel_bf16_streams_fp32_accumulate():
     y = np.asarray(spmv_dia_pallas(A16, jnp.asarray(x)))
     assert y.dtype == np.float32
     assert np.abs(y - y_ref).max() / scale < 2e-2
-    # bf16 x bf16: still fp32 accumulated output
-    y2 = np.asarray(spmv_dia_pallas(A16, jnp.asarray(x, jnp.bfloat16)))
-    assert y2.dtype == np.float32
+    # bf16 x bf16: fp32-accumulated internally, returned at the usual
+    # promotion dtype (bf16) so Krylov carries stay stable
+    y2 = np.asarray(spmv_dia_pallas(A16, jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32))
+    assert spmv_dia_pallas(A16, jnp.asarray(x, jnp.bfloat16)).dtype == jnp.bfloat16
     assert np.abs(y2 - y_ref).max() / scale < 3e-2
     # multi-RHS path, bf16 matrix
     X = rng.standard_normal((4096, 3)).astype(np.float32)
@@ -237,3 +238,26 @@ def test_cm_kernel_bf16_streams_fp32_accumulate():
     for j in range(3):
         yr = oracle.spmv(A, X[:, j].astype(np.float64))
         assert np.abs(Y[:, j] - yr).max() / np.abs(yr).max() < 2e-2
+
+
+def test_cm_operator_bf16_carry_is_stable():
+    """Regression (r2 review): a bf16 Krylov state through the CM operator
+    must keep a stable while_loop carry — the operator returns the promotion
+    dtype (bf16), accumulating fp32 only internally."""
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.core.generators import banded_sin_system
+    from conjugategradient_tpu.ops.pallas_spmv import make_cm_operator
+    from conjugategradient_tpu.solvers.cg import cg_solve
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    sys_ = banded_sin_system(1024, 8, dtype=np.float64)
+    A16 = sys_.A.device_put(dtype=jnp.bfloat16)
+    op, to_cm_, from_cm_ = make_cm_operator(A16)
+    b16 = to_cm_(jnp.asarray(sys_.b / np.abs(sys_.b).max(), jnp.bfloat16))
+    res = jax.jit(
+        lambda b: cg_solve(op, b, policy=ConvergencePolicy(tol=5e-2, norm="rel_l2", max_iteration=2000))
+    )(b16)
+    assert np.isfinite(np.asarray(from_cm_(res.x), np.float32)).all()
+    assert bool(res.converged)
