@@ -1,0 +1,153 @@
+"""One-stop tour of the framework beyond the reference's surface.
+
+Runs, in order, each round-2 capability on small CPU-fast systems with an
+oracle check after every step — a single entry point to validate (and read
+as executable documentation):
+
+  1. one-call facade across methods (cg / jacobi_cg / cheb_cg / mgcg)
+  2. spectral diagnostics from a solve's own scalars (kappa before/after M)
+  3. multi-RHS block solves through the facade ((n, k) b)
+  4. communication-reduced distributed variants (cg1 / pipelined)
+  5. flat-band sharded block CG (one (k,)-psum per iteration)
+  6. mixed precision: fp64 tolerance on fp32 state via refinement, with an
+     optionally bf16-stored matrix stream
+
+Run:  python examples/features_tour.py            (8 virtual devices, CPU)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu import solve
+    from conjugategradient_tpu.core import generators, oracle
+
+    ok = True
+
+    def check(label, x, sys_, tol=1e-7):
+        nonlocal ok
+        r = sys_.b - oracle.spmv(sys_.A, np.asarray(x, np.float64).reshape(sys_.b.shape))
+        rel = np.linalg.norm(r.ravel()) / np.linalg.norm(sys_.b.ravel())
+        good = rel < tol
+        ok &= good
+        print(f"  [{'OK ' if good else 'BAD'}] {label:<46} true rel residual {rel:.2e}")
+        return rel
+
+    # 1. facade methods ---------------------------------------------------
+    print("1. one-call facade (banded |sin| n=1024, band 16):")
+    sys_ = generators.banded_sin_system(1024, 16)
+    its = {}
+    for method, kw in (("cg", {}), ("jacobi_cg", {}), ("cheb_cg", {"degree": 3})):
+        res = solve(sys_.A, sys_.b, sys_.x0, method=method, tol=1e-10, norm="rel_l2", **kw)
+        its[method] = int(res.iterations)
+        check(f"{method} ({its[method]} iterations)", res.x, sys_)
+    assert its["cheb_cg"] < its["jacobi_cg"] < its["cg"], its
+
+    grid = (63, 63)
+    psys = generators.poisson_system(grid)
+    res = solve(psys.A, psys.b, method="mgcg", grid=grid, tol=1e-10, norm="rel_l2")
+    check(f"mgcg ({int(res.iterations)} iterations vs {its['cg']} plain on the band)", res.x, psys)
+
+    # 2. spectrum probe ---------------------------------------------------
+    print("2. spectral diagnostics from the solve itself (63x63 Poisson):")
+    from conjugategradient_tpu.precond import build_hierarchy
+    from conjugategradient_tpu.precond.multigrid import v_cycle
+    from conjugategradient_tpu.solvers.cg import cg_solve_traced
+    from conjugategradient_tpu.solvers.eigen import spectrum_from_cg
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    A_dev = psys.A.device_put()
+    b_dev = jnp.asarray(psys.b)
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=400)
+    h = build_hierarchy(psys.A, grid)
+    kappas = {}
+    for label, M in (("A", None), ("M^-1 A", (v_cycle, h))):
+        tres, _, (al, be) = cg_solve_traced(
+            A_dev, b_dev, policy=pol, M=M, num_steps=300, with_coefficients=True
+        )
+        lo, hi, kappas[label] = spectrum_from_cg(al, be, int(tres.iterations))
+        print(f"  spectrum({label}): [{lo:.3e}, {hi:.3e}]  kappa ~ {kappas[label]:.1f}")
+    assert kappas["M^-1 A"] < 2.0 < kappas["A"], kappas
+
+    # 3. multi-RHS through the facade ------------------------------------
+    print("3. multi-RHS block solve ((n, 4) right-hand sides, one matrix stream):")
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((sys_.n, 4))
+    mres = solve(sys_.A, B, method="cg", tol=1e-10, norm="rel_l2")
+    worst = 0.0
+    for j in range(4):
+        r = B[:, j] - oracle.spmv(sys_.A, np.asarray(mres.x[:, j], np.float64))
+        worst = max(worst, np.linalg.norm(r) / np.linalg.norm(B[:, j]))
+    good = worst < 1e-8
+    ok &= good
+    print(f"  [{'OK ' if good else 'BAD'}] 4 columns, iterations {np.asarray(mres.iterations).tolist()}, worst rel {worst:.2e}")
+
+    # 4. communication-reduced distributed variants -----------------------
+    print("4. sharded CG variants (8 virtual devices):")
+    from conjugategradient_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    for variant in ("cg", "cg1", "pipelined"):
+        res = solve(
+            sys_.A, sys_.b, sys_.x0, method="sharded_cg", tol=1e-10, norm="rel_l2",
+            mesh=mesh, variant=variant,
+        )
+        check(f"sharded_cg variant={variant} ({int(res.iterations)} it)", res.x, sys_)
+
+    # 5. flat-band sharded block CG ---------------------------------------
+    print("5. flat-band sharded block CG (k=3, one (k,)-psum per iteration):")
+    from conjugategradient_tpu.parallel.shard_multi import sharded_cg_multi_solve
+
+    B3 = rng.standard_normal((sys_.n, 3))
+    bres = sharded_cg_multi_solve(
+        sys_.A, B3, policy=ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=2000),
+        mesh=mesh,
+    )
+    worst = 0.0
+    for j in range(3):
+        r = B3[:, j] - oracle.spmv(sys_.A, np.asarray(bres.x[:, j], np.float64))
+        worst = max(worst, np.linalg.norm(r) / np.linalg.norm(B3[:, j]))
+    good = worst < 1e-8 and bool(np.asarray(bres.converged).all())
+    ok &= good
+    print(f"  [{'OK ' if good else 'BAD'}] iterations {np.asarray(bres.iterations).tolist()}, worst rel {worst:.2e}")
+
+    # 6. mixed precision ---------------------------------------------------
+    print("6. fp64 tolerance on fp32 state (+ bf16 matrix stream) via refinement:")
+    from conjugategradient_tpu.solvers.refine import refined_solve
+
+    rsys = generators.banded_sin_system(4096, 32)
+    for label, kw in (
+        ("fp32 inner", {}),
+        ("bf16 matrix stream", {"use_pallas": True, "matrix_dtype": jnp.bfloat16}),
+    ):
+        rres = refined_solve(rsys.A, rsys.b, rsys.x0, tol=1e-8, norm="l2", **kw)
+        r = rsys.b - oracle.spmv(rsys.A, rres.x)
+        good = rres.converged and np.linalg.norm(r) < 1e-8
+        ok &= good
+        print(
+            f"  [{'OK ' if good else 'BAD'}] {label:<24} abs residual "
+            f"{np.linalg.norm(r):.2e} in {rres.outer_iterations} outer / "
+            f"{rres.inner_iterations} inner"
+        )
+
+    print("ALL OK" if ok else "MISMATCH")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
