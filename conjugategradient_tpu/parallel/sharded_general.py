@@ -22,7 +22,12 @@ This module is the TPU-native re-design of that general case:
   coordinates — the reference's ``vectorP`` worst case, minus the host
   staging;
 - everything runs inside one jitted ``shard_map`` program reusing
-  ``sharded_cg.sharded_cg_loop`` (psum dots, on-device convergence).
+  ``sharded_cg.sharded_cg_loop`` (psum dots, on-device convergence).  The
+  CSR ring path uses the halo-OVERLAP formulation: nonzeros are split at
+  setup into interior entries (columns in the shard's own block — their
+  segment-sum has no data dependence on the ring) and boundary entries
+  (consumed against the ``ring_gather`` window), the row-split twin of
+  ``halo.spmv_dia_local_overlap``.
 
 The per-shard index arrays ride as sharded jit *arguments*, so nothing large
 lands in the compile payload.
@@ -88,6 +93,61 @@ def _csr_shard_arrays(A: CsrMatrix, part: RowBlockPartition, hops: int, rebase: 
     return data_sh, cols_sh, rows_sh
 
 
+def _csr_shard_arrays_overlap(A: CsrMatrix, part: RowBlockPartition, hops: int):
+    """Entry-split shard arrays for the halo-OVERLAP CSR SpMV.
+
+    Every nonzero lands in exactly one of two sets (so the matrix stream is
+    not duplicated):
+
+    - *interior* entries — column inside this shard's own block; stored with
+      LOCAL column coordinates and consumed against the local ``p`` only, so
+      their (dominant) segment-sum carries no data dependence on the ring
+      collectives;
+    - *boundary* entries — column in a neighbor's block; stored in
+      ring-window coordinates and consumed against the ``ring_gather``
+      result.
+
+    The row-split twin of ``halo.spmv_dia_local_overlap`` (SURVEY §7 hard
+    part 6): XLA's latency-hiding scheduler is free to run the ppermute ring
+    underneath the interior compute.  Both sets keep the identity padding
+    convention of ``_csr_shard_arrays`` (data 0, row n_local - 1, in-range
+    column), and row order within each set stays ascending (a subsequence of
+    the CSR order), preserving ``segment_sum``'s sorted invariant.
+    """
+    num, n_local = part.num_shards, part.counts[0]
+    indptr = np.asarray(A.indptr)
+    indices = np.asarray(A.indices)
+    row_ids = np.asarray(A.row_ids)
+    data = np.asarray(A.data)
+    per_shard = []
+    for off, cnt in zip(part.offsets, part.counts):
+        lo, hi = int(indptr[off]), int(indptr[off + cnt])
+        c = indices[lo:hi]
+        local = (c >= off) & (c < off + n_local)
+        per_shard.append(
+            (
+                (data[lo:hi][local], c[local] - off, row_ids[lo:hi][local] - off),
+                (
+                    data[lo:hi][~local],
+                    c[~local] - off + hops * n_local,
+                    row_ids[lo:hi][~local] - off,
+                ),
+            )
+        )
+    out = []
+    for which, pad_col in ((0, 0), (1, hops * n_local)):
+        nnz_max = max(1, max(len(ps[which][0]) for ps in per_shard))
+        d = np.zeros((num, nnz_max), dtype=data.dtype)
+        cc = np.full((num, nnz_max), pad_col, dtype=np.int32)
+        rr = np.full((num, nnz_max), n_local - 1, dtype=np.int32)
+        for s, ps in enumerate(per_shard):
+            dv, cv, rv = ps[which]
+            m = len(dv)
+            d[s, :m], cc[s, :m], rr[s, :m] = dv, cv, rv
+        out.append((d, cc, rr))
+    return out[0], out[1]
+
+
 def make_sharded_cg_general(
     A,
     mesh: Mesh,
@@ -150,8 +210,8 @@ def make_sharded_cg_general(
 
             return op
 
-    else:
-        data_sh, cols_sh, rows_sh = _csr_shard_arrays(A, part, hops, rebase=not use_allgather)
+    elif use_allgather:
+        data_sh, cols_sh, rows_sh = _csr_shard_arrays(A, part, hops, rebase=False)
         shard2d = NamedSharding(mesh, P(axis, None))
         mat_inputs = (
             jax.device_put(jnp.asarray(data_sh), shard2d),
@@ -163,15 +223,39 @@ def make_sharded_cg_general(
             data_l, cols_l, rows_l = mats
 
             def op(p):
-                p_ext = (
-                    jax.lax.all_gather(p, axis, tiled=True)
-                    if use_allgather
-                    else ring_gather(p, hops, axis, num)
-                )
+                p_ext = jax.lax.all_gather(p, axis, tiled=True)
                 prods = data_l[0] * p_ext[cols_l[0]]
                 return jax.ops.segment_sum(
                     prods, rows_l[0], num_segments=n_local, indices_are_sorted=True
                 )
+
+            return op
+
+    else:
+        # halo-overlap formulation: interior entries (columns in this shard's
+        # own block) have no data dependence on the ring, so their dominant
+        # segment-sum overlaps the ppermutes (see _csr_shard_arrays_overlap)
+        (d_int, c_int, r_int), (d_bnd, c_bnd, r_bnd) = _csr_shard_arrays_overlap(
+            A, part, hops
+        )
+        shard2d = NamedSharding(mesh, P(axis, None))
+        mat_inputs = tuple(
+            jax.device_put(jnp.asarray(a), shard2d)
+            for a in (d_int, c_int, r_int, d_bnd, c_bnd, r_bnd)
+        )
+
+        def local_op(mats):
+            di, ci, ri, db, cb, rb = mats
+
+            def op(p):
+                y_int = jax.ops.segment_sum(
+                    di[0] * p[ci[0]], ri[0], num_segments=n_local, indices_are_sorted=True
+                )
+                p_ext = ring_gather(p, hops, axis, num)
+                y_bnd = jax.ops.segment_sum(
+                    db[0] * p_ext[cb[0]], rb[0], num_segments=n_local, indices_are_sorted=True
+                )
+                return y_int + y_bnd
 
             return op
 

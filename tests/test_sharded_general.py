@@ -120,3 +120,55 @@ def test_sharded_csr_shard_count_invariance(num_shards):
     _validate(sys_, res, tol=1e-9)
     ref = oracle.cg(sys_.A, sys_.b, sys_.x0, tol=1e-10, norm="rel_l2")
     np.testing.assert_allclose(np.asarray(res.x), ref.x, rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("band, num", [(12, 8), (160, 8)])
+def test_csr_overlap_split_spmv_exact(band, num):
+    """The entry-split halo-overlap SpMV (interior + boundary segment-sums)
+    reproduces the oracle to fp64 round-off for one-hop and multi-hop rings;
+    every nonzero lands in exactly one set."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from conjugategradient_tpu.core.formats import dia_to_csr
+    from conjugategradient_tpu.core.partition import RowBlockPartition, halo_hops
+    from conjugategradient_tpu.parallel.halo import ring_gather
+    from conjugategradient_tpu.parallel.sharded_general import _csr_shard_arrays_overlap
+
+    sys_ = banded_sin_system(512, band)
+    csr = dia_to_csr(sys_.A)
+    part = RowBlockPartition.equal(csr.n, num)
+    hops = halo_hops(csr, part)
+    n_local = csr.n // num
+    (di, ci, ri), (db, cb, rb) = _csr_shard_arrays_overlap(csr, part, hops)
+    # conservation: interior + boundary real entries == nnz
+    nnz_real = int((di != 0).sum() + (db != 0).sum())
+    assert nnz_real == int((np.asarray(csr.data) != 0).sum())
+
+    mesh = make_mesh(num)
+
+    def local(di_, ci_, ri_, db_, cb_, rb_, p):
+        y_int = jax.ops.segment_sum(
+            di_[0] * p[ci_[0]], ri_[0], num_segments=n_local, indices_are_sorted=True
+        )
+        p_ext = ring_gather(p, hops, "x", num)
+        y_bnd = jax.ops.segment_sum(
+            db_[0] * p_ext[cb_[0]], rb_[0], num_segments=n_local, indices_are_sorted=True
+        )
+        return y_int + y_bnd
+
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("x", None),) * 6 + (P("x"),),
+            out_specs=P("x"),
+        )
+    )
+    shard2d = NamedSharding(mesh, P("x", None))
+    args = [jax.device_put(jnp.asarray(a), shard2d) for a in (di, ci, ri, db, cb, rb)]
+    x = np.sin(np.arange(csr.n, dtype=np.float64))
+    y = np.asarray(fn(*args, jnp.asarray(x)))
+    np.testing.assert_allclose(y, oracle.spmv(sys_.A, x), rtol=1e-13, atol=1e-13)
