@@ -75,14 +75,21 @@ def refined_solve(
     on for TPU backends, off elsewhere (interpret-mode Pallas on CPU is for
     tests, not speed).
 
-    ``matrix_dtype`` (gridless path only — with ``grid`` it raises) stores
-    the device matrix narrower than the Krylov state
-    (e.g. ``jnp.bfloat16`` with fp32 vectors): the CM kernel streams it at
-    half HBM width and accumulates fp32 (measured 1.93x per SpMV on chip,
-    ``artifacts/bf16_spmv_r02.json``).  The inner CG then converges on the
-    bf16-rounded operator — a ~1e-3 relative perturbation of A — and the
-    fp64 outer refinement corrects for it with (typically) a few more outer
-    passes; the returned residual is still the TRUE fp64 residual.
+    ``matrix_dtype`` stores the device matrix narrower than the Krylov state
+    (e.g. ``jnp.bfloat16`` with fp32 vectors).  Gridless path: the CM kernel
+    streams it at half HBM width and accumulates fp32 (measured 1.93x per
+    SpMV on chip, ``artifacts/bf16_spmv_r02.json``).  Grid path: the
+    variable-coefficient stencil legs are stored narrow and each
+    ``leg * window`` product promotes to ``device_dtype`` (bf16 legs move
+    half the matrix bytes of the fp32 form — only the OPERATOR is narrowed;
+    the V-cycle preconditioner keeps ``device_dtype``, since narrowing the
+    preconditioner vectors measured 2.1x slower,
+    ``scripts/bf16_vcycle_experiment.py``).  Const-detected operators (the
+    Poisson ladder) ignore it — they ship zero matrix bytes already.  The
+    inner CG then converges on the rounded operator — a ~4e-3 relative
+    perturbation of A — and the fp64 outer refinement corrects for it with
+    (typically) a few more outer passes; the returned residual is still the
+    TRUE fp64 residual.
     """
     import jax
     import jax.numpy as jnp
@@ -96,13 +103,7 @@ def refined_solve(
     # --- build the fp32 inner solver once -------------------------------
     M = None
     if grid is not None:
-        if matrix_dtype is not None:
-            raise ValueError(
-                "matrix_dtype applies to the gridless (flat DIA / CM-kernel) "
-                "path; the stencil-MGCG branch builds its operator at "
-                "device_dtype (and the Poisson family's const stencil ships "
-                "zero matrix bytes anyway)"
-            )
+        from conjugategradient_tpu.core.formats import StencilMatrix
         from conjugategradient_tpu.precond import as_preconditioner, build_hierarchy
 
         h = hierarchy or build_hierarchy(
@@ -113,6 +114,10 @@ def refined_solve(
             if h.levels
             else dia_to_stencil(A, tuple(grid)).device_put(device_dtype)
         )
+        if matrix_dtype is not None and isinstance(A_dev, StencilMatrix):
+            # narrow ONLY the operator legs; each leg*window product promotes
+            # back to device_dtype, and the V-cycle stays at device_dtype
+            A_dev = A_dev.astype(matrix_dtype)
         M = as_preconditioner(h)
         shape = tuple(grid)
     else:
