@@ -80,8 +80,11 @@ def refined_solve(
     streams it at half HBM width and accumulates fp32 (measured 1.93x per
     SpMV on chip, ``artifacts/bf16_spmv_r02.json``).  Grid path: the
     variable-coefficient stencil legs are stored narrow and each
-    ``leg * window`` product promotes to ``device_dtype`` (bf16 legs move
-    half the matrix bytes of the fp32 form — only the OPERATOR is narrowed;
+    ``leg * window`` product promotes to ``device_dtype`` (measured on chip
+    for the jump-coefficient diffusion family: 1.81x per SpMV on the 2-D
+    5-leg stencil, 1.86x on the 3-D 7-leg, above the pure-traffic ceilings
+    because the halved working set sits nearer VMEM —
+    ``artifacts/bf16_stencil_r02.json`` — only the OPERATOR is narrowed;
     the V-cycle preconditioner keeps ``device_dtype``, since narrowing the
     preconditioner vectors measured 2.1x slower,
     ``scripts/bf16_vcycle_experiment.py``).  Const-detected operators (the
