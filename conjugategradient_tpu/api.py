@@ -121,13 +121,23 @@ def solve(
 
 
 def _solve_multi(A, B, X0, method, policy, grid, dtype, **kw):
-    """Multi-RHS facade routing: cg / jacobi_cg / mgcg over (n, k) blocks."""
+    """Multi-RHS facade routing: cg / jacobi_cg / mgcg / refined over
+    (n, k) blocks."""
     import jax.numpy as jnp
 
     from conjugategradient_tpu.solvers.multi import (
         as_multi_preconditioner,
         cg_solve_multi,
     )
+
+    if method == "refined":
+        from conjugategradient_tpu.solvers.refine import refined_solve_multi
+
+        if not isinstance(A, DiaMatrix):
+            raise TypeError("refined solve requires a DiaMatrix")
+        return refined_solve_multi(
+            A, B, X0, tol=policy.tol, norm=policy.norm, grid=grid, **kw
+        )
 
     A_dev = A.device_put(dtype=dtype) if hasattr(A, "device_put") else A
     B_dev = jnp.asarray(np.asarray(B), dtype=dtype)

@@ -6,5 +6,10 @@ from conjugategradient_tpu.solvers.cg import (  # noqa: F401
     cg_solve_traced,
 )
 from conjugategradient_tpu.solvers.multi import MultiCGResult, cg_solve_multi  # noqa: F401
-from conjugategradient_tpu.solvers.refine import RefineResult, refined_solve  # noqa: F401
+from conjugategradient_tpu.solvers.refine import (  # noqa: F401
+    RefineMultiResult,
+    RefineResult,
+    refined_solve,
+    refined_solve_multi,
+)
 from conjugategradient_tpu.solvers import eigen  # noqa: F401

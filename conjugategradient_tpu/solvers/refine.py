@@ -93,6 +93,13 @@ def refined_solve(
     perturbation of A — and the fp64 outer refinement corrects for it with
     (typically) a few more outer passes; the returned residual is still the
     TRUE fp64 residual.
+
+    bf16 envelope: refinement against the rounded operator contracts per
+    pass by roughly ``kappa(A) * 2**-8``, so ``matrix_dtype=bf16`` only
+    converges while that product stays below 1 (the band-160 flagship and
+    smooth-coefficient diffusion qualify; a 1e4-contrast jump-coefficient
+    Laplacian does NOT — the solve then reports ``stalled``/not-converged
+    honestly rather than looping).
     """
     import jax
     import jax.numpy as jnp
@@ -211,3 +218,159 @@ def refined_solve(
             f"iterative refinement: {max_outer} outer passes, residual {res:.3e}"
         )
     return RefineResult(x, max_outer, inner_total, res, res < tol, history)
+
+
+@dataclasses.dataclass
+class RefineMultiResult:
+    x: np.ndarray  # (n, k) fp64 solutions
+    outer_iterations: int
+    inner_iterations: np.ndarray  # (k,) total device iterations per column
+    residual: np.ndarray  # (k,) true fp64 residuals (selected norm)
+    converged: np.ndarray  # (k,) bool
+    history: list  # (k,) residual array after each outer pass
+    stalled: np.ndarray  # (k,) bool — column hit the fp64 noise floor
+
+
+def refined_solve_multi(
+    A: DiaMatrix,
+    B: np.ndarray,
+    X0: Optional[np.ndarray] = None,
+    tol: float = 1e-8,
+    norm: str = "l2",
+    grid: Optional[Tuple[int, ...]] = None,
+    inner_tol: float = 1e-5,
+    max_outer: int = 40,
+    device_dtype=np.float32,
+    hierarchy=None,
+    smoother: str = "chebyshev",
+    use_pallas: Optional[bool] = None,
+    matrix_dtype=None,
+) -> RefineMultiResult:
+    """Multi-RHS iterative refinement: solve A X = B, B of shape (n, k), to
+    an fp64 tolerance with fp32 block-CG inner solves.
+
+    The outer loop is the single-RHS recurrence per column (fp64 host
+    residual, per-column inf-norm scaling, 2-consecutive-pass stall rule),
+    but every inner solve is ONE device program over the whole block
+    (``cg_solve_multi``): the matrix streams once per iteration for all k
+    columns, so the dominant HBM traffic of the refinement is amortised
+    k-fold exactly as in the unrefined block solver.  Grid path: multi-RHS
+    MGCG (``as_multi_preconditioner``); gridless TPU path: the column-major
+    multi-RHS Pallas kernel.  Converged/stalled columns are frozen — their
+    residual columns enter the inner solve as exact zeros (the block solver
+    retires them on the spot) and their updates are masked host-side.
+
+    fp64-contract analogue of the reference's flagship tolerance
+    (``Mgcg/cuBlas/Mgcg/MgcgMain.cs:29``) for right-hand-side blocks the
+    reference never supported.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.solvers.multi import (
+        as_multi_preconditioner,
+        cg_solve_multi,
+    )
+
+    n = A.n
+    B64 = np.asarray(B, dtype=np.float64)
+    if B64.ndim != 2 or B64.shape[0] != n:
+        raise ValueError(f"B must be (n, k) = ({n}, k), got {B64.shape}")
+    k = B64.shape[1]
+    X = (
+        np.zeros((n, k))
+        if X0 is None
+        else np.asarray(X0, dtype=np.float64).reshape(n, k).copy()
+    )
+
+    # --- build the fp32 block inner solver once --------------------------
+    if grid is not None:
+        from conjugategradient_tpu.core.formats import StencilMatrix
+        from conjugategradient_tpu.precond import build_hierarchy
+
+        h = hierarchy or build_hierarchy(
+            A, grid, smoother=smoother, dtype=device_dtype, layout="stencil"
+        )
+        A_dev = (
+            h.levels[0].A
+            if h.levels
+            else dia_to_stencil(A, tuple(grid)).device_put(device_dtype)
+        )
+        if matrix_dtype is not None and isinstance(A_dev, StencilMatrix):
+            A_dev = A_dev.astype(matrix_dtype)
+    else:
+        A_dev = A.device_put(matrix_dtype or device_dtype)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+
+    inner_policy = ConvergencePolicy(
+        tol=inner_tol, norm="rel_l2", max_iteration=min(8 * n, 1_000_000)
+    )
+    # hierarchy/operator ride as pytree ARGUMENTS, never closure constants
+    if grid is not None:
+        solve_jit = jax.jit(
+            lambda h_, A_, R: cg_solve_multi(
+                A_, R, policy=inner_policy, M=as_multi_preconditioner(h_)
+            )
+        )
+        solve = lambda R: solve_jit(h, A_dev, R)
+    else:
+        solve_jit = jax.jit(
+            lambda A_, R: cg_solve_multi(
+                A_, R, policy=inner_policy, use_pallas=bool(use_pallas)
+            )
+        )
+        solve = lambda R: solve_jit(A_dev, R)
+
+    def spmm64(X):
+        return np.stack([oracle.spmv(A, X[:, j]) for j in range(k)], axis=1)
+
+    R0 = B64 - spmm64(X)
+    rr0 = np.sum(R0 * R0, axis=0)
+
+    def col_norms(R):
+        rr = np.sum(R * R, axis=0)
+        if norm == "l2":
+            return np.sqrt(rr)
+        if norm == "linf":
+            return np.abs(R).max(axis=0) if R.size else np.zeros(k)
+        if norm == "rel_l2":
+            return np.sqrt(rr / np.where(rr0 > 0, rr0, 1.0))
+        raise ValueError(f"unknown norm {norm!r}")
+
+    history: list = []
+    inner_total = np.zeros(k, dtype=np.int64)
+    stall_count = np.zeros(k, dtype=np.int64)
+    stalled = np.zeros(k, dtype=bool)
+    res = col_norms(R0)
+    outer = 0
+    for outer in range(max_outer):
+        R = B64 - spmm64(X)
+        res = col_norms(R)
+        history.append(res)
+        conv = res < tol
+        if len(history) >= 2:
+            no_progress = res > 0.9 * history[-2]
+            stall_count = np.where(no_progress, stall_count + 1, 0)
+            stalled = stalled | ((stall_count >= 2) & ~conv)
+        active = ~conv & ~stalled
+        if not active.any():
+            return RefineMultiResult(
+                X, outer, inner_total, res, conv, history, stalled
+            )
+        # per-column inf-norm scaling keeps every fp32 column in range;
+        # frozen columns enter as exact-zero residuals (retired instantly)
+        s = np.abs(R).max(axis=0)
+        s = np.where(active & (s > 0), s, 1.0)
+        Rs = np.where(active[None, :], R / s[None, :], 0.0)
+        dres = solve(jnp.asarray(Rs.astype(device_dtype)))
+        inner_total += np.where(active, np.asarray(dres.iterations), 0)
+        D = np.asarray(dres.x, dtype=np.float64)
+        X = X + np.where(active[None, :], s[None, :], 0.0) * D
+
+    R = B64 - spmm64(X)
+    res = col_norms(R)
+    history.append(res)
+    return RefineMultiResult(
+        X, max_outer, inner_total, res, res < tol, history, stalled
+    )

@@ -11,6 +11,10 @@ as executable documentation):
   5. flat-band sharded block CG (one (k,)-psum per iteration)
   6. mixed precision: fp64 tolerance on fp32 state via refinement, with an
      optionally bf16-stored matrix stream
+  7. variable-coefficient diffusion (-div(a grad u), jump field) solved by
+     MGCG with hybrid transfers + bf16 stencil legs under refinement
+  8. multi-RHS refinement: a whole (n, k) block to fp64 tolerance, one
+     matrix stream per inner iteration
 
 Run:  python examples/features_tour.py            (8 virtual devices, CPU)
 """
@@ -144,6 +148,43 @@ def main() -> int:
             f"{np.linalg.norm(r):.2e} in {rres.outer_iterations} outer / "
             f"{rres.inner_iterations} inner"
         )
+
+    # 7. variable-coefficient diffusion ------------------------------------
+    print("7. jump-coefficient diffusion (-div(a grad u), 64x64, a-ratio 1e4):")
+    dgrid = (64, 64)
+    dsys = generators.diffusion_system(dgrid, kind="jump", contrast=1e4, seed=1)
+    dres = solve(dsys.A, dsys.b, method="mgcg", grid=dgrid, tol=1e-10, norm="rel_l2")
+    check(f"mgcg on jump coefficients ({int(dres.iterations)} it)", dres.x, dsys)
+    # bf16 legs are a ~4e-3 relative operator perturbation: refinement
+    # contracts only while kappa(A) * 2^-8 < 1, so the narrow-leg demo uses
+    # the smooth field (the 1e4-contrast jump operator above is out of the
+    # bf16 envelope and refined_solve would honestly report stalled)
+    ssys = generators.diffusion_system(dgrid, kind="smooth", seed=7)
+    rres = refined_solve(
+        ssys.A, ssys.b, tol=1e-9, grid=dgrid, matrix_dtype=jnp.bfloat16
+    )
+    r = ssys.b - oracle.spmv(ssys.A, rres.x)
+    good = rres.converged and np.linalg.norm(r) < 1e-9
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] bf16 stencil legs + refinement (smooth a) abs "
+        f"residual {np.linalg.norm(r):.2e} in {rres.outer_iterations} outer"
+    )
+
+    # 8. multi-RHS refinement ----------------------------------------------
+    print("8. multi-RHS refinement ((n, 3) block to fp64 tolerance):")
+    B3r = rng.standard_normal((psys.A.n, 3))
+    mref = solve(psys.A, B3r, method="refined", tol=1e-10, grid=grid)
+    worst = 0.0
+    for j in range(3):
+        r = B3r[:, j] - oracle.spmv(psys.A, mref.x[:, j])
+        worst = max(worst, float(np.linalg.norm(r)))
+    good = bool(mref.converged.all()) and worst < 1e-10
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] 3 columns in {mref.outer_iterations} outer / "
+        f"{mref.inner_iterations.tolist()} inner, worst abs residual {worst:.2e}"
+    )
 
     print("ALL OK" if ok else "MISMATCH")
     return 0 if ok else 1

@@ -127,3 +127,16 @@ def test_refined_solve_const_detected_ignores_matrix_dtype():
         inner_tol=1e-4, matrix_dtype=jnp.bfloat16,
     )
     assert res.converged
+
+
+def test_refined_solve_bf16_out_of_envelope_reports_honestly():
+    """kappa(A) * 2^-8 > 1 (1e4-contrast jump field): bf16-leg refinement
+    cannot contract — it must terminate with converged=False (stalled or
+    max_outer), never loop or claim success."""
+    grid = (32, 32)
+    system = generators.diffusion_system(grid, kind="jump", contrast=1e4, seed=1)
+    res = refined_solve(
+        system.A, system.b, tol=1e-9, grid=grid,
+        inner_tol=1e-4, max_outer=6, matrix_dtype=jnp.bfloat16,
+    )
+    assert not res.converged

@@ -87,3 +87,69 @@ def test_refined_solve_bf16_matrix_stream():
     assert res.converged
     r = sys_.b - oracle.spmv(sys_.A, res.x)
     assert np.linalg.norm(r) < 1e-8
+
+
+# --- multi-RHS refinement -------------------------------------------------
+
+from conjugategradient_tpu.solvers.refine import refined_solve_multi
+
+
+def _block_rhs(n, k, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, k))
+
+
+def test_refined_multi_reaches_fp64_tolerance_mgcg():
+    grid = (63, 63)
+    sys_ = poisson_system(grid)
+    B = _block_rhs(sys_.A.n, 4)
+    res = refined_solve_multi(sys_.A, B, tol=1e-10, grid=grid)
+    assert res.converged.all() and not res.stalled.any()
+    for j in range(4):
+        r = B[:, j] - oracle.spmv(sys_.A, res.x[:, j])
+        assert np.linalg.norm(r) < 1e-10
+    assert (res.inner_iterations > 0).all()
+
+
+def test_refined_multi_matches_single_rhs_columns():
+    sys_ = tridiagonal_system(511)
+    B = _block_rhs(sys_.A.n, 3)
+    res = refined_solve_multi(sys_.A, B, tol=1e-9, inner_tol=1e-4)
+    assert res.converged.all()
+    for j in range(3):
+        single = refined_solve(sys_.A, B[:, j], tol=1e-9, inner_tol=1e-4)
+        np.testing.assert_allclose(res.x[:, j], single.x, rtol=1e-7, atol=1e-10)
+
+
+def test_refined_multi_freezes_converged_columns():
+    # column 0's RHS is A @ e (solved in one pass); column 1 is random.
+    # the easy column must stop accumulating inner iterations while the
+    # hard column keeps refining.
+    sys_ = tridiagonal_system(255)
+    e = np.zeros(sys_.A.n)
+    e[7] = 1.0
+    B = np.stack([oracle.spmv(sys_.A, e), _block_rhs(sys_.A.n, 1)[:, 0]], axis=1)
+    res = refined_solve_multi(sys_.A, B, tol=1e-10, inner_tol=1e-2, max_outer=30)
+    assert res.converged.all()
+    assert res.inner_iterations[0] <= res.inner_iterations[1]
+    np.testing.assert_allclose(res.x[:, 0], e, atol=1e-9)
+
+
+def test_refined_multi_facade_route():
+    from conjugategradient_tpu.api import solve
+
+    grid = (31, 31)
+    sys_ = poisson_system(grid)
+    B = _block_rhs(sys_.A.n, 2)
+    res = solve(sys_.A, B, method="refined", tol=1e-9, grid=grid)
+    assert hasattr(res, "stalled") and res.converged.all()
+    for j in range(2):
+        r = B[:, j] - oracle.spmv(sys_.A, res.x[:, j])
+        assert np.linalg.norm(r) < 1e-9
+
+
+def test_refined_multi_max_outer_flags_nonconvergence():
+    sys_ = tridiagonal_system(127)
+    B = _block_rhs(sys_.A.n, 2)
+    res = refined_solve_multi(sys_.A, B, tol=1e-300, max_outer=2)
+    assert not res.converged.any() and res.outer_iterations == 2
