@@ -11,6 +11,9 @@ here one function routes to the right solver:
   hang a multigrid on
 - ``method="mgcg"``   — multigrid-preconditioned CG (needs ``grid``)
 - ``method="refined"``— mixed-precision iterative refinement to fp64 tol
+  (``device_residual=True`` keeps the outer loop on chip in double-float)
+- ``method="deflated_cg"`` — def-CG with a Lanczos-probed deflation space
+  (``k=``/``m=`` or a prebuilt ``deflation=`` for solve sequences)
 - ``method="sharded_cg"`` — row-block-sharded CG over the device mesh
   (DIA → halo-exchange solver; CSR/ELL → exact-halo-range solver); pass
   ``mesh=``/``variant=``/``M_local=`` through ``**kw``
@@ -72,6 +75,26 @@ def solve(
         if not isinstance(A, DiaMatrix):
             raise TypeError("refined solve requires a DiaMatrix")
         return refined_solve(A, b, x0, tol=tol, norm=norm, grid=grid, **kw)
+    if method == "deflated_cg":
+        import jax.numpy as jnp
+
+        from conjugategradient_tpu.solvers.deflation import (
+            deflated_cg_solve,
+            make_deflation,
+        )
+
+        deflation = kw.pop("deflation", None)
+        if deflation is None:
+            deflation = make_deflation(
+                A, k=int(kw.pop("k", 8)), m=kw.pop("m", None),
+                dtype=dtype or np.asarray(b).dtype,
+            )
+        A_dev = A.device_put(dtype=dtype) if hasattr(A, "device_put") else A
+        b_dev = jnp.asarray(np.asarray(b), dtype=dtype)
+        x0_dev = None if x0 is None else jnp.asarray(np.asarray(x0), dtype=dtype)
+        return deflated_cg_solve(
+            A_dev, b_dev, x0_dev, policy=policy, deflation=deflation, **kw
+        )
     if method == "sharded_cg":
         if isinstance(A, DiaMatrix):
             from conjugategradient_tpu.parallel.sharded_cg import sharded_cg_solve

@@ -338,6 +338,41 @@ def diffusion_system(
     return LinearSystem(A, b.astype(dtype), np.zeros(n, dtype=dtype))
 
 
+def outlier_system(
+    n: int,
+    band: int = 16,
+    n_outliers: int = 4,
+    scale: float = 1e-3,
+    seed: int = 0,
+    dtype=np.float64,
+) -> LinearSystem:
+    """SPD system with a few ISOLATED tiny eigenvalues: the banded |sin|
+    matrix under a symmetric diagonal scaling D A D with ``n_outliers``
+    entries of D set to ``scale`` (the rest 1).
+
+    Physically this is the weakly-coupled-unknown archetype — near-floating
+    subregions / high density contrast (Vuik's bubbly-flow pressure
+    systems): kappa inflates by ~scale^-2 through a handful of outlier
+    modes while the bulk spectrum is untouched.  The workload
+    ``solvers/deflation.py`` targets; multigrid does not see these modes
+    (they are not geometrically smooth).
+    """
+    A = banded_sin_matrix(n, band, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(n, size=n_outliers, replace=False)
+    d = np.ones(n)
+    d[idx] = scale * (1.0 + 0.5 * rng.random(n_outliers))
+    data = np.asarray(A.data, np.float64).copy()
+    i = np.arange(n)
+    for k, off in enumerate(A.offsets):
+        j = i + off
+        valid = (j >= 0) & (j < n)
+        data[k, valid] *= d[i[valid]] * d[np.clip(j, 0, n - 1)[valid]]
+    As = DiaMatrix(data.astype(dtype), A.offsets, A.shape)
+    b = rng.standard_normal(n)
+    return LinearSystem(As, b.astype(dtype), np.zeros(n, dtype=dtype))
+
+
 # ---------------------------------------------------------------------------
 # Per-row-block generation (ladder rung 5): every generator above is a closed
 # form in the row index, so any [lo, hi) slab of A's DIA data, b and x0 can be

@@ -5,7 +5,7 @@
 ``ops.spmv.spmv`` (also exported here as ``matvec`` to avoid shadowing).
 """
 
-from conjugategradient_tpu.ops import blas, pallas_spmv, precision, spmm, spmv, stencil  # noqa: F401
+from conjugategradient_tpu.ops import blas, dd, pallas_spmv, precision, spmm, spmv, stencil  # noqa: F401
 from conjugategradient_tpu.ops.blas import axpy, dot, max_abs, norm_l2, residual_norm, scal  # noqa: F401
 from conjugategradient_tpu.ops.spmv import as_operator  # noqa: F401
 from conjugategradient_tpu.ops.spmv import spmv as matvec  # noqa: F401

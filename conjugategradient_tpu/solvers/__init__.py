@@ -5,6 +5,11 @@ from conjugategradient_tpu.solvers.cg import (  # noqa: F401
     cg_solve_chunked,
     cg_solve_traced,
 )
+from conjugategradient_tpu.solvers.deflation import (  # noqa: F401
+    Deflation,
+    deflated_cg_solve,
+    make_deflation,
+)
 from conjugategradient_tpu.solvers.multi import MultiCGResult, cg_solve_multi  # noqa: F401
 from conjugategradient_tpu.solvers.refine import (  # noqa: F401
     RefineMultiResult,

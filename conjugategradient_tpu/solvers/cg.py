@@ -86,18 +86,18 @@ def _apply_M(M, r):
     return M(r)
 
 
-def _cg_init(op, b, x0, M, dot, dtype):
+def _cg_init(op, b, x0, M, dot, dtype, project=None):
     """Initial recurrence state (x, r, p, rz, rr) from b and the guess."""
     x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
     r = b - op(x)
     z = _apply_M(M, r)
-    p = z
+    p = z if project is None else project(z)
     rz = dot(r, z)
     rr = dot(r, r)
     return x, r, p, rz, rr
 
 
-def _make_step(op, M, dot):
+def _make_step(op, M, dot, project=None):
     """THE CG recurrence (``R/CG.R:38-58``), written once.
 
     Returns ``step(x, r, p, rz, rr) -> ((x, r, p, rz, rr), (alpha, beta))``
@@ -107,6 +107,11 @@ def _make_step(op, M, dot):
     The step's scalars are returned because they are the Lanczos coefficients
     in disguise (see ``solvers.eigen.spectrum_from_cg``); drivers that don't
     record them drop them.
+
+    ``project`` (optional) maps the preconditioned residual before it enters
+    the direction update — the hook deflated CG uses to keep every search
+    direction A-orthogonal to the deflation space (``solvers.deflation``,
+    Saad/Yeung/Erhel/Guyomarc'h def-CG).  Identity when None.
     """
 
     def step(x, r, p, rz, rr):
@@ -118,7 +123,7 @@ def _make_step(op, M, dot):
         rz_new = dot(r, z)
         rr_new = dot(r, r)
         beta = _safe_div(rz_new, rz)
-        p = z + beta * p
+        p = (z if project is None else project(z)) + beta * p
         return (x, r, p, rz_new, rr_new), (alpha, beta)
 
     return step
@@ -151,8 +156,12 @@ def cg_solve(
     M: Optional[Callable] = None,
     precise_dot: bool = False,
     use_pallas: bool = False,
+    project: Optional[Callable] = None,
 ) -> CGResult:
     """Solve A x = b by (preconditioned) CG, fully on device.
+
+    ``project`` is the deflation hook (see ``solvers.deflation``): applied to
+    the preconditioned residual wherever it enters the direction update.
 
     Traceable: call under ``jax.jit`` (and inside ``shard_map`` — see
     ``conjugategradient_tpu.parallel`` for the collective-dot variant).
@@ -173,7 +182,7 @@ def cg_solve(
     max_iter = jnp.int32(policy.resolve_max(n))
     dot = lambda u, v: _dot(u, v, precise=precise_dot)
 
-    x, r, p, rz, rr = _cg_init(op, b, x0, M, dot, dtype)
+    x, r, p, rz, rr = _cg_init(op, b, x0, M, dot, dtype, project=project)
     rr0 = rr
 
     def res_of(r, rr):
@@ -185,7 +194,7 @@ def cg_solve(
         unconverged = jnp.logical_or(it < min_iter, res >= tol)
         return jnp.logical_and(unconverged, it < max_iter)
 
-    step = _make_step(op, M, dot)
+    step = _make_step(op, M, dot, project=project)
 
     def body(state):
         x, r, p, rz, rr, it = state

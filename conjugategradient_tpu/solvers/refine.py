@@ -61,6 +61,7 @@ def refined_solve(
     raise_on_divergence: bool = False,
     use_pallas: Optional[bool] = None,
     matrix_dtype=None,
+    device_residual: bool = False,
 ) -> RefineResult:
     """Solve A x = b to an fp64 tolerance using fp32 device inner solves.
 
@@ -100,11 +101,30 @@ def refined_solve(
     smooth-coefficient diffusion qualify; a 1e4-contrast jump-coefficient
     Laplacian does NOT — the solve then reports ``stalled``/not-converged
     honestly rather than looping).
+
+    ``device_residual=True`` keeps the OUTER loop on device too: the true
+    residual, its norm, the inf-norm scaling and the solution update all run
+    in double-float (two-fp32) arithmetic (``ops.dd``, effective precision
+    ~2^-48), so the only host traffic per outer pass is three scalars — no
+    host fp64 SpMV (seconds per pass at rung-4 sizes) and no full-vector
+    D2H (the dominant flagship wall cost through the serving tunnel,
+    ``artifacts/flagship_profile_r02.json``).  The certified residual floor
+    rises from eps64 to eps_dd ~ 3.6e-15 relative — two decades below every
+    tolerance in the reference suite.
     """
     import jax
     import jax.numpy as jnp
 
     from conjugategradient_tpu.solvers.cg import cg_solve
+
+    if device_residual:
+        return _refined_solve_device(
+            A, b, x0, tol=tol, norm=norm, grid=grid, inner_tol=inner_tol,
+            max_outer=max_outer, device_dtype=device_dtype,
+            hierarchy=hierarchy, smoother=smoother,
+            raise_on_divergence=raise_on_divergence, use_pallas=use_pallas,
+            matrix_dtype=matrix_dtype,
+        )
 
     n = A.n
     b64 = np.asarray(b, dtype=np.float64)
@@ -218,6 +238,173 @@ def refined_solve(
             f"iterative refinement: {max_outer} outer passes, residual {res:.3e}"
         )
     return RefineResult(x, max_outer, inner_total, res, res < tol, history)
+
+
+def _refined_solve_device(
+    A: DiaMatrix,
+    b: np.ndarray,
+    x0: Optional[np.ndarray] = None,
+    tol: float = 1e-8,
+    norm: str = "l2",
+    grid: Optional[Tuple[int, ...]] = None,
+    inner_tol: float = 1e-5,
+    max_outer: int = 40,
+    device_dtype=np.float32,
+    hierarchy=None,
+    smoother: str = "chebyshev",
+    raise_on_divergence: bool = False,
+    use_pallas: Optional[bool] = None,
+    matrix_dtype=None,
+) -> RefineResult:
+    """Device-resident refinement: the outer loop's fp64 work (residual,
+    norm, scaling, update) runs on chip in double-float arithmetic.
+
+    Two device programs per outer pass — ``resid`` (dd residual + norms +
+    scaled fp32 residual, which never leaves the device) and ``update``
+    (inner Krylov solve + dd solution update) — with three scalar readbacks
+    between them, so the host skips the final pass's inner solve exactly
+    like the host-residual loop does.  The solution lives on device as an
+    fp32 (hi, lo) pair and is read back once, at the end.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.ops import dd
+    from conjugategradient_tpu.solvers.cg import cg_solve
+
+    if np.dtype(device_dtype) != np.float32:
+        raise ValueError("device_residual requires device_dtype=float32 "
+                         "(dd pairs are fp32 hi/lo)")
+    n = A.n
+    b64 = np.asarray(b, dtype=np.float64)
+    x64 = np.zeros(n) if x0 is None else np.asarray(x0, dtype=np.float64)
+
+    # --- dd operator + inner fp32 solver, both as pytree arguments --------
+    M = None
+    if grid is not None:
+        from conjugategradient_tpu.core.formats import (
+            StencilMatrix,
+            stencil_to_const,
+        )
+        from conjugategradient_tpu.precond import as_preconditioner, build_hierarchy
+
+        h = hierarchy or build_hierarchy(
+            A, grid, smoother=smoother, dtype=device_dtype, layout="stencil"
+        )
+        A_dev = (
+            h.levels[0].A
+            if h.levels
+            else dia_to_stencil(A, tuple(grid)).device_put(device_dtype)
+        )
+        if matrix_dtype is not None and isinstance(A_dev, StencilMatrix):
+            A_dev = A_dev.astype(matrix_dtype)
+        M = as_preconditioner(h)
+        shape = tuple(grid)
+        st64 = dia_to_stencil(A, tuple(grid))
+        ddm = dd.dd_split_matrix(stencil_to_const(st64) or st64)
+    else:
+        A_dev = A.device_put(matrix_dtype or device_dtype)
+        shape = (n,)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        ddm = dd.dd_split_matrix(A)
+
+    inner_policy = ConvergencePolicy(
+        tol=inner_tol, norm="rel_l2", max_iteration=min(8 * n, 1_000_000)
+    )
+
+    @jax.jit
+    def resid(ddm_, b_dd, x_dd):
+        r = dd.dd_residual(ddm_, b_dd, x_dd)
+        rr = dd.dd_norm_sq(r)
+        mx = dd.dd_max_abs(r)
+        s = jnp.where(mx > 0, mx, 1.0)
+        return dd.dd_value(r) / s, rr, mx
+
+    if M is not None:
+        from conjugategradient_tpu.precond import as_preconditioner as _as_p
+
+        @jax.jit
+        def update(h_, A_, x_dd, r32, s):
+            d = cg_solve(A_, r32, policy=inner_policy, M=_as_p(h_),
+                         precise_dot=True)
+            return dd.dd_axpy(x_dd, s, d.x), d.iterations
+
+        update_args = lambda: (h, A_dev)
+    elif use_pallas and grid is None:
+        from conjugategradient_tpu.ops.pallas_spmv import (
+            cm_apply, from_cm, plan_dia_cm, to_cm,
+        )
+
+        plan = plan_dia_cm(tuple(A.offsets), n)
+
+        @jax.jit
+        def update(A_, x_dd, r32, s):
+            d = cg_solve(lambda v: cm_apply(A_, v), to_cm(r32, plan),
+                         policy=inner_policy, precise_dot=True)
+            return dd.dd_axpy(x_dd, s, from_cm(d.x, plan)), d.iterations
+
+        update_args = lambda: (A_dev,)
+    else:
+
+        @jax.jit
+        def update(A_, x_dd, r32, s):
+            d = cg_solve(A_, r32, policy=inner_policy, precise_dot=True)
+            return dd.dd_axpy(x_dd, s, d.x), d.iterations
+
+        update_args = lambda: (A_dev,)
+
+    b_dd = dd.dd_from_f64(b64.reshape(shape))
+    x_dd = dd.dd_from_f64(x64.reshape(shape))
+
+    def res_of(rr, mx, rr0):
+        if norm == "l2":
+            return float(np.sqrt(max(rr, 0.0)))
+        if norm == "linf":
+            return float(mx)
+        if norm == "rel_l2":
+            return float(np.sqrt(max(rr, 0.0) / (rr0 if rr0 > 0 else 1.0)))
+        raise ValueError(f"unknown norm {norm!r}")
+
+    def finish(x_dd, outer, inner_total, res, converged, history, stalled=False):
+        x = dd.dd_to_f64(x_dd).reshape(-1)
+        if raise_on_divergence and not converged:
+            raise NotConvergedError(
+                f"iterative refinement: {outer} outer passes, residual {res:.3e}"
+            )
+        return RefineResult(x, outer, inner_total, res, converged, history,
+                            stalled=stalled)
+
+    history: list = []
+    inner_total = 0
+    stall_count = 0
+    rr0 = None
+    res = float("inf")
+    for outer in range(max_outer):
+        r32, rr_a, mx_a = resid(ddm, b_dd, x_dd)
+        rr, mx = float(rr_a), float(mx_a)
+        if rr0 is None:
+            rr0 = rr
+        res = res_of(rr, mx, rr0)
+        history.append(res)
+        if res < tol:
+            return finish(x_dd, outer, inner_total, res, True, history)
+        if len(history) >= 2 and res > 0.9 * history[-2]:
+            stall_count += 1
+            if stall_count >= 2:
+                return finish(x_dd, outer, inner_total, res, False, history,
+                              stalled=True)
+        else:
+            stall_count = 0
+        if mx == 0.0:
+            return finish(x_dd, outer, inner_total, 0.0, True, history)
+        x_dd, its = update(*update_args(), x_dd, r32, jnp.float32(mx))
+        inner_total += int(its)
+
+    _, rr_a, mx_a = resid(ddm, b_dd, x_dd)
+    res = res_of(float(rr_a), float(mx_a), rr0 if rr0 is not None else 1.0)
+    history.append(res)
+    return finish(x_dd, max_outer, inner_total, res, res < tol, history)
 
 
 @dataclasses.dataclass

@@ -15,6 +15,10 @@ as executable documentation):
      MGCG with hybrid transfers + bf16 stencil legs under refinement
   8. multi-RHS refinement: a whole (n, k) block to fp64 tolerance, one
      matrix stream per inner iteration
+  9. deflated CG: outlier eigenmodes probed once (device Lanczos),
+     removed from every solve of a sequence
+ 10. device-resident refinement: the fp64-grade outer loop runs ON the
+     device in double-float (two-fp32) arithmetic — scalar-only readbacks
 
 Run:  python examples/features_tour.py            (8 virtual devices, CPU)
 """
@@ -184,6 +188,42 @@ def main() -> int:
     print(
         f"  [{'OK ' if good else 'BAD'}] 3 columns in {mref.outer_iterations} outer / "
         f"{mref.inner_iterations.tolist()} inner, worst abs residual {worst:.2e}"
+    )
+
+    # 9. deflated CG on an outlier spectrum --------------------------------
+    print("9. deflated CG (4 isolated tiny eigenmodes, kappa ~ 1e6):")
+    osys = generators.outlier_system(4096, band=16, n_outliers=4, scale=1e-3)
+    pol_kw = dict(method="cg", tol=1e-8, norm="rel_l2", precise_dot=True)
+    plain = solve(osys.A, osys.b, **pol_kw)
+    defl = solve(
+        osys.A, osys.b, method="deflated_cg", tol=1e-8, norm="rel_l2",
+        k=8, m=48, precise_dot=True,
+    )
+    r = osys.b - oracle.spmv(osys.A, np.asarray(defl.x, np.float64))
+    good = (
+        bool(defl.converged)
+        and int(defl.iterations) <= int(plain.iterations) // 2
+        and np.linalg.norm(r) / np.linalg.norm(osys.b) < 1e-7
+    )
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] {int(defl.iterations)} iterations vs "
+        f"{int(plain.iterations)} plain, true rel residual "
+        f"{np.linalg.norm(r) / np.linalg.norm(osys.b):.2e}"
+    )
+
+    # 10. device-resident (double-float) refinement -------------------------
+    print("10. device-resident refinement (dd outer loop, scalar readbacks):")
+    rres = solve(
+        rsys.A, rsys.b, rsys.x0, method="refined", tol=1e-8,
+        device_residual=True, use_pallas=False,
+    )
+    r = rsys.b - oracle.spmv(rsys.A, rres.x)
+    good = rres.converged and np.linalg.norm(r) < 1e-8
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] abs residual {np.linalg.norm(r):.2e} in "
+        f"{rres.outer_iterations} outer / {rres.inner_iterations} inner"
     )
 
     print("ALL OK" if ok else "MISMATCH")

@@ -148,6 +148,87 @@ def test_refined_multi_facade_route():
         assert np.linalg.norm(r) < 1e-9
 
 
+# --- device-resident refinement (dd outer loop) ----------------------------
+
+
+def test_device_residual_grid_matches_host_refinement():
+    grid = (63, 63)
+    sys_ = poisson_system(grid)
+    dev = refined_solve(sys_.A, sys_.b, tol=1e-10, grid=grid, device_residual=True)
+    host = refined_solve(sys_.A, sys_.b, tol=1e-10, grid=grid)
+    assert dev.converged and host.converged
+    r = sys_.b - oracle.spmv(sys_.A, dev.x)
+    assert np.linalg.norm(r) < 1e-10
+    np.testing.assert_allclose(dev.x, host.x, rtol=1e-8, atol=1e-12)
+
+
+def test_device_residual_dia_flagship_contract():
+    # the reference's absolute-1e-8 flagship contract, outer loop on device
+    sys_ = banded_sin_system(4096, 16)
+    res = refined_solve(
+        sys_.A, sys_.b, tol=1e-8, device_residual=True, use_pallas=False
+    )
+    assert res.converged
+    r = sys_.b - oracle.spmv(sys_.A, res.x)
+    assert np.linalg.norm(r) < 1e-8
+
+
+def test_device_residual_pallas_cm_inner():
+    sys_ = banded_sin_system(2048, 8)
+    res = refined_solve(
+        sys_.A, sys_.b, tol=1e-8, device_residual=True, use_pallas=True
+    )
+    assert res.converged
+    r = sys_.b - oracle.spmv(sys_.A, res.x)
+    assert np.linalg.norm(r) < 1e-8
+
+
+def test_device_residual_reaches_dd_floor_rel():
+    # rel_l2 1e-12 is far below fp32 but above the dd floor (~4e-15)
+    grid = (31, 31)
+    sys_ = poisson_system(grid)
+    res = refined_solve(
+        sys_.A, sys_.b, tol=1e-12, norm="rel_l2", grid=grid, device_residual=True
+    )
+    assert res.converged
+    r = sys_.b - oracle.spmv(sys_.A, res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-12
+
+
+def test_device_residual_x0_and_linf():
+    sys_ = banded_sin_system(1024, 8)
+    res = refined_solve(
+        sys_.A, sys_.b, x0=sys_.x0, tol=1e-7, norm="linf",
+        device_residual=True, use_pallas=False,
+    )
+    assert res.converged
+    r = sys_.b - oracle.spmv(sys_.A, res.x)
+    assert np.abs(r).max() < 1e-7
+
+
+def test_device_residual_unreachable_tol_terminates():
+    # below the dd floor: must stall, exhaust max_outer, or hit an EXACTLY
+    # zero dd residual (legal on tiny systems) — never loop or falsely claim
+    sys_ = tridiagonal_system(255)
+    res = refined_solve(
+        sys_.A, sys_.b, tol=1e-300, device_residual=True, use_pallas=False,
+        max_outer=8,
+    )
+    assert res.outer_iterations <= 8
+    if res.converged:
+        assert res.residual == 0.0  # identically zero at dd precision
+    else:
+        assert res.stalled or res.outer_iterations == 8
+
+
+def test_device_residual_rejects_fp64_state():
+    sys_ = tridiagonal_system(63)
+    with pytest.raises(ValueError):
+        refined_solve(
+            sys_.A, sys_.b, device_residual=True, device_dtype=np.float64
+        )
+
+
 def test_refined_multi_max_outer_flags_nonconvergence():
     sys_ = tridiagonal_system(127)
     B = _block_rhs(sys_.A.n, 2)
