@@ -26,6 +26,7 @@ mesh; only the Mesh construction changes.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Callable, Optional
 
@@ -82,12 +83,21 @@ def sharded_cg_loop(
     axis: str,
     n_global: int,
     variant: str = "cg",
+    project=None,
+    project_r=None,
 ) -> CGResult:
     """The sharded CG recurrence, format-agnostic: ``op``/``M`` act on this
     shard's local slice (with whatever collectives they need inside), dots are
     ``psum`` over ``axis``.  Shared by the DIA solver below, the
     general-sparsity (CSR/ELL exact-halo) solver in ``sharded_general`` and
     the explicit shard_map MGCG fine loop.
+
+    ``project``/``project_r`` are the deflation hooks (``solvers.deflation``;
+    shard-local functions — a ``Deflation.with_axis(axis)`` carries its own
+    psum): direction projection and the fp32-stabilising residual
+    re-projection, exactly as in the single-device ``_make_step``.  Only the
+    textbook ``"cg"`` variant supports them (the communication-reduced
+    recurrences carry derived state the projections would desynchronise).
     Runs inside ``shard_map``; the whole loop is one ``lax.while_loop`` —
     scalars never leave the devices (the re-design of the reference's
     host-allreduce choreography, ``ConjugateGradientParallelGpu.cs:424-565``).
@@ -106,10 +116,16 @@ def sharded_cg_loop(
       -independent of the reduction so XLA's latency-hiding scheduler can run
       the allreduce UNDER the SpMV (async collectives) instead of before it.
     """
-    if variant == "cg1":
-        return _cg1_loop(op, M, b, x0, policy, axis, n_global, pipelined=False)
-    if variant == "pipelined":
-        return _cg1_loop(op, M, b, x0, policy, axis, n_global, pipelined=True)
+    if variant in ("cg1", "pipelined"):
+        if project is not None or project_r is not None:
+            raise ValueError(
+                "deflation hooks require variant='cg' (the communication-"
+                "reduced recurrences carry derived state the projections "
+                "would desynchronise)"
+            )
+        return _cg1_loop(
+            op, M, b, x0, policy, axis, n_global, pipelined=variant == "pipelined"
+        )
     if variant != "cg":
         raise ValueError(f"unknown CG variant {variant!r}; want cg|cg1|pipelined")
     dtype = b.dtype
@@ -120,8 +136,10 @@ def sharded_cg_loop(
 
     x = x0
     r = b - op(x)
+    if project_r is not None:
+        r = project_r(r)
     z = M(r)
-    p = z
+    p = z if project is None else project(z)
     rz = _pdot(r, z, axis)
     rr = _pdot(r, r, axis)
     rr0 = rr
@@ -140,11 +158,13 @@ def sharded_cg_loop(
         alpha = _safe_div(rz, _pdot(p, Ap, axis))
         x = x + alpha * p
         r = r - alpha * Ap
+        if project_r is not None:
+            r = project_r(r)
         z = M(r)
         rz_new = _pdot(r, z, axis)
         rr_new = _pdot(r, r, axis)
         beta = _safe_div(rz_new, rz)
-        p = z + beta * p
+        p = (z if project is None else project(z)) + beta * p
         return (x, r, p, rz_new, rr_new, it + 1)
 
     x, r, p, rz, rr, it = jax.lax.while_loop(cond, body, (x, r, p, rz, rr, jnp.int32(0)))
@@ -276,8 +296,18 @@ def make_sharded_cg(
     M_local: Optional[Callable] = None,
     donate: bool = True,
     variant: str = "cg",
+    deflation=None,
 ):
     """Build a jitted sharded solver.
+
+    ``deflation`` (a ``solvers.deflation.Deflation``, built once on the full
+    system) turns the program into distributed def-CG: the basis rides
+    row-sharded as an extra pytree argument to the returned ``solve`` (pass
+    the SAME Deflation object; this builder shards it), the (k,) Galerkin
+    contraction psums over the mesh axis, the k x k coarse solve is
+    replicated, and the recurrence applies the fp32-stable residual
+    re-projection each iteration plus the final Galerkin correction — the
+    distributed form of ``solvers.deflation.deflated_cg_solve``.
 
     Returns ``solve(data, b, x0) -> CGResult`` — or, when ``M_local`` is
     given, ``solve(data, b, x0, m_aux) -> CGResult`` where ``m_aux`` is a
@@ -308,7 +338,7 @@ def make_sharded_cg(
     offsets = A.offsets
     use_allgather = halo > n_local
 
-    def local_solve(data, b, x0, m_aux=None):
+    def local_solve(data, b, x0, m_aux, defl):
         if use_allgather:
             op = lambda p: spmv_dia_allgather(data, offsets, p, axis, num)
         else:
@@ -319,15 +349,42 @@ def make_sharded_cg(
         def M(r):
             return M_local(r, m_aux) if M_local is not None else r
 
-        return sharded_cg_loop(op, M, b, x0, policy, axis, n, variant=variant)
+        if defl is None:
+            return sharded_cg_loop(op, M, b, x0, policy, axis, n, variant=variant)
+        d = defl.with_axis(axis)
+        res = sharded_cg_loop(
+            op, M, b, d.galerkin_correct(x0, b - op(x0)), policy, axis, n,
+            variant=variant, project=d.project_direction,
+            project_r=d.project_residual,
+        )
+        # final Galerkin correction (see deflated_cg_solve): restore the
+        # span{W} solution components project_r kept out of the recurrence
+        x = d.galerkin_correct(res.x, b - op(res.x))
+        return dataclasses.replace(res, x=x)
 
     in_specs = (P(None, axis), P(axis), P(axis))
     if M_local is not None:
         in_specs = in_specs + (P(axis),)
+    if deflation is not None:
+        # basis rows shard with the vectors; the k x k factor and scale are
+        # replicated (leaf order: W, AW, chol_E, scale)
+        defl_spec = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(deflation),
+            [P(axis, None), P(axis, None), P(), P()],
+        )
+        in_specs = in_specs + (defl_spec,)
+
+    has_m, has_d = M_local is not None, deflation is not None
+    if has_m and has_d:
+        fn = local_solve
+    elif has_m:
+        fn = lambda data, b, x0, m_aux: local_solve(data, b, x0, m_aux, None)
+    elif has_d:
+        fn = lambda data, b, x0, defl: local_solve(data, b, x0, None, defl)
     else:
-        local_solve = partial(local_solve, m_aux=None)
+        fn = lambda data, b, x0: local_solve(data, b, x0, None, None)
     shard_fn = jax.shard_map(
-        local_solve,
+        fn,
         mesh=mesh,
         in_specs=in_specs,
         out_specs=CGResult(x=P(axis), iterations=P(), residual=P(), converged=P()),
@@ -347,13 +404,16 @@ def sharded_cg_solve(
     M_aux=None,
     dtype=None,
     variant: str = "cg",
+    deflation=None,
 ) -> CGResult:
     """One-call convenience: place the system on the mesh and solve.
 
     ``A`` may hold host (numpy) or device data; arrays are device_put with the
     row-block sharding so no resharding happens at dispatch.  For a
     preconditioned solve pass both ``M_local(r_local, aux_local)`` and the
-    global (n,) ``M_aux`` array (sharded here).
+    global (n,) ``M_aux`` array (sharded here).  ``deflation`` (from
+    ``make_deflation`` on the full system) runs distributed def-CG — the
+    probe-once / solve-many time-stepping pattern at mesh scale.
     """
     import numpy as np
 
@@ -361,14 +421,29 @@ def sharded_cg_solve(
         from conjugategradient_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(axis=axis)
-    solve = make_sharded_cg(A, mesh, policy, axis=axis, M_local=M_local, donate=False, variant=variant)
+    solve = make_sharded_cg(
+        A, mesh, policy, axis=axis, M_local=M_local, donate=False,
+        variant=variant, deflation=deflation,
+    )
     dt = dtype or np.asarray(A.data).dtype
     row_sharding = NamedSharding(mesh, P(axis))
     data = jax.device_put(jnp.asarray(np.asarray(A.data, dtype=dt)), NamedSharding(mesh, P(None, axis)))
     b_dev = jax.device_put(jnp.asarray(np.asarray(b, dtype=dt)), row_sharding)
     x0_arr = np.zeros(A.n, dtype=dt) if x0 is None else np.asarray(x0, dtype=dt)
     x0_dev = jax.device_put(jnp.asarray(x0_arr), row_sharding)
+    args = [data, b_dev, x0_dev]
     if M_local is not None:
-        aux_dev = jax.device_put(jnp.asarray(np.asarray(M_aux, dtype=dt)), row_sharding)
-        return solve(data, b_dev, x0_dev, aux_dev)
-    return solve(data, b_dev, x0_dev)
+        args.append(jax.device_put(jnp.asarray(np.asarray(M_aux, dtype=dt)), row_sharding))
+    if deflation is not None:
+        basis_sh = NamedSharding(mesh, P(axis, None))
+        rep = NamedSharding(mesh, P())
+        args.append(
+            dataclasses.replace(
+                deflation,
+                W=jax.device_put(jnp.asarray(deflation.W, dt), basis_sh),
+                AW=jax.device_put(jnp.asarray(deflation.AW, dt), basis_sh),
+                chol_E=jax.device_put(jnp.asarray(deflation.chol_E, dt), rep),
+                scale=jax.device_put(jnp.asarray(deflation.scale, dt), rep),
+            )
+        )
+    return solve(*args)

@@ -86,10 +86,12 @@ def _apply_M(M, r):
     return M(r)
 
 
-def _cg_init(op, b, x0, M, dot, dtype, project=None):
+def _cg_init(op, b, x0, M, dot, dtype, project=None, project_r=None):
     """Initial recurrence state (x, r, p, rz, rr) from b and the guess."""
     x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
     r = b - op(x)
+    if project_r is not None:
+        r = project_r(r)
     z = _apply_M(M, r)
     p = z if project is None else project(z)
     rz = dot(r, z)
@@ -97,7 +99,7 @@ def _cg_init(op, b, x0, M, dot, dtype, project=None):
     return x, r, p, rz, rr
 
 
-def _make_step(op, M, dot, project=None):
+def _make_step(op, M, dot, project=None, project_r=None):
     """THE CG recurrence (``R/CG.R:38-58``), written once.
 
     Returns ``step(x, r, p, rz, rr) -> ((x, r, p, rz, rr), (alpha, beta))``
@@ -112,6 +114,16 @@ def _make_step(op, M, dot, project=None):
     the direction update — the hook deflated CG uses to keep every search
     direction A-orthogonal to the deflation space (``solvers.deflation``,
     Saad/Yeung/Erhel/Guyomarc'h def-CG).  Identity when None.
+
+    ``project_r`` (optional) re-projects the RESIDUAL after every update
+    (``r - AW E⁻¹ Wᵀ r``, which zeroes ``Wᵀ r`` exactly) — the DEF-form
+    stabilisation (Tang/Nabben/Vuik/Erlangga, J. Sci. Comput. 39, 2009).
+    Load-bearing in fp32: the un-reprojected invariant drifts at
+    O(eps·kappa) per step, and with a 1e-6 outlier against an O(1) bulk the
+    recurrence visibly DIVERGES after ~20 iterations (measured on the
+    outlier workload); re-projection pins the drift at eps32 per step.  The
+    deflated components it removes from ``r`` are restored exactly by the
+    caller's final Galerkin correction (``deflated_cg_solve``).
     """
 
     def step(x, r, p, rz, rr):
@@ -119,6 +131,8 @@ def _make_step(op, M, dot, project=None):
         alpha = _safe_div(rz, dot(p, Ap))
         x = x + alpha * p
         r = r - alpha * Ap
+        if project_r is not None:
+            r = project_r(r)
         z = _apply_M(M, r)
         rz_new = dot(r, z)
         rr_new = dot(r, r)
@@ -157,11 +171,15 @@ def cg_solve(
     precise_dot: bool = False,
     use_pallas: bool = False,
     project: Optional[Callable] = None,
+    project_r: Optional[Callable] = None,
 ) -> CGResult:
     """Solve A x = b by (preconditioned) CG, fully on device.
 
     ``project`` is the deflation hook (see ``solvers.deflation``): applied to
     the preconditioned residual wherever it enters the direction update.
+    ``project_r`` re-projects the residual itself every iteration (the
+    fp32-stable DEF form — see ``_make_step``); callers using it must restore
+    the deflated solution components afterwards (``deflated_cg_solve`` does).
 
     Traceable: call under ``jax.jit`` (and inside ``shard_map`` — see
     ``conjugategradient_tpu.parallel`` for the collective-dot variant).
@@ -182,7 +200,9 @@ def cg_solve(
     max_iter = jnp.int32(policy.resolve_max(n))
     dot = lambda u, v: _dot(u, v, precise=precise_dot)
 
-    x, r, p, rz, rr = _cg_init(op, b, x0, M, dot, dtype, project=project)
+    x, r, p, rz, rr = _cg_init(
+        op, b, x0, M, dot, dtype, project=project, project_r=project_r
+    )
     rr0 = rr
 
     def res_of(r, rr):
@@ -194,7 +214,7 @@ def cg_solve(
         unconverged = jnp.logical_or(it < min_iter, res >= tol)
         return jnp.logical_and(unconverged, it < max_iter)
 
-    step = _make_step(op, M, dot, project=project)
+    step = _make_step(op, M, dot, project=project, project_r=project_r)
 
     def body(state):
         x, r, p, rz, rr, it = state

@@ -52,22 +52,46 @@ from conjugategradient_tpu.solvers.policy import ConvergencePolicy
 @dataclasses.dataclass(frozen=True)
 class Deflation:
     """Deflation space: ``W`` (n, k) Ritz basis, ``AW = A @ W``, and the
-    Cholesky factor of the small Galerkin matrix ``E = Wᵀ A W``."""
+    Galerkin matrix ``E = Wᵀ A W`` held in equilibrated form — ``scale`` =
+    diag(E)^(-1/2) and ``chol_E`` = chol(scale E scale).
 
-    W: jax.Array  # (n, k)
+    The equilibration is load-bearing in fp32: E's eigenvalues ARE the Ritz
+    values, so deflating a 1e-6 outlier against an O(1) bulk gives
+    kappa(E) ~ 1e6 — a raw fp32 Cholesky solve then loses ~5 of 7 digits,
+    the Wᵀ r = 0 invariant fails at ~1e-2, and def-CG diverges (measured).
+    W is near-A-orthogonal, so E is near-diagonal and the scaled system has
+    kappa ~ O(1): the small solve is eps32-accurate again.  (The second
+    fp32 hazard — cancellation in computing AW itself — is handled at build
+    time: ``make_deflation`` runs the probe columns through the dd SpMV.)"""
+
+    W: jax.Array  # (n, k) — row-sharded inside shard_map (n_local, k)
     AW: jax.Array  # (n, k)
-    chol_E: jax.Array  # (k, k) lower-triangular
+    chol_E: jax.Array  # (k, k) lower-triangular factor of scale·E·scale
+    scale: jax.Array  # (k,) = diag(E)^(-1/2)
+    psum_axis: Optional[str] = None  # static: set inside shard_map bodies
 
     @property
     def k(self) -> int:
         return self.W.shape[1]
+
+    def with_axis(self, axis: Optional[str]) -> "Deflation":
+        """Shard-local view: with ``psum_axis`` set, the (k,) Galerkin
+        coefficient contraction psums over the mesh axis, so every hook
+        works unchanged inside ``shard_map`` on row-sharded W/AW (the k x k
+        solve is replicated — it is the coarse problem, the analogue of the
+        reference's host-side ``resultsDot.Sum()`` scalar stage)."""
+        return dataclasses.replace(self, psum_axis=axis)
 
     # -- the three pieces def-CG needs (all shape-agnostic: vectors may be
     # grid-shaped; the (n, k) contractions flatten internally) --------------
 
     def _coeffs(self, U, v):
         c = U.T @ v.reshape(-1)
-        return jax.scipy.linalg.cho_solve((self.chol_E, True), c)
+        if self.psum_axis is not None:
+            c = jax.lax.psum(c, self.psum_axis)
+        return self.scale * jax.scipy.linalg.cho_solve(
+            (self.chol_E, True), self.scale * c
+        )
 
     def galerkin_correct(self, x, r):
         """x + W E⁻¹ Wᵀ r — the Galerkin (coarse) solve that zeroes Wᵀ r."""
@@ -77,9 +101,32 @@ class Deflation:
         """z - W E⁻¹ (AW)ᵀ z — keeps directions A-orthogonal to span{W}."""
         return z - (self.W @ self._coeffs(self.AW, z)).reshape(z.shape)
 
+    def project_residual(self, r):
+        """r - AW E⁻¹ Wᵀ r — zeroes Wᵀ r exactly (Wᵀ AW = E).  Applied
+        every iteration (``cg_solve``'s ``project_r`` hook) this is the
+        DEF-form stabilisation: without it the Wᵀ r = 0 invariant drifts at
+        O(eps·kappa)/step and fp32 def-CG on an outlier spectrum DIVERGES
+        (measured).  The deflated solution components it discards are
+        restored by the final Galerkin correction."""
+        return r - (self.AW @ self._coeffs(self.W, r)).reshape(r.shape)
+
+    def map_basis(self, fn) -> "Deflation":
+        """New Deflation with ``fn`` applied to every column of W and AW —
+        for running def-CG in a relayouted vector space (e.g. the
+        column-major Pallas layout): relayout the BASIS once instead of the
+        iterate twice per iteration.  Valid for any layout map that is
+        linear, zero-padding, and inner-product-preserving (a permutation
+        plus zero pad), which ``ops.pallas_spmv.to_cm`` is."""
+        mapped = lambda U: jnp.stack(
+            [fn(U[:, j]) for j in range(U.shape[1])], axis=1
+        )
+        return dataclasses.replace(self, W=mapped(self.W), AW=mapped(self.AW))
+
 
 jax.tree_util.register_dataclass(
-    Deflation, data_fields=["W", "AW", "chol_E"], meta_fields=[]
+    Deflation,
+    data_fields=["W", "AW", "chol_E", "scale"],
+    meta_fields=["psum_axis"],
 )
 
 
@@ -138,7 +185,6 @@ def make_deflation(
     """
     m = m or max(4 * k, 32)
     A_dev = A.device_put(dtype) if hasattr(A, "device_put") else A
-    op = as_operator(A_dev, use_pallas=use_pallas)
     n = A_dev.n
 
     V, alphas, betas = jax.jit(
@@ -151,24 +197,75 @@ def make_deflation(
     evals, S = np.linalg.eigh(T)
     Sk = jnp.asarray(S[:, :k], dtype)  # k smallest Ritz pairs
 
-    @jax.jit
-    def assemble(V_, Sk_, A_):
-        W = V_.T @ Sk_  # (n, k)
-        AW = jax.vmap(lambda col: as_operator(A_)(col), in_axes=1, out_axes=1)(W)
-        # E is SPD in exact arithmetic (W orthonormal, A SPD); symmetrise the
-        # rounding skew only — NO jitter: perturbing E breaks the Wᵀ r = 0
-        # invariant the whole recurrence rests on (measured: a 1e-7-scaled
-        # jitter left Wᵀ r0 at 1e-5 and the solve stagnated)
-        E = 0.5 * (W.T @ AW + AW.T @ W)
-        return W, AW, jnp.linalg.cholesky(E)
+    W = jax.jit(lambda V_, Sk_: V_.T @ Sk_)(V, Sk)  # (n, k)
 
-    W, AW, chol_E = assemble(V, Sk, A_dev)
-    if not bool(np.isfinite(np.asarray(chol_E)).all()):
+    # AW to WORKING accuracy, not fp32-SpMV accuracy: for an outlier mode
+    # (lambda ~ 1e-6 against an O(1) bulk) the fp32 A @ w is pure
+    # cancellation — measured ~6% relative error on the 1e-3-scaled outlier
+    # workload — and def-CG needs the (W, AW, E) triple mutually consistent
+    # to ~eps32, or the Wᵀ r = 0 invariant collapses and the solve diverges
+    # (measured; equilibration alone did not save it).  When the host fp64
+    # container is available, run the probe columns through the dd
+    # (two-fp32) SpMV (ops/dd.py): its hi part IS the correctly-rounded
+    # fp32 value of A @ w, and hi+lo gives an ~2^-48-accurate E.
+    from conjugategradient_tpu.ops import dd as _dd
+
+    ddm = None
+    if np.dtype(dtype) == np.float32 and hasattr(A, "device_put"):
+        try:
+            ddm = _dd.dd_split_matrix(A)
+        except TypeError:
+            ddm = None  # format without a dd SpMV: fall back to plain fp32
+
+    if ddm is not None:
+
+        @jax.jit
+        def _aw_dd(ddm_, W_):
+            zero = jnp.zeros_like(W_[:, 0])
+            cols = [_dd.dd_spmv(ddm_, (W_[:, j], zero)) for j in range(k)]
+            return (
+                jnp.stack([c[0] for c in cols], axis=1),
+                jnp.stack([c[1] for c in cols], axis=1),
+            )
+
+        AW_hi, AW_lo = _aw_dd(ddm, W)
+        AW = AW_hi  # canonical pair: hi is the fp32 rounding of the dd value
+        AW64 = np.asarray(AW_hi, np.float64) + np.asarray(AW_lo, np.float64)
+    else:
+        AW = jax.jit(
+            lambda A_, W_: jax.vmap(
+                lambda col: as_operator(A_, use_pallas=use_pallas)(col),
+                in_axes=1, out_axes=1,
+            )(W_)
+        )(A_dev, W)
+        AW64 = np.asarray(AW, np.float64)
+
+    # E, its equilibration, and the Cholesky in host fp64 (k x k — free).
+    # E is SPD in exact arithmetic (W orthonormal, A SPD); symmetrise the
+    # rounding skew only — NO jitter: perturbing E breaks the Wᵀ r = 0
+    # invariant the whole recurrence rests on (measured: a 1e-7-scaled
+    # jitter left Wᵀ r0 at 1e-5 and the solve stagnated).
+    W64 = np.asarray(W, np.float64)
+    E = W64.T @ AW64
+    E = 0.5 * (E + E.T)
+    dE = np.diag(E)
+    if not (np.isfinite(dE).all() and (dE > 0).all()):
         raise ValueError(
             "deflation Galerkin matrix is not positive definite — the Lanczos "
             "probe degenerated (is A symmetric positive definite?)"
         )
-    return Deflation(W, AW, chol_E)
+    scale = 1.0 / np.sqrt(dE)
+    Es = scale[:, None] * E * scale[None, :]
+    try:
+        L = np.linalg.cholesky(Es)
+    except np.linalg.LinAlgError:
+        raise ValueError(
+            "deflation Galerkin matrix is not positive definite — the Lanczos "
+            "probe degenerated (is A symmetric positive definite?)"
+        )
+    return Deflation(
+        W, AW, jnp.asarray(L, dtype), jnp.asarray(scale, dtype)
+    )
 
 
 def deflated_cg_solve(
@@ -194,7 +291,13 @@ def deflated_cg_solve(
     x_init = jnp.zeros_like(b) if x0 is None else x0.astype(b.dtype)
     r = b - op(x_init)
     x_init = deflation.galerkin_correct(x_init, r)
-    return cg_solve(
+    res = cg_solve(
         A, b, x_init, policy=policy, M=M, precise_dot=precise_dot,
         use_pallas=use_pallas, project=deflation.project_direction,
+        project_r=deflation.project_residual,
     )
+    # final Galerkin correction: project_r removed the span{W} residual
+    # components from the recurrence; one true residual + coarse solve puts
+    # the corresponding solution components back exactly
+    x = deflation.galerkin_correct(res.x, b - op(res.x))
+    return dataclasses.replace(res, x=x)

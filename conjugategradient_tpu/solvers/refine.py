@@ -62,8 +62,15 @@ def refined_solve(
     use_pallas: Optional[bool] = None,
     matrix_dtype=None,
     device_residual: bool = False,
+    deflation=None,
 ) -> RefineResult:
     """Solve A x = b to an fp64 tolerance using fp32 device inner solves.
+
+    ``deflation`` (a ``solvers.deflation.Deflation``, built once per matrix)
+    deflates every INNER solve: Galerkin initial correction + the def-CG
+    direction projection.  For fp64-tolerance solve SEQUENCES on outlier
+    spectra — probe once, refine every time step cheaply.  Composes with
+    every inner path (MGCG, plain DIA, the column-major Pallas kernel).
 
     ``A``/``b`` are host fp64.  When ``grid`` is given the inner solver is
     stencil-layout MGCG (built once, reused across passes); otherwise plain
@@ -123,7 +130,7 @@ def refined_solve(
             max_outer=max_outer, device_dtype=device_dtype,
             hierarchy=hierarchy, smoother=smoother,
             raise_on_divergence=raise_on_divergence, use_pallas=use_pallas,
-            matrix_dtype=matrix_dtype,
+            matrix_dtype=matrix_dtype, deflation=deflation,
         )
 
     n = A.n
@@ -161,38 +168,75 @@ def refined_solve(
     )
     # operator and preconditioner ride as pytree ARGUMENTS (closure constants
     # ship with the compile payload — prohibitive for large systems)
+    prec = device_dtype == np.float32
     if M is not None:
         from conjugategradient_tpu.precond import as_preconditioner as _as_p
 
-        solve_jit = jax.jit(
-            lambda h_, A_, r: cg_solve(
-                A_, r, policy=inner_policy, M=_as_p(h_),
-                precise_dot=device_dtype == np.float32,
+        if deflation is None:
+            solve_jit = jax.jit(
+                lambda h_, A_, r: cg_solve(
+                    A_, r, policy=inner_policy, M=_as_p(h_), precise_dot=prec
+                )
             )
-        )
-        solve = lambda r: solve_jit(h, A_dev, r)
+            solve = lambda r: solve_jit(h, A_dev, r)
+        else:
+            from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
+
+            solve_jit = jax.jit(
+                lambda h_, A_, d_, r: deflated_cg_solve(
+                    A_, r, policy=inner_policy, M=_as_p(h_),
+                    precise_dot=prec, deflation=d_,
+                )
+            )
+            solve = lambda r: solve_jit(h, A_dev, deflation, r)
     elif use_pallas and grid is None:
         from conjugategradient_tpu.ops.pallas_spmv import cm_apply, from_cm, plan_dia_cm, to_cm
 
         plan = plan_dia_cm(tuple(A.offsets), n)
-        solve_jit = jax.jit(
-            lambda A_, r_cm: cg_solve(
-                lambda v: cm_apply(A_, v), r_cm, policy=inner_policy,
-                precise_dot=device_dtype == np.float32,
+        if deflation is None:
+            solve_jit = jax.jit(
+                lambda A_, r_cm: cg_solve(
+                    lambda v: cm_apply(A_, v), r_cm, policy=inner_policy,
+                    precise_dot=prec,
+                )
             )
-        )
 
-        def solve(r):  # r arrives flat; Krylov state stays column-major
-            res = solve_jit(A_dev, to_cm(r.reshape(-1), plan))
-            return dataclasses.replace(res, x=from_cm(res.x, plan))
+            def solve(r):  # r arrives flat; Krylov state stays column-major
+                res = solve_jit(A_dev, to_cm(r.reshape(-1), plan))
+                return dataclasses.replace(res, x=from_cm(res.x, plan))
 
+        else:
+            from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
+
+            # deflation IN CM space: relayout the basis once per solve (a
+            # permutation+pad is linear and inner-product-preserving, so the
+            # Galerkin/projection algebra is unchanged) instead of the
+            # iterate twice per iteration
+            def _cm_deflated(A_, d_, r):
+                d_cm = d_.map_basis(lambda col: to_cm(col, plan).reshape(-1))
+                res = deflated_cg_solve(
+                    lambda v: cm_apply(A_, v), to_cm(r, plan),
+                    policy=inner_policy, precise_dot=prec, deflation=d_cm,
+                )
+                return dataclasses.replace(res, x=from_cm(res.x, plan))
+
+            solve_jit = jax.jit(_cm_deflated)
+            solve = lambda r: solve_jit(A_dev, deflation, r.reshape(-1))
     else:
-        solve_jit = jax.jit(
-            lambda A_, r: cg_solve(
-                A_, r, policy=inner_policy, precise_dot=device_dtype == np.float32
+        if deflation is None:
+            solve_jit = jax.jit(
+                lambda A_, r: cg_solve(A_, r, policy=inner_policy, precise_dot=prec)
             )
-        )
-        solve = lambda r: solve_jit(A_dev, r)
+            solve = lambda r: solve_jit(A_dev, r)
+        else:
+            from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
+
+            solve_jit = jax.jit(
+                lambda A_, d_, r: deflated_cg_solve(
+                    A_, r, policy=inner_policy, precise_dot=prec, deflation=d_
+                )
+            )
+            solve = lambda r: solve_jit(A_dev, deflation, r)
 
     def true_residual(x):
         r = b64 - oracle.spmv(A, x)
@@ -255,6 +299,7 @@ def _refined_solve_device(
     raise_on_divergence: bool = False,
     use_pallas: Optional[bool] = None,
     matrix_dtype=None,
+    deflation=None,
 ) -> RefineResult:
     """Device-resident refinement: the outer loop's fp64 work (residual,
     norm, scaling, update) runs on chip in double-float arithmetic.
@@ -321,16 +366,25 @@ def _refined_solve_device(
         s = jnp.where(mx > 0, mx, 1.0)
         return dd.dd_value(r) / s, rr, mx
 
+    # (d_ is None) below resolves at TRACE time: None is an empty pytree, so
+    # the undeflated programs carry no dead deflation branches
     if M is not None:
         from conjugategradient_tpu.precond import as_preconditioner as _as_p
 
+        from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
+
         @jax.jit
-        def update(h_, A_, x_dd, r32, s):
-            d = cg_solve(A_, r32, policy=inner_policy, M=_as_p(h_),
-                         precise_dot=True)
+        def update(h_, A_, d_, x_dd, r32, s):
+            if d_ is None:
+                d = cg_solve(A_, r32, policy=inner_policy, M=_as_p(h_),
+                             precise_dot=True)
+            else:
+                d = deflated_cg_solve(A_, r32, policy=inner_policy,
+                                      M=_as_p(h_), precise_dot=True,
+                                      deflation=d_)
             return dd.dd_axpy(x_dd, s, d.x), d.iterations
 
-        update_args = lambda: (h, A_dev)
+        update_args = lambda: (h, A_dev, deflation)
     elif use_pallas and grid is None:
         from conjugategradient_tpu.ops.pallas_spmv import (
             cm_apply, from_cm, plan_dia_cm, to_cm,
@@ -338,21 +392,34 @@ def _refined_solve_device(
 
         plan = plan_dia_cm(tuple(A.offsets), n)
 
+        from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
+
         @jax.jit
-        def update(A_, x_dd, r32, s):
-            d = cg_solve(lambda v: cm_apply(A_, v), to_cm(r32, plan),
-                         policy=inner_policy, precise_dot=True)
+        def update(A_, d_, x_dd, r32, s):
+            if d_ is None:
+                d = cg_solve(lambda v: cm_apply(A_, v), to_cm(r32, plan),
+                             policy=inner_policy, precise_dot=True)
+            else:
+                d_cm = d_.map_basis(lambda col: to_cm(col, plan).reshape(-1))
+                d = deflated_cg_solve(lambda v: cm_apply(A_, v),
+                                      to_cm(r32, plan), policy=inner_policy,
+                                      precise_dot=True, deflation=d_cm)
             return dd.dd_axpy(x_dd, s, from_cm(d.x, plan)), d.iterations
 
-        update_args = lambda: (A_dev,)
+        update_args = lambda: (A_dev, deflation)
     else:
+        from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
 
         @jax.jit
-        def update(A_, x_dd, r32, s):
-            d = cg_solve(A_, r32, policy=inner_policy, precise_dot=True)
+        def update(A_, d_, x_dd, r32, s):
+            if d_ is None:
+                d = cg_solve(A_, r32, policy=inner_policy, precise_dot=True)
+            else:
+                d = deflated_cg_solve(A_, r32, policy=inner_policy,
+                                      precise_dot=True, deflation=d_)
             return dd.dd_axpy(x_dd, s, d.x), d.iterations
 
-        update_args = lambda: (A_dev,)
+        update_args = lambda: (A_dev, deflation)
 
     b_dd = dd.dd_from_f64(b64.reshape(shape))
     x_dd = dd.dd_from_f64(x64.reshape(shape))

@@ -86,6 +86,39 @@ def test_dd_norm_sq_under_cancellation():
     assert abs(mx - np.abs(r64).max()) / np.abs(r64).max() < 1e-5
 
 
+def test_dd_residual_partitions_over_the_mesh():
+    """GSPMD: the dd residual is pads/slices/elementwise ops, so XLA
+    partitions it over a 2-D mesh with neighbor exchanges only — the
+    device-resident refinement outer loop is pod-compatible.  The sharded
+    result must be BITWISE equal to single-device (error-free transforms
+    are pure elementwise dataflow; no reduction reassociation)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from conjugategradient_tpu.core.formats import dia_to_stencil
+
+    grid = (64, 64)
+    sys_ = generators.poisson_system(grid)
+    st = dia_to_stencil(sys_.A, grid)
+    ddm = dd.dd_split_matrix(st)
+    x = _rand(sys_.A.n, 5).reshape(grid)
+    b_dd = dd.dd_from_f64(sys_.b.reshape(grid))
+    x_dd = dd.dd_from_f64(x)
+
+    ref = jax.jit(dd.dd_residual)(ddm, b_dd, x_dd)
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]).reshape(4, 2), ("x", "y"))
+    sh = NamedSharding(mesh, P("x", "y"))
+    shard = lambda p: (jax.device_put(p[0], sh), jax.device_put(p[1], sh))
+    ddm_sh = dd.DDMatrix(
+        type(ddm.hi)(jax.device_put(ddm.hi.data, NamedSharding(mesh, P(None, "x", "y"))), ddm.hi.shifts, ddm.hi.grid),
+        type(ddm.lo)(jax.device_put(ddm.lo.data, NamedSharding(mesh, P(None, "x", "y"))), ddm.lo.shifts, ddm.lo.grid),
+    )
+    out = jax.jit(dd.dd_residual)(ddm_sh, shard(b_dd), shard(x_dd))
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+
+
 def test_dd_axpy_accumulates_below_fp32_resolution():
     """x += s*d with updates ~1e-9 of x: a plain fp32 += would drop them
     entirely; the dd pair must carry them exactly."""

@@ -76,7 +76,7 @@ def test_deflation_is_a_pytree_jit_argument():
     res = fn(A_dev, defl, jnp.asarray(sys_.b))
     assert bool(res.converged)
     leaves = jax.tree_util.tree_leaves(defl)
-    assert len(leaves) == 3  # W, AW, chol_E — no static closures
+    assert len(leaves) == 4  # W, AW, chol_E, scale — no static closures
 
 
 def test_deflated_with_jacobi_preconditioner():
@@ -117,6 +117,82 @@ def test_recycling_amortises_over_a_solve_sequence():
         assert bool(dres.converged)
         total_defl += int(dres.iterations)
     assert total_defl < total_plain
+
+
+def test_deflation_composes_with_refinement():
+    """fp64-tolerance solve sequences on outlier spectra: deflated inner
+    solves must reach the same absolute tolerance with fewer total device
+    iterations than undeflated refinement."""
+    from conjugategradient_tpu.solvers.refine import refined_solve
+
+    sys_, _ = _outlier_case(2048)
+    defl = make_deflation(sys_.A, k=8, m=48)  # fp32, like the inner solves
+    base = refined_solve(sys_.A, sys_.b, tol=1e-10, use_pallas=False)
+    dres = refined_solve(
+        sys_.A, sys_.b, tol=1e-10, use_pallas=False, deflation=defl
+    )
+    for res in (base, dres):
+        assert res.converged
+        r = sys_.b - oracle.spmv(sys_.A, res.x)
+        assert np.linalg.norm(r) < 1e-10
+    assert dres.inner_iterations < base.inner_iterations
+
+
+@pytest.mark.parametrize("device_residual", [False, True])
+def test_deflation_composes_with_cm_kernel_refinement(device_residual):
+    from conjugategradient_tpu.solvers.refine import refined_solve
+
+    sys_, _ = _outlier_case(1024)
+    defl = make_deflation(sys_.A, k=8, m=48)
+    res = refined_solve(
+        sys_.A, sys_.b, tol=1e-9, use_pallas=True, deflation=defl,
+        device_residual=device_residual,
+    )
+    assert res.converged
+    r = sys_.b - oracle.spmv(sys_.A, res.x)
+    assert np.linalg.norm(r) < 1e-9
+
+
+def test_sharded_deflated_cg_matches_single_device():
+    """Distributed def-CG: the basis row-shards over the mesh, the (k,)
+    Galerkin contraction psums, the k x k coarse solve replicates.  Same
+    iteration count as single-device def-CG, oracle-validated solution,
+    and the plain sharded solve must need strictly more iterations."""
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+    from conjugategradient_tpu.parallel.sharded_cg import sharded_cg_solve
+
+    n = 4096
+    sys_, A_dev = _outlier_case(n)
+    defl = make_deflation(sys_.A, k=8, m=48)
+    pol = ConvergencePolicy(tol=1e-6, norm="rel_l2", max_iteration=2000)
+    mesh = make_mesh(axis="x")
+    res = sharded_cg_solve(
+        sys_.A, sys_.b, policy=pol, mesh=mesh, dtype=np.float32, deflation=defl
+    )
+    assert bool(res.converged)
+    rt = sys_.b - oracle.spmv(sys_.A, np.asarray(res.x, np.float64))
+    assert np.linalg.norm(rt) / np.linalg.norm(sys_.b) < 1e-5
+
+    single = deflated_cg_solve(
+        sys_.A.device_put(np.float32), jnp.asarray(sys_.b, jnp.float32),
+        policy=pol, deflation=defl, precise_dot=True,
+    )
+    assert abs(int(res.iterations) - int(single.iterations)) <= 2
+    plain = sharded_cg_solve(sys_.A, sys_.b, policy=pol, mesh=mesh, dtype=np.float32)
+    assert int(res.iterations) < int(plain.iterations)
+
+
+def test_sharded_deflation_rejects_comm_reduced_variants():
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+    from conjugategradient_tpu.parallel.sharded_cg import sharded_cg_solve
+
+    sys_, _ = _outlier_case(1024)
+    defl = make_deflation(sys_.A, k=4, m=24)
+    with pytest.raises(ValueError, match="variant"):
+        sharded_cg_solve(
+            sys_.A, sys_.b, mesh=make_mesh(axis="x"), dtype=np.float32,
+            deflation=defl, variant="cg1",
+        )
 
 
 def test_make_deflation_rejects_indefinite():
