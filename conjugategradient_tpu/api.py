@@ -70,10 +70,19 @@ def solve(
             max_iteration=max_iteration, raise_on_divergence=False,
         )
     if method == "refined":
-        from conjugategradient_tpu.solvers.refine import refined_solve
-
         if not isinstance(A, DiaMatrix):
             raise TypeError("refined solve requires a DiaMatrix")
+        if "mesh" in kw or "axes" in kw:
+            # mesh-partitioned refinement: dd outer pass + GSPMD MGCG inner
+            from conjugategradient_tpu.parallel.gspmd import gspmd_refined_solve
+
+            if grid is None:
+                raise TypeError("refined solve over a mesh requires grid=")
+            return gspmd_refined_solve(
+                A, b, grid, x0=x0, tol=tol, norm=norm, **kw
+            )
+        from conjugategradient_tpu.solvers.refine import refined_solve
+
         return refined_solve(A, b, x0, tol=tol, norm=norm, grid=grid, **kw)
     if method == "deflated_cg":
         import jax.numpy as jnp

@@ -184,3 +184,105 @@ def gspmd_mgcg_solve(
         mesh = make_mesh()
     solve, (b, x0) = make_gspmd_mgcg(system, grid, mesh, policy, **kw)
     return solve(b, x0)
+
+
+def gspmd_refined_solve(
+    A: DiaMatrix,
+    b,
+    grid,
+    mesh: Optional[Mesh] = None,
+    axes=("x",),
+    x0=None,
+    tol: float = 1e-8,
+    norm: str = "l2",
+    inner_tol: float = 1e-5,
+    max_outer: int = 40,
+    hierarchy=None,
+    smoother: str = "chebyshev",
+    raise_on_divergence: bool = False,
+):
+    """fp64-tolerance refinement, mesh-partitioned end to end: the
+    reference's absolute-1e-8 contract (``Mgcg/cuBlas/Mgcg/MgcgMain.cs:29``)
+    at distributed scale, with no fp64 hardware anywhere.
+
+    Composition of two proven pieces, both partitioned by GSPMD over the
+    SAME mesh so no resharding happens between them:
+
+    - the dd (two-fp32) outer pass (``ops.dd``): residual, norm², inf-norm
+      scaling — pure pads/slices/elementwise, which XLA partitions with
+      neighbor exchanges only (bitwise equal to single-device; tested in
+      ``tests/test_dd.py``);
+    - the GSPMD MGCG inner solve (``make_gspmd_mgcg``): V-cycle + CG as one
+      SPMD program.
+
+    Per outer pass three scalars cross the host boundary (rr, mx, inner
+    iteration count); vectors never leave the mesh.  The dd solution pair
+    is gathered once, at the end.  Returns ``solvers.refine.RefineResult``.
+    """
+    from conjugategradient_tpu.core.formats import (
+        StencilMatrix,
+        dia_to_stencil,
+        stencil_to_const,
+    )
+    from conjugategradient_tpu.ops import dd
+    from conjugategradient_tpu.parallel.mesh import specs_for_grid
+    from conjugategradient_tpu.solvers.refine import run_device_refinement
+
+    if mesh is None:
+        from conjugategradient_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    grid = tuple(grid)
+    n = A.n
+    b64 = np.asarray(b, dtype=np.float64)
+    x64 = np.zeros(n) if x0 is None else np.asarray(x0, dtype=np.float64)
+
+    inner_policy = ConvergencePolicy(
+        tol=inner_tol, norm="rel_l2", max_iteration=min(8 * n, 1_000_000)
+    )
+    system = LinearSystem(A=A, b=b64, x0=x64)
+    solve_inner, _ = make_gspmd_mgcg(
+        system, grid, mesh, inner_policy, axes=axes, smoother=smoother,
+        dtype=np.float32, hierarchy=hierarchy,
+    )
+
+    dspec, vspec = specs_for_grid(grid, mesh, axes)
+    put = lambda arr, spec: jax.device_put(
+        jnp.asarray(arr), NamedSharding(mesh, spec)
+    )
+
+    st64 = dia_to_stencil(A, grid)
+    cst = stencil_to_const(st64)
+    ddm = dd.dd_split_matrix(cst or st64)
+    if cst is None:
+        # variable coefficients: shard the hi/lo data like the fine level
+        ddm = dd.DDMatrix(
+            StencilMatrix(put(ddm.hi.data, dspec), ddm.hi.shifts, ddm.hi.grid),
+            StencilMatrix(put(ddm.lo.data, dspec), ddm.lo.shifts, ddm.lo.grid),
+        )
+
+    b_dd = tuple(put(part, vspec) for part in dd.dd_from_f64(b64.reshape(grid)))
+    x_dd = tuple(put(part, vspec) for part in dd.dd_from_f64(x64.reshape(grid)))
+    zero32 = put(jnp.zeros(grid, jnp.float32), vspec)
+
+    @jax.jit
+    def resid(ddm_, b_, x_):
+        r = dd.dd_residual(ddm_, b_, x_)
+        rr = dd.dd_norm_sq(r)
+        mx = dd.dd_max_abs(r)
+        s = jnp.where(mx > 0, mx, 1.0)
+        return dd.dd_value(r) / s, rr, mx
+
+    @jax.jit
+    def axpy(x_, d_x, s):
+        return dd.dd_axpy(x_, s, d_x.reshape(grid))
+
+    def update_fn(x_, r32, s):
+        res = solve_inner(r32, zero32)
+        return axpy(x_, res.x, s), res.iterations
+
+    return run_device_refinement(
+        lambda b_, x_: resid(ddm, b_, x_), update_fn, b_dd, x_dd,
+        tol=tol, norm=norm, max_outer=max_outer,
+        raise_on_divergence=raise_on_divergence,
+    )

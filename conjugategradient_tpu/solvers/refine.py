@@ -424,6 +424,40 @@ def _refined_solve_device(
     b_dd = dd.dd_from_f64(b64.reshape(shape))
     x_dd = dd.dd_from_f64(x64.reshape(shape))
 
+    return run_device_refinement(
+        lambda b_, x_: resid(ddm, b_, x_),
+        lambda x_, r32, s: update(*update_args(), x_, r32, s),
+        b_dd, x_dd, tol=tol, norm=norm, max_outer=max_outer,
+        raise_on_divergence=raise_on_divergence,
+    )
+
+
+def run_device_refinement(
+    resid_fn,
+    update_fn,
+    b_dd,
+    x_dd,
+    tol: float,
+    norm: str,
+    max_outer: int,
+    raise_on_divergence: bool = False,
+) -> RefineResult:
+    """THE device-resident refinement outer loop, written once (shared by
+    ``_refined_solve_device`` and the mesh-partitioned
+    ``parallel.gspmd.gspmd_refined_solve``).
+
+    ``resid_fn(b_dd, x_dd) -> (r32_scaled, rr, mx)`` — one device program:
+    dd residual, dd norm², max-abs, and the inf-norm-scaled fp32 residual
+    (which never leaves the device).  ``update_fn(x_dd, r32, s) -> (x_dd,
+    inner_its)`` — inner Krylov solve + dd solution update.  Per pass:
+    three scalar readbacks (rr, mx, its); the dd solution pair is read back
+    once, at the end.  Convergence/stall policy: 2 consecutive <10%-
+    reduction passes declare ``stalled`` (the fp64-evaluation noise floor).
+    """
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.ops import dd
+
     def res_of(rr, mx, rr0):
         if norm == "l2":
             return float(np.sqrt(max(rr, 0.0)))
@@ -448,7 +482,7 @@ def _refined_solve_device(
     rr0 = None
     res = float("inf")
     for outer in range(max_outer):
-        r32, rr_a, mx_a = resid(ddm, b_dd, x_dd)
+        r32, rr_a, mx_a = resid_fn(b_dd, x_dd)
         rr, mx = float(rr_a), float(mx_a)
         if rr0 is None:
             rr0 = rr
@@ -465,10 +499,10 @@ def _refined_solve_device(
             stall_count = 0
         if mx == 0.0:
             return finish(x_dd, outer, inner_total, 0.0, True, history)
-        x_dd, its = update(*update_args(), x_dd, r32, jnp.float32(mx))
+        x_dd, its = update_fn(x_dd, r32, jnp.float32(mx))
         inner_total += int(its)
 
-    _, rr_a, mx_a = resid(ddm, b_dd, x_dd)
+    _, rr_a, mx_a = resid_fn(b_dd, x_dd)
     res = res_of(float(rr_a), float(mx_a), rr0 if rr0 is not None else 1.0)
     history.append(res)
     return finish(x_dd, max_outer, inner_total, res, res < tol, history)
