@@ -17,6 +17,10 @@ here one function routes to the right solver:
 - ``method="sharded_cg"`` — row-block-sharded CG over the device mesh
   (DIA → halo-exchange solver; CSR/ELL → exact-halo-range solver); pass
   ``mesh=``/``variant=``/``M_local=`` through ``**kw``
+- ``method="bicgstab"`` / ``"jacobi_bicgstab"`` — nonsymmetric systems,
+  short recurrence (``solvers.bicgstab``)
+- ``method="gmres"`` / ``"jacobi_gmres"`` — nonsymmetric systems, restarted
+  GMRES (``restart=`` through kw; ``solvers.gmres``)
 - ``method="oracle"`` — fp64 numpy CPU oracle
 - ``method="native"`` — C++ OpenMP CPU solver
 
@@ -134,11 +138,12 @@ def solve(
     b_dev = jnp.asarray(np.asarray(b), dtype=dtype)
     x0_dev = None if x0 is None else jnp.asarray(np.asarray(x0), dtype=dtype)
     M = None
-    if method == "jacobi_cg":
+    if method.startswith("jacobi_"):
         from conjugategradient_tpu.precond import jacobi_preconditioner
 
         diag = _diagonal(A)
         M = jacobi_preconditioner(jnp.asarray((1.0 / diag), dtype=b_dev.dtype))
+        method = method[len("jacobi_"):]
     elif method == "cheb_cg":
         from conjugategradient_tpu.precond import chebyshev_preconditioner_for
 
@@ -147,7 +152,16 @@ def solve(
         M, _ = chebyshev_preconditioner_for(
             A, degree=int(kw.pop("degree", 3)), A_dev=A_dev, dtype=b_dev.dtype
         )
-    elif method != "cg":
+        method = "cg"
+    if method == "bicgstab":
+        from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+
+        return bicgstab_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
+    if method == "gmres":
+        from conjugategradient_tpu.solvers.gmres import gmres_solve
+
+        return gmres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
+    if method != "cg":
         raise ValueError(f"unknown method {method!r}")
     return cg_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
 

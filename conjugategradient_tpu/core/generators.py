@@ -374,6 +374,128 @@ def outlier_system(
 
 
 # ---------------------------------------------------------------------------
+# Nonsymmetric workloads (new capability, no reference analogue).
+#
+# Every reference fixture is symmetric (its CG-only scope demands it); real
+# frameworks also face convection-diffusion / transport operators, which are
+# the canonical NONsymmetric sparse systems.  These generators feed
+# ``solvers.bicgstab`` / ``solvers.gmres`` and double as negative tests for
+# CG (whose recurrence silently breaks on nonsymmetric A).
+# ---------------------------------------------------------------------------
+
+
+def convection_diffusion_matrix(
+    grid_shape: Tuple[int, int],
+    eps: float = 1.0,
+    velocity="recirculating",
+    scheme: str = "upwind",
+    dtype=np.float64,
+) -> DiaMatrix:
+    """2-D convection-diffusion ``-eps * lap(u) + v . grad(u)`` on an
+    ``ny x nx`` unit-spacing grid, Dirichlet boundaries, 5-point DIA layout
+    (offsets ``(-nx, -1, 0, 1, nx)`` exactly like ``poisson2d_matrix``).
+
+    ``velocity``: ``"recirculating"`` — the classic rotating field
+    ``v(x, y) = (y - cy, -(x - cx))`` scaled to max speed 1 (circulation
+    makes the skew part non-trivial everywhere); or a constant ``(vx, vy)``
+    tuple.  ``scheme``: ``"upwind"`` (first-order, diagonally dominant
+    M-matrix at any Peclet number — the robust default) or ``"central"``
+    (second-order; loses diagonal dominance when cell Peclet ``|v|/eps``
+    exceeds 2 — the hard GMRES/BiCGStab stress case).
+
+    The cell Peclet number ``max|v| / eps`` controls nonnormality: eps >> 1
+    is a perturbed Laplacian, eps << 1 is transport-dominated.
+    """
+    ny, nx = grid_shape
+    n = nx * ny
+    i = np.arange(n, dtype=np.int64)
+    gx = (i % nx).astype(np.float64)
+    gy = (i // nx).astype(np.float64)
+    if velocity == "recirculating":
+        cx, cy = (nx - 1) / 2.0, (ny - 1) / 2.0
+        vx = gy - cy
+        vy = -(gx - cx)
+        speed = np.sqrt(vx * vx + vy * vy).max()
+        if speed > 0:
+            vx, vy = vx / speed, vy / speed
+    else:
+        vx = np.full(n, float(velocity[0]))
+        vy = np.full(n, float(velocity[1]))
+    if scheme == "upwind":
+        west = -eps - np.maximum(vx, 0.0)
+        east = -eps - np.maximum(-vx, 0.0)
+        south = -eps - np.maximum(vy, 0.0)
+        north = -eps - np.maximum(-vy, 0.0)
+        diag = 4.0 * eps + np.abs(vx) + np.abs(vy)
+    elif scheme == "central":
+        west = -eps - 0.5 * vx
+        east = -eps + 0.5 * vx
+        south = -eps - 0.5 * vy
+        north = -eps + 0.5 * vy
+        diag = np.full(n, 4.0 * eps)
+    else:
+        raise ValueError(f"unknown scheme {scheme!r}")
+    x, y = i % nx, i // nx
+    data = np.zeros((5, n), dtype=dtype)
+    data[0] = np.where(y >= 1, south, 0.0)  # A[i, i-nx]
+    data[1] = np.where(x >= 1, west, 0.0)  # A[i, i-1]
+    data[2] = diag
+    data[3] = np.where(x <= nx - 2, east, 0.0)  # A[i, i+1]
+    data[4] = np.where(y <= ny - 2, north, 0.0)  # A[i, i+nx]
+    return DiaMatrix(data, (-nx, -1, 0, 1, nx), (n, n))
+
+
+def convection_diffusion_system(
+    grid_shape: Tuple[int, int],
+    eps: float = 0.05,
+    velocity="recirculating",
+    scheme: str = "upwind",
+    seed: int = 0,
+    dtype=np.float64,
+) -> LinearSystem:
+    """Convection-diffusion workload with the smooth Poisson-family RHS."""
+    A = convection_diffusion_matrix(
+        grid_shape, eps=eps, velocity=velocity, scheme=scheme, dtype=dtype
+    )
+    n = A.n
+    i = np.arange(n, dtype=np.float64)
+    b = np.sin(0.37 * i + seed) + 0.25 * np.cos(1.3 * i)
+    return LinearSystem(A, b.astype(dtype), np.zeros(n, dtype=dtype))
+
+
+def nonsymmetric_banded_matrix(n: int, band: int, dtype=np.float64) -> DiaMatrix:
+    """Nonsymmetric twin of ``banded_sin_matrix``: ``a_ij = |sin(i + 2j)| / 2``
+    off the diagonal (note ``sin(i + 2j) != sin(j + 2i)``), diagonal = row-sum
+    of off-diagonal magnitudes + 1.  Row diagonal dominance puts every
+    eigenvalue in the open right half-plane (Gershgorin), so the matrix is
+    nonsingular and GMRES/BiCGStab-friendly while remaining genuinely
+    nonsymmetric at every band position.
+    """
+    if band < 2 or band % 2:
+        raise ValueError("band must be an even integer >= 2")
+    h = band // 2 - 1
+    offsets = tuple(range(-h, h + 1))
+    i = np.arange(n, dtype=np.int64)
+    data = np.zeros((len(offsets), n), dtype=dtype)
+    diag_k = offsets.index(0)
+    for k, off in enumerate(offsets):
+        if off == 0:
+            continue
+        valid = (i + off >= 0) & (i + off < n)
+        vals = 0.5 * np.abs(np.sin((i + 2 * (i + off)).astype(np.float64)))
+        data[k] = np.where(valid, vals, 0.0).astype(dtype)
+        data[diag_k] += data[k]
+    data[diag_k] += 1.0
+    return DiaMatrix(data, offsets, (n, n))
+
+
+def nonsymmetric_banded_system(n: int, band: int, dtype=np.float64) -> LinearSystem:
+    A = nonsymmetric_banded_matrix(n, band, dtype=dtype)
+    i = np.arange(n, dtype=dtype)
+    return LinearSystem(A, (10.0 * np.cos(i)).astype(dtype), np.zeros(n, dtype=dtype))
+
+
+# ---------------------------------------------------------------------------
 # Per-row-block generation (ladder rung 5): every generator above is a closed
 # form in the row index, so any [lo, hi) slab of A's DIA data, b and x0 can be
 # produced without touching the rest — the reference instead uploads shards

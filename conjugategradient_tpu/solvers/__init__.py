@@ -10,6 +10,8 @@ from conjugategradient_tpu.solvers.deflation import (  # noqa: F401
     deflated_cg_solve,
     make_deflation,
 )
+from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve  # noqa: F401
+from conjugategradient_tpu.solvers.gmres import gmres_solve  # noqa: F401
 from conjugategradient_tpu.solvers.multi import MultiCGResult, cg_solve_multi  # noqa: F401
 from conjugategradient_tpu.solvers.refine import (  # noqa: F401
     RefineMultiResult,

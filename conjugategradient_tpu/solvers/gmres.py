@@ -1,0 +1,193 @@
+"""Device-resident restarted GMRES(m) for nonsymmetric systems.
+
+Completes the nonsymmetric pair started by ``solvers.bicgstab`` (the
+reference is CG-only; see that module's header).  GMRES (Saad & Schultz,
+SIAM J. Sci. Stat. Comput. 7, 1986) is the robust long-recurrence option:
+monotone residual within a cycle, no breakdown conditions, the standard
+choice when BiCGStab's transpose-free recurrence stagnates (e.g. the
+``scheme="central"`` convection-diffusion operator past cell-Peclet 2).
+
+TPU-first formulation — the design choices that differ from a CPU GMRES:
+
+- The Krylov basis is ONE ``(m+1, n)`` array.  Orthogonalisation is
+  classical Gram-Schmidt *done twice* (CGS2, Giraud et al., Num. Math. 101,
+  2005): each pass is a pair of dense matmuls (``V @ w`` then ``h @ V``)
+  masked to the filled rows — MXU work with O(1) launches, instead of MGS's
+  j sequential dot+axpy round-trips.  CGS2's orthogonality loss is
+  O(eps) like MGS, unconditionally — it exists precisely to make
+  block/matmul orthogonalisation safe.
+- The whole restart cycle (Arnoldi + Givens rotations + the triangular
+  solve + the correction) is one jitted program; the restart driver is a
+  ``lax.while_loop`` over cycles.  Scalars never visit the host.
+- Static shapes everywhere: the cycle always runs ``m`` Arnoldi steps, but
+  steps after convergence are FROZEN (masked no-ops, the same pattern as
+  ``cg_solve_traced``); the triangular solve neutralises frozen columns by
+  zeroing their ``g`` entries against the identity diagonal they kept.
+- Right preconditioning with a LINEAR ``M``: the correction applies ``M``
+  once to the assembled update (``x += M(V[:m]^T y)``) instead of storing a
+  second ``(m, n)`` basis Z as flexible-GMRES would — halves the memory at
+  the cost of requiring ``M`` be linear (every M in this framework is).
+
+Residual monitoring inside a cycle uses the Givens-rotation estimate
+``|g[j+1]|`` (= the true l2 residual in exact arithmetic, free); the
+``converged`` flag and the returned residual are evaluated from the TRUE
+residual ``b - A x`` at cycle boundaries in the policy's norm, so
+``linf``/``rel_l2`` conventions and fp drift cannot produce a false
+convergence claim.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from conjugategradient_tpu.ops.blas import dot as _dot
+from conjugategradient_tpu.ops.blas import residual_norm
+from conjugategradient_tpu.ops.spmv import as_operator
+from conjugategradient_tpu.solvers.cg import CGResult, _apply_M, _safe_div
+from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+
+def gmres_solve(
+    A,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    M: Optional[Callable] = None,
+    restart: int = 32,
+    precise_dot: bool = False,
+    use_pallas: bool = False,
+) -> CGResult:
+    """Solve A x = b (A square, possibly nonsymmetric) by right-
+    preconditioned GMRES(restart), fully on device.
+
+    ``M``: linear preconditioner application (callable or ``(fn, state)``
+    pair).  Returns a ``CGResult`` (``iterations`` counts inner Arnoldi
+    steps across all cycles).  Shape-agnostic: grid-shaped ``b`` is handled
+    (the basis is kept flat internally; ``x`` comes back in ``b``'s shape).
+    """
+    m = int(restart)
+    if m < 1:
+        raise ValueError("restart must be >= 1")
+    op0 = as_operator(A, use_pallas=use_pallas)
+    shape = b.shape
+    n = b.size
+    dtype = b.dtype
+    b_flat = b.reshape(-1)
+    op = (lambda u: op0(u.reshape(shape)).reshape(-1)) if len(shape) > 1 else op0
+    M_flat = None
+    if M is not None:
+        M_flat = (
+            (lambda u: _apply_M(M, u.reshape(shape)).reshape(-1))
+            if len(shape) > 1
+            else (lambda u: _apply_M(M, u))
+        )
+    tol = jnp.asarray(policy.tol, dtype)
+    min_iter = jnp.int32(policy.min_iteration)
+    max_iter = jnp.int32(policy.resolve_max(n))
+    dot = lambda u, v: _dot(u, v, precise=precise_dot)
+
+    x = jnp.zeros_like(b_flat) if x0 is None else x0.astype(dtype).reshape(-1)
+    r = b_flat - op(x)
+    rr0 = dot(r, r)
+
+    def res_of(r):
+        return residual_norm(r, dot(r, r), rr0, policy.norm)
+
+    # inner cycles monitor |g[j+1]| — an l2 estimate; translate the policy
+    # tolerance into that scale (l2 >= linf makes "linf" conservative: the
+    # cycle never stops before the true criterion can hold)
+    if policy.norm == "rel_l2":
+        inner_tol = tol * jnp.sqrt(rr0)
+    else:
+        inner_tol = tol
+
+    rows = jnp.arange(m + 1)
+
+    def cycle(x, it_total):
+        """One GMRES(m) restart cycle from the current iterate."""
+        r = b_flat - op(x)
+        beta = jnp.sqrt(dot(r, r))
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(_safe_div(1.0, beta) * r)
+        R = jnp.eye(m, dtype=dtype)  # rotated Hessenberg (frozen cols keep e_j)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        cs = jnp.ones(m, dtype)
+        sn = jnp.zeros(m, dtype)
+
+        def arnoldi(j, carry):
+            V, R, g, cs, sn, k = carry
+            it = it_total + k
+            active = jnp.logical_and(
+                jnp.logical_or(it < min_iter, jnp.abs(g[k]) >= inner_tol),
+                it < max_iter,
+            )
+            vj = jax.lax.dynamic_index_in_dim(V, k, keepdims=False)
+            w = op(vj if M_flat is None else M_flat(vj))
+            # CGS2: two matmul orthogonalisation passes against rows <= k
+            mask = (rows <= k).astype(dtype)
+            h1 = mask * (V @ w)
+            w = w - h1 @ V
+            h2 = mask * (V @ w)
+            w = w - h2 @ V
+            h = h1 + h2
+            wnorm = jnp.sqrt(dot(w, w))
+            V = jnp.where(
+                active,
+                V.at[k + 1].set(_safe_div(1.0, wnorm) * w),
+                V,
+            )
+
+            # apply the accumulated Givens rotations to the new column
+            def rot(i, hcol):
+                hi = hcol[i]
+                hi1 = hcol[i + 1]
+                use = i < k
+                new_hi = jnp.where(use, cs[i] * hi + sn[i] * hi1, hi)
+                new_hi1 = jnp.where(use, -sn[i] * hi + cs[i] * hi1, hi1)
+                return hcol.at[i].set(new_hi).at[i + 1].set(new_hi1)
+
+            h = jax.lax.fori_loop(0, m, rot, h.at[k + 1].set(wnorm))
+            hk = h[k]
+            hk1 = h[k + 1]
+            denom = jnp.sqrt(hk * hk + hk1 * hk1)
+            ck = jnp.where(denom > 0, _safe_div(hk, denom), 1.0)
+            sk = _safe_div(hk1, denom)
+            cs = jnp.where(active, cs.at[k].set(ck), cs)
+            sn = jnp.where(active, sn.at[k].set(sk), sn)
+            col = (h.at[k].set(ck * hk + sk * hk1))[:m] * (rows[:m] <= k).astype(dtype)
+            R = jnp.where(active, R.at[:, k].set(col), R)
+            g = jnp.where(
+                active,
+                g.at[k + 1].set(-sk * g[k]).at[k].set(ck * g[k]),
+                g,
+            )
+            k = k + active.astype(jnp.int32)
+            return V, R, g, cs, sn, k
+
+        V, R, g, cs, sn, k = jax.lax.fori_loop(
+            0, m, arnoldi, (V, R, g, cs, sn, jnp.int32(0))
+        )
+        # neutralise frozen columns (identity diagonal + zero rhs -> y = 0)
+        g_solve = jnp.where(jnp.arange(m) < k, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(R, g_solve, lower=False)
+        u = y @ V[:m]
+        x = x + (u if M_flat is None else M_flat(u))
+        return x, it_total + k
+
+    def cond(state):
+        x, it, res = state
+        unconverged = jnp.logical_or(it < min_iter, res >= tol)
+        return jnp.logical_and(unconverged, it < max_iter)
+
+    def body(state):
+        x, it, _res = state
+        x, it = cycle(x, it)
+        return x, it, res_of(b_flat - op(x))
+
+    x, it, res = jax.lax.while_loop(cond, body, (x, jnp.int32(0), res_of(r)))
+    converged = jnp.logical_and(res < tol, it >= min_iter)
+    return CGResult(
+        x=x.reshape(shape), iterations=it, residual=res, converged=converged
+    )

@@ -19,6 +19,9 @@ as executable documentation):
      removed from every solve of a sequence
  10. device-resident refinement: the fp64-grade outer loop runs ON the
      device in double-float (two-fp32) arithmetic — scalar-only readbacks
+ 11. mesh-partitioned refinement: the dd outer pass AND the GSPMD MGCG
+     inner solve sharded over the same device mesh (fp64 tolerance at
+     distributed scale, three scalar readbacks per pass)
 
 Run:  python examples/features_tour.py            (8 virtual devices, CPU)
 """
@@ -224,6 +227,23 @@ def main() -> int:
     print(
         f"  [{'OK ' if good else 'BAD'}] abs residual {np.linalg.norm(r):.2e} in "
         f"{rres.outer_iterations} outer / {rres.inner_iterations} inner"
+    )
+
+    # 11. mesh-partitioned refinement ---------------------------------------
+    print("11. mesh-partitioned refinement (dd outer + GSPMD MGCG inner, 2x1 mesh):")
+    mgrid = (63, 63)
+    msys = generators.poisson_system(mgrid)
+    mesh2 = make_mesh(2)
+    gres = solve(
+        msys.A, msys.b, method="refined", tol=1e-10, grid=mgrid, mesh=mesh2,
+    )
+    r = msys.b.ravel() - oracle.spmv(msys.A, np.asarray(gres.x, np.float64).ravel())
+    good = gres.converged and np.linalg.norm(r) < 1e-10
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] abs residual {np.linalg.norm(r):.2e} in "
+        f"{gres.outer_iterations} outer / {gres.inner_iterations} inner "
+        f"(sharded over {mesh2.devices.size} devices)"
     )
 
     print("ALL OK" if ok else "MISMATCH")
