@@ -22,6 +22,10 @@ as executable documentation):
  11. mesh-partitioned refinement: the dd outer pass AND the GSPMD MGCG
      inner solve sharded over the same device mesh (fp64 tolerance at
      distributed scale, three scalar readbacks per pass)
+ 12. nonsymmetric systems: convection-diffusion solved by BiCGStab and
+     restarted GMRES (CG is shown failing on the same operator)
+ 13. LOBPCG block eigensolver: smallest eigenpairs of the Poisson
+     operator, multigrid-preconditioned, vs the closed-form spectrum
 
 Run:  python examples/features_tour.py            (8 virtual devices, CPU)
 """
@@ -244,6 +248,43 @@ def main() -> int:
         f"  [{'OK ' if good else 'BAD'}] abs residual {np.linalg.norm(r):.2e} in "
         f"{gres.outer_iterations} outer / {gres.inner_iterations} inner "
         f"(sharded over {mesh2.devices.size} devices)"
+    )
+
+    # 12. nonsymmetric systems --------------------------------------------
+    print("12. nonsymmetric convection-diffusion (24x24, recirculating v, Pe=20):")
+    csys = generators.convection_diffusion_system((24, 24), eps=0.05)
+    x_true = oracle.direct_solve(csys.A, csys.b)
+    cg_try = solve(csys.A, csys.b, method="cg", tol=1e-10, norm="rel_l2",
+                   max_iteration=600)
+    cg_err = np.linalg.norm(np.asarray(cg_try.x, np.float64) - x_true) / np.linalg.norm(x_true)
+    for method, kw in (("bicgstab", {}), ("gmres", {"restart": 30, "max_iteration": 4000})):
+        res = solve(csys.A, csys.b, method=method, tol=1e-10, norm="rel_l2", **kw)
+        err = np.linalg.norm(np.asarray(res.x, np.float64) - x_true) / np.linalg.norm(x_true)
+        good = bool(res.converged) and err < 1e-7 and cg_err > 1e-8
+        ok &= good
+        print(
+            f"  [{'OK ' if good else 'BAD'}] {method:<9} {int(res.iterations):>5} it, "
+            f"rel err vs direct {err:.2e} (CG stalls at {cg_err:.2e})"
+        )
+
+    # 13. LOBPCG block eigensolver ----------------------------------------
+    print("13. LOBPCG (4 smallest eigenpairs of 63x63 Poisson, V-cycle M):")
+    from conjugategradient_tpu.solvers.lobpcg import lobpcg
+    from conjugategradient_tpu.solvers.multi import as_multi_preconditioner
+
+    eres = lobpcg(psys.A, 4, M=as_multi_preconditioner(h), tol=1e-9,
+                  max_iterations=200, dtype=jnp.float64)
+    lam_exact = np.sort(np.add.outer(
+        4 * np.sin(np.pi * np.arange(1, 64) / 128) ** 2,
+        4 * np.sin(np.pi * np.arange(1, 64) / 128) ** 2,
+    ).ravel())[:4]
+    lam = np.sort(np.asarray(eres.eigenvalues, np.float64))
+    good = bool(eres.converged) and np.allclose(lam, lam_exact, rtol=1e-6)
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] {int(eres.iterations)} iterations, "
+        f"eigenvalues {np.array2string(lam, precision=6)} "
+        f"(closed form {np.array2string(lam_exact, precision=6)})"
     )
 
     print("ALL OK" if ok else "MISMATCH")
