@@ -18,9 +18,11 @@ here one function routes to the right solver:
   (DIA → halo-exchange solver; CSR/ELL → exact-halo-range solver); pass
   ``mesh=``/``variant=``/``M_local=`` through ``**kw``
 - ``method="bicgstab"`` / ``"jacobi_bicgstab"`` — nonsymmetric systems,
-  short recurrence (``solvers.bicgstab``)
+  short recurrence (``solvers.bicgstab``); with ``mesh=`` the row-block-
+  sharded form (``parallel.shard_nonsym``, 2 collectives/iteration)
 - ``method="gmres"`` / ``"jacobi_gmres"`` — nonsymmetric systems, restarted
-  GMRES (``restart=`` through kw; ``solvers.gmres``)
+  GMRES (``restart=`` through kw; ``solvers.gmres``); with ``mesh=`` the
+  sharded form (row-sharded Arnoldi basis, one psum per CGS2 pass)
 - ``method="oracle"`` — fp64 numpy CPU oracle
 - ``method="native"`` — C++ OpenMP CPU solver
 
@@ -153,11 +155,27 @@ def solve(
             A, degree=int(kw.pop("degree", 3)), A_dev=A_dev, dtype=b_dev.dtype
         )
         method = "cg"
-    if method == "bicgstab":
-        from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+    if method in ("bicgstab", "gmres"):
+        if "mesh" in kw:
+            # row-block-sharded nonsymmetric solve; jacobi_ prefix becomes
+            # the shard-equivariant M_local form
+            from conjugategradient_tpu.parallel.shard_nonsym import (
+                sharded_nonsym_solve,
+            )
 
-        return bicgstab_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
-    if method == "gmres":
+            mkw = {}
+            if M is not None:
+                mkw = dict(
+                    M_local=lambda r, aux: aux * r,
+                    M_aux=1.0 / _diagonal(A),
+                )
+            return sharded_nonsym_solve(
+                A, b, x0, policy, method=method, dtype=dtype, **mkw, **kw
+            )
+        if method == "bicgstab":
+            from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+
+            return bicgstab_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
         from conjugategradient_tpu.solvers.gmres import gmres_solve
 
         return gmres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)

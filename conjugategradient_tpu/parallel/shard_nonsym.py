@@ -1,0 +1,227 @@
+"""Row-block-sharded nonsymmetric solvers: BiCGStab and GMRES(m).
+
+Extends the flagship distributed design (``parallel.sharded_cg`` — the
+re-design of ``Mgcg/cuBlas/Mgcg/ConjugateGradientParallelGpu.cs:424-565``)
+beyond symmetry: the same one-jitted-SPMD-program architecture (halo
+``ppermute`` SpMV, ``psum`` dots, on-device convergence predicate, zero
+host crossings) carrying the nonsymmetric recurrences of
+``solvers.bicgstab`` / ``solvers.gmres``.
+
+Communication structure (the part worth designing, cf. ``docs/SCALING.md``):
+
+- BiCGStab's textbook form needs FOUR collective dots at three dependency
+  points per iteration.  Here they are refactored to TWO wire messages:
+  alpha's dot ``(rhat, v)`` stands alone, and the five remaining products —
+  ``(t,s), (t,t), (s,s), (rhat,s), (rhat,t)`` — are fused into one
+  (5,)-psum, from which omega, the residual norm ``(r,r) = (s,s) - 2w(t,s)
+  + w^2 (t,t)`` and the NEXT iteration's rho ``(rhat, r) = (rhat,s) -
+  w (rhat,t)`` all follow algebraically (exact-arithmetic identities; the
+  same trick as the Chronopoulos–Gear CG variant).
+- GMRES is ``solvers.gmres.gmres_loop`` verbatim with psum-injected
+  reductions: each CGS2 orthogonalisation pass is ONE (m+1,)-psum (the
+  local ``V @ w`` Gram product followed by the collective), the basis V
+  lives row-sharded — ``(m+1, n_local)`` per shard, never gathered — and
+  the Givens/triangular machinery is replicated scalar work.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from conjugategradient_tpu.core.formats import DiaMatrix
+from conjugategradient_tpu.parallel.halo import (
+    spmv_dia_allgather,
+    spmv_dia_local_overlap,
+)
+from conjugategradient_tpu.solvers.cg import CGResult, _safe_div
+from conjugategradient_tpu.solvers.gmres import gmres_loop
+from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+
+def _pdot_fused(pairs, axis):
+    parts = jnp.stack(
+        [jnp.dot(a.ravel(), b.ravel(), preferred_element_type=a.dtype) for a, b in pairs]
+    )
+    return jax.lax.psum(parts, axis)
+
+
+def sharded_bicgstab_loop(
+    op, M, b, x0, policy: ConvergencePolicy, axis: str, n_global: int
+) -> CGResult:
+    """Shard-local BiCGStab recurrence with the 2-collective iteration (see
+    module docstring).  Runs inside ``shard_map``; same Krylov sequence as
+    ``solvers.bicgstab.bicgstab_solve`` in exact arithmetic."""
+    dtype = b.dtype
+    tol = jnp.asarray(policy.tol, dtype)
+    min_iter = jnp.int32(policy.min_iteration)
+    max_iter = jnp.int32(policy.resolve_max(n_global))
+
+    x = x0
+    r = b - op(x)
+    rhat = r
+    (rr0, rho0) = _pdot_fused(((r, r), (rhat, r)), axis)
+    one = jnp.asarray(1.0, dtype)
+    zerov = jnp.zeros_like(b)
+
+    def res_of(r_local, rr):
+        if policy.norm == "linf":
+            return jax.lax.pmax(jnp.max(jnp.abs(r_local)), axis)
+        if policy.norm == "rel_l2":
+            return jnp.sqrt(rr / rr0)
+        return jnp.sqrt(rr)
+
+    # rho = (rhat, r) enters each iteration already reduced (produced by the
+    # PREVIOUS iteration's fused (5,)-psum, or by the init); rho_prev rides
+    # along for the beta ratio
+    def body(state):
+        x, r, p, v, rho, rho_prev, alpha, omega, rr, it = state
+        beta = _safe_div(rho, rho_prev) * _safe_div(alpha, omega)
+        p = r + beta * (p - omega * v)
+        p_hat = M(p)
+        v = op(p_hat)
+        alpha = _safe_div(rho, jax.lax.psum(
+            jnp.dot(rhat.ravel(), v.ravel(), preferred_element_type=dtype), axis
+        ))
+        s = r - alpha * v
+        s_hat = M(s)
+        t = op(s_hat)
+        ts, tt, ss, rhs, rht = _pdot_fused(
+            ((t, s), (t, t), (s, s), (rhat, s), (rhat, t)), axis
+        )
+        omega = _safe_div(ts, tt)
+        x = x + alpha * p_hat + omega * s_hat
+        r = s - omega * t
+        # algebraic identity for (r, r); clamp: rounding can push the
+        # difference epsilon-negative exactly at convergence
+        rr_new = jnp.maximum(ss - 2.0 * omega * ts + omega * omega * tt, 0.0)
+        rho_new = rhs - omega * rht
+        return (x, r, p, v, rho_new, rho, alpha, omega, rr_new, it + 1)
+
+    def cond(state):
+        _x, r, _p, _v, _rho, _rho_prev, _alpha, _omega, rr, it = state
+        unconverged = jnp.logical_or(it < min_iter, res_of(r, rr) >= tol)
+        return jnp.logical_and(unconverged, it < max_iter)
+
+    state = (x, r, zerov, zerov, rho0, one, one, one, rr0, jnp.int32(0))
+    x, r, p, v, rho, rho_prev, alpha, omega, rr, it = jax.lax.while_loop(
+        cond, body, state
+    )
+    res = res_of(r, rr)
+    converged = jnp.logical_and(res < tol, it >= min_iter)
+    return CGResult(x=x, iterations=it, residual=res, converged=converged)
+
+
+def sharded_gmres_loop(
+    op, M, b, x0, policy: ConvergencePolicy, axis: str, n_global: int,
+    restart: int = 32,
+) -> CGResult:
+    """``solvers.gmres.gmres_loop`` with psum-injected reductions (see
+    module docstring).  ``M=None`` for unpreconditioned."""
+    pdot = lambda u, v: jax.lax.psum(
+        jnp.dot(u.ravel(), v.ravel(), preferred_element_type=u.dtype), axis
+    )
+    pmatdot = lambda V, w: jax.lax.psum(V @ w, axis)
+    pmax_abs = lambda r: jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
+    return gmres_loop(
+        op, M, b, x0, policy, int(restart),
+        dot=pdot, matdot=pmatdot, pmax_abs=pmax_abs, n_global=n_global,
+    )
+
+
+def make_sharded_nonsym(
+    A: DiaMatrix,
+    mesh: Mesh,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    method: str = "bicgstab",
+    axis: str = "x",
+    M_local: Optional[Callable] = None,
+    restart: int = 32,
+    donate: bool = True,
+):
+    """Build a jitted row-block-sharded nonsymmetric solver (DIA storage,
+    halo-ppermute SpMV; all-gather fallback for bandwidth > n_local — the
+    same operator construction as ``make_sharded_cg``).
+
+    Returns ``solve(data, b, x0[, m_aux]) -> CGResult``; ``M_local`` as in
+    ``make_sharded_cg`` (shard-equivariant, right preconditioning).
+    """
+    if method not in ("bicgstab", "gmres"):
+        raise ValueError(f"unknown method {method!r}; want bicgstab|gmres")
+    num = mesh.shape[axis]
+    n = A.n
+    if n % num:
+        raise ValueError(f"n={n} not divisible by {num} shards; pad_system first")
+    n_local = n // num
+    halo = A.bandwidth
+    offsets = A.offsets
+    use_allgather = halo > n_local
+
+    def local_solve(data, b, x0, m_aux):
+        if use_allgather:
+            op = lambda p: spmv_dia_allgather(data, offsets, p, axis, num)
+        else:
+            op = lambda p: spmv_dia_local_overlap(data, offsets, p, halo, axis, num)
+        if method == "bicgstab":
+            M = (lambda r: M_local(r, m_aux)) if M_local is not None else (lambda r: r)
+            return sharded_bicgstab_loop(op, M, b, x0, policy, axis, n)
+        M = (lambda r: M_local(r, m_aux)) if M_local is not None else None
+        return sharded_gmres_loop(
+            op, M, b, x0, policy, axis, n, restart=restart
+        )
+
+    in_specs = (P(None, axis), P(axis), P(axis))
+    if M_local is not None:
+        fn = local_solve
+        in_specs = in_specs + (P(axis),)
+    else:
+        fn = lambda data, b, x0: local_solve(data, b, x0, None)
+    shard_fn = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=CGResult(x=P(axis), iterations=P(), residual=P(), converged=P()),
+    )
+    return jax.jit(shard_fn, donate_argnums=(2,) if donate else ())
+
+
+def sharded_nonsym_solve(
+    A: DiaMatrix,
+    b,
+    x0=None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    method: str = "bicgstab",
+    mesh: Optional[Mesh] = None,
+    axis: str = "x",
+    M_local: Optional[Callable] = None,
+    M_aux=None,
+    restart: int = 32,
+    dtype=None,
+) -> CGResult:
+    """One-call convenience: place the system row-block-sharded and solve."""
+    import numpy as np
+
+    if mesh is None:
+        from conjugategradient_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis=axis)
+    solve = make_sharded_nonsym(
+        A, mesh, policy, method=method, axis=axis, M_local=M_local,
+        restart=restart, donate=False,
+    )
+    dt = dtype or np.asarray(A.data).dtype
+    row = NamedSharding(mesh, P(axis))
+    data = jax.device_put(
+        jnp.asarray(np.asarray(A.data, dtype=dt)), NamedSharding(mesh, P(None, axis))
+    )
+    b_dev = jax.device_put(jnp.asarray(np.asarray(b, dtype=dt)), row)
+    x0_arr = np.zeros(A.n, dtype=dt) if x0 is None else np.asarray(x0, dtype=dt)
+    x0_dev = jax.device_put(jnp.asarray(x0_arr), row)
+    args = [data, b_dev, x0_dev]
+    if M_local is not None:
+        args.append(jax.device_put(jnp.asarray(np.asarray(M_aux, dtype=dt)), row))
+    return solve(*args)

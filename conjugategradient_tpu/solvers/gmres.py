@@ -50,50 +50,42 @@ from conjugategradient_tpu.solvers.cg import CGResult, _apply_M, _safe_div
 from conjugategradient_tpu.solvers.policy import ConvergencePolicy
 
 
-def gmres_solve(
-    A,
-    b: jnp.ndarray,
-    x0: Optional[jnp.ndarray] = None,
-    policy: ConvergencePolicy = ConvergencePolicy(),
-    M: Optional[Callable] = None,
-    restart: int = 32,
-    precise_dot: bool = False,
-    use_pallas: bool = False,
+def gmres_loop(
+    op,
+    M_flat: Optional[Callable],
+    b_flat: jnp.ndarray,
+    x: jnp.ndarray,
+    policy: ConvergencePolicy,
+    m: int,
+    dot: Callable,
+    matdot: Callable,
+    pmax_abs: Optional[Callable] = None,
+    n_global: Optional[int] = None,
 ) -> CGResult:
-    """Solve A x = b (A square, possibly nonsymmetric) by right-
-    preconditioned GMRES(restart), fully on device.
+    """The restart-cycle recurrence with INJECTED reductions — shared by the
+    single-device driver below and the row-sharded solver
+    (``parallel.shard_nonsym.sharded_gmres_loop``), which passes psum-fused
+    twins.
 
-    ``M``: linear preconditioner application (callable or ``(fn, state)``
-    pair).  Returns a ``CGResult`` (``iterations`` counts inner Arnoldi
-    steps across all cycles).  Shape-agnostic: grid-shaped ``b`` is handled
-    (the basis is kept flat internally; ``x`` comes back in ``b``'s shape).
+    ``op``/``M_flat`` act on (this shard's slice of) a flat vector;
+    ``dot(u, v)`` is the (global) inner product; ``matdot(V, w)`` the
+    (global) ``(m+1, n) @ (n,)`` basis-projection product (the CGS2 Gram
+    pass — ONE collective per orthogonalisation pass when sharded);
+    ``pmax_abs(r)`` the global ``max|r|`` for the linf convention.
     """
-    m = int(restart)
-    if m < 1:
-        raise ValueError("restart must be >= 1")
-    op0 = as_operator(A, use_pallas=use_pallas)
-    shape = b.shape
-    n = b.size
-    dtype = b.dtype
-    b_flat = b.reshape(-1)
-    op = (lambda u: op0(u.reshape(shape)).reshape(-1)) if len(shape) > 1 else op0
-    M_flat = None
-    if M is not None:
-        M_flat = (
-            (lambda u: _apply_M(M, u.reshape(shape)).reshape(-1))
-            if len(shape) > 1
-            else (lambda u: _apply_M(M, u))
-        )
+    dtype = b_flat.dtype
+    n = n_global if n_global is not None else b_flat.size
     tol = jnp.asarray(policy.tol, dtype)
     min_iter = jnp.int32(policy.min_iteration)
     max_iter = jnp.int32(policy.resolve_max(n))
-    dot = lambda u, v: _dot(u, v, precise=precise_dot)
 
-    x = jnp.zeros_like(b_flat) if x0 is None else x0.astype(dtype).reshape(-1)
+    nloc = b_flat.size  # = n single-device; the shard slice when distributed
     r = b_flat - op(x)
     rr0 = dot(r, r)
 
     def res_of(r):
+        if policy.norm == "linf" and pmax_abs is not None:
+            return pmax_abs(r)
         return residual_norm(r, dot(r, r), rr0, policy.norm)
 
     # inner cycles monitor |g[j+1]| — an l2 estimate; translate the policy
@@ -110,7 +102,7 @@ def gmres_solve(
         """One GMRES(m) restart cycle from the current iterate."""
         r = b_flat - op(x)
         beta = jnp.sqrt(dot(r, r))
-        V = jnp.zeros((m + 1, n), dtype).at[0].set(_safe_div(1.0, beta) * r)
+        V = jnp.zeros((m + 1, nloc), dtype).at[0].set(_safe_div(1.0, beta) * r)
         R = jnp.eye(m, dtype=dtype)  # rotated Hessenberg (frozen cols keep e_j)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
         cs = jnp.ones(m, dtype)
@@ -126,10 +118,12 @@ def gmres_solve(
             vj = jax.lax.dynamic_index_in_dim(V, k, keepdims=False)
             w = op(vj if M_flat is None else M_flat(vj))
             # CGS2: two matmul orthogonalisation passes against rows <= k
+            # (matdot is the global projection — one collective per pass
+            # when sharded; the h @ V reconstruction is purely local)
             mask = (rows <= k).astype(dtype)
-            h1 = mask * (V @ w)
+            h1 = mask * matdot(V, w)
             w = w - h1 @ V
-            h2 = mask * (V @ w)
+            h2 = mask * matdot(V, w)
             w = w - h2 @ V
             h = h1 + h2
             wnorm = jnp.sqrt(dot(w, w))
@@ -188,6 +182,47 @@ def gmres_solve(
 
     x, it, res = jax.lax.while_loop(cond, body, (x, jnp.int32(0), res_of(r)))
     converged = jnp.logical_and(res < tol, it >= min_iter)
-    return CGResult(
-        x=x.reshape(shape), iterations=it, residual=res, converged=converged
+    return CGResult(x=x, iterations=it, residual=res, converged=converged)
+
+
+def gmres_solve(
+    A,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    M: Optional[Callable] = None,
+    restart: int = 32,
+    precise_dot: bool = False,
+    use_pallas: bool = False,
+) -> CGResult:
+    """Solve A x = b (A square, possibly nonsymmetric) by right-
+    preconditioned GMRES(restart), fully on device.
+
+    ``M``: linear preconditioner application (callable or ``(fn, state)``
+    pair).  Returns a ``CGResult`` (``iterations`` counts inner Arnoldi
+    steps across all cycles).  Shape-agnostic: grid-shaped ``b`` is handled
+    (the basis is kept flat internally; ``x`` comes back in ``b``'s shape).
+    """
+    m = int(restart)
+    if m < 1:
+        raise ValueError("restart must be >= 1")
+    op0 = as_operator(A, use_pallas=use_pallas)
+    shape = b.shape
+    dtype = b.dtype
+    b_flat = b.reshape(-1)
+    op = (lambda u: op0(u.reshape(shape)).reshape(-1)) if len(shape) > 1 else op0
+    M_flat = None
+    if M is not None:
+        M_flat = (
+            (lambda u: _apply_M(M, u.reshape(shape)).reshape(-1))
+            if len(shape) > 1
+            else (lambda u: _apply_M(M, u))
+        )
+    dot = lambda u, v: _dot(u, v, precise=precise_dot)
+    x = jnp.zeros_like(b_flat) if x0 is None else x0.astype(dtype).reshape(-1)
+    res = gmres_loop(
+        op, M_flat, b_flat, x, policy, m, dot=dot, matdot=lambda V, w: V @ w
     )
+    import dataclasses
+
+    return dataclasses.replace(res, x=res.x.reshape(shape))

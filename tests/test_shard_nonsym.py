@@ -1,0 +1,104 @@
+"""Row-block-sharded BiCGStab / GMRES on the 8-device virtual mesh."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conjugategradient_tpu.core import generators, oracle
+from conjugategradient_tpu.parallel.mesh import make_mesh
+from conjugategradient_tpu.parallel.shard_nonsym import sharded_nonsym_solve
+from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+from conjugategradient_tpu.solvers.gmres import gmres_solve
+from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+
+@pytest.fixture(scope="module")
+def convdiff_flat():
+    # 24x24 grid -> flat DIA, bandwidth 24 << n_local 72 on 8 shards
+    sys_ = generators.convection_diffusion_system((24, 24), eps=0.05)
+    x_true = oracle.direct_solve(sys_.A, sys_.b)
+    return sys_, x_true
+
+
+def _rel(x, x_true):
+    return np.linalg.norm(np.asarray(x, np.float64) - x_true) / np.linalg.norm(x_true)
+
+
+def test_sharded_bicgstab_matches_single_device(convdiff_flat):
+    """Same Krylov sequence: iteration count equals the single-device solver
+    and the solution validates against the dense direct solve."""
+    sys_, x_true = convdiff_flat
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2")
+    single = bicgstab_solve(sys_.A.device_put(), jnp.asarray(sys_.b), policy=pol)
+    mesh = make_mesh(8)
+    shard = sharded_nonsym_solve(sys_.A, sys_.b, policy=pol, mesh=mesh)
+    assert bool(shard.converged)
+    assert _rel(shard.x, x_true) < 1e-7
+    assert abs(int(shard.iterations) - int(single.iterations)) <= 2
+
+
+def test_sharded_gmres_matches_single_device(convdiff_flat):
+    sys_, x_true = convdiff_flat
+    pol = ConvergencePolicy(tol=1e-9, norm="rel_l2", max_iteration=4000)
+    single = gmres_solve(
+        sys_.A.device_put(), jnp.asarray(sys_.b), policy=pol, restart=30
+    )
+    mesh = make_mesh(8)
+    shard = sharded_nonsym_solve(
+        sys_.A, sys_.b, policy=pol, method="gmres", restart=30, mesh=mesh
+    )
+    assert bool(shard.converged)
+    assert _rel(shard.x, x_true) < 1e-6
+    # psum reduction order shifts the last few ulps; trajectories match to
+    # +-1 cycle boundary
+    assert abs(int(shard.iterations) - int(single.iterations)) <= 2
+
+
+def test_shard_count_invariance():
+    sys_ = generators.nonsymmetric_banded_system(512, 16)
+    x_true = oracle.direct_solve(sys_.A, sys_.b)
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2")
+    its = []
+    for num in (1, 2, 4, 8):
+        res = sharded_nonsym_solve(sys_.A, sys_.b, policy=pol, mesh=make_mesh(num))
+        assert bool(res.converged), num
+        assert _rel(res.x, x_true) < 1e-8, num
+        its.append(int(res.iterations))
+    assert max(its) - min(its) <= 2, its
+
+
+def test_jacobi_preconditioned_sharded(convdiff_flat):
+    from conjugategradient_tpu.core import formats
+
+    sys_, x_true = convdiff_flat
+    inv = 1.0 / formats.matrix_diagonal(sys_.A)
+    pol = ConvergencePolicy(tol=1e-9, norm="rel_l2", max_iteration=5000)
+    M_local = lambda r, aux: aux * r
+    for method in ("bicgstab", "gmres"):
+        res = sharded_nonsym_solve(
+            sys_.A, sys_.b, policy=pol, method=method, mesh=make_mesh(8),
+            M_local=M_local, M_aux=inv, restart=30,
+        )
+        assert bool(res.converged), method
+        assert _rel(res.x, x_true) < 1e-6, method
+
+
+def test_allgather_fallback_wide_band():
+    """bandwidth > n_local: the all-gather operator path."""
+    sys_ = generators.nonsymmetric_banded_system(256, 80)  # halo 39 > 256/8
+    x_true = oracle.direct_solve(sys_.A, sys_.b)
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2")
+    res = sharded_nonsym_solve(sys_.A, sys_.b, policy=pol, mesh=make_mesh(8))
+    assert bool(res.converged)
+    assert _rel(res.x, x_true) < 1e-8
+
+
+def test_linf_norm_sharded():
+    sys_ = generators.nonsymmetric_banded_system(512, 16)
+    pol = ConvergencePolicy(tol=1e-8, norm="linf")
+    res = sharded_nonsym_solve(
+        sys_.A, sys_.b, policy=pol, method="gmres", restart=40, mesh=make_mesh(4)
+    )
+    r = sys_.b - oracle.spmv(sys_.A, np.asarray(res.x, np.float64))
+    assert bool(res.converged)
+    assert np.max(np.abs(r)) < 1e-7
