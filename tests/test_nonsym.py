@@ -148,6 +148,22 @@ def test_central_scheme_high_peclet():
     assert _rel_err(sys_.A, res.x, x_true) < 1e-7
 
 
+def test_mg_preconditioned_nonsym():
+    """The MGCG hierarchy as a right preconditioner for BiCGStab/GMRES:
+    convection-diffusion smooth error modes are still multigrid's job
+    (measured: 694 -> 7 BiCGStab its at eps=0.1 on 63x63)."""
+    grid = (48, 48)
+    sys_ = generators.convection_diffusion_system(grid, eps=0.1)
+    x_true = oracle.direct_solve(sys_.A, sys_.b)
+    pol = dict(tol=1e-9, norm="rel_l2", max_iteration=20000, grid=grid)
+    plain = solve(sys_.A, sys_.b, method="bicgstab", **{**pol, "grid": None})
+    for method in ("mg_bicgstab", "mg_gmres"):
+        res = solve(sys_.A, sys_.b, method=method, **pol)
+        assert bool(res.converged), method
+        assert _rel_err(sys_.A, res.x, x_true) < 1e-7, method
+        assert int(res.iterations) * 10 < int(plain.iterations), method
+
+
 def test_cg_breaks_on_nonsymmetric(convdiff):
     """Negative control: CG's recurrence assumes symmetry; on the
     convection operator it must NOT reach the true solution at the accuracy
