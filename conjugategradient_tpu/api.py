@@ -26,6 +26,9 @@ here one function routes to the right solver:
 - ``method="mg_bicgstab"`` / ``"mg_gmres"`` — multigrid-preconditioned
   nonsymmetric solves (needs ``grid=``): the MGCG hierarchy as a right
   preconditioner (70-150x measured iteration cuts on convection-diffusion)
+- ``method="bjacobi_cg"`` / ``"bjacobi_bicgstab"`` / ``"bjacobi_gmres"`` —
+  block-Jacobi preconditioning (``block_size=`` through kw; batched dense
+  block inverses, one MXU matmul per application)
 - ``method="oracle"`` — fp64 numpy CPU oracle
 - ``method="native"`` — C++ OpenMP CPU solver
 
@@ -149,6 +152,13 @@ def solve(
         diag = _diagonal(A)
         M = jacobi_preconditioner(jnp.asarray((1.0 / diag), dtype=b_dev.dtype))
         method = method[len("jacobi_"):]
+    elif method.startswith("bjacobi_"):
+        from conjugategradient_tpu.precond import block_jacobi_preconditioner
+
+        M = block_jacobi_preconditioner(
+            A, int(kw.pop("block_size", 8)), dtype=b_dev.dtype
+        )
+        method = method[len("bjacobi_"):]
     elif method.startswith("mg_"):
         # multigrid-preconditioned nonsymmetric solve: the same Galerkin
         # hierarchy/V-cycle as MGCG, applied as a right preconditioner

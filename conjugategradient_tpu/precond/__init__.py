@@ -15,6 +15,10 @@ from conjugategradient_tpu.precond.multigrid import (  # noqa: F401
     mgcg_solve,
     v_cycle,
 )
+from conjugategradient_tpu.precond.block_jacobi import (  # noqa: F401
+    block_jacobi_blocks,
+    block_jacobi_preconditioner,
+)
 from conjugategradient_tpu.precond.smoothers import (  # noqa: F401
     chebyshev_preconditioner,
     chebyshev_preconditioner_for,
