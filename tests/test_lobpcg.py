@@ -97,6 +97,26 @@ def test_fp32_path():
     np.testing.assert_allclose(np.asarray(res.eigenvalues), exact, rtol=1e-2)
 
 
+def test_gspmd_distributed_matches_single_device():
+    """Row-sharded LOBPCG over the 8-device mesh: same trajectory as the
+    single-device solver up to reduction rounding."""
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+    from conjugategradient_tpu.solvers.lobpcg import gspmd_lobpcg
+
+    A = generators.banded_sin_matrix(512, 12)
+    k = 4
+    single = lobpcg(A, k, tol=1e-9, max_iterations=600, dtype=jnp.float64, seed=0)
+    dist = gspmd_lobpcg(
+        A, k, make_mesh(8), tol=1e-9, max_iterations=600, dtype=jnp.float64, seed=0
+    )
+    assert bool(dist.converged)
+    exact = _dense_eigs(A)[:k]
+    np.testing.assert_allclose(np.asarray(dist.eigenvalues), exact, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dist.eigenvalues), np.asarray(single.eigenvalues), rtol=1e-8
+    )
+
+
 def test_stencil_operator():
     """Grid-stencil containers work through the same block-operator hook."""
     A = generators.poisson2d_matrix(16)
