@@ -1,0 +1,143 @@
+"""On-chip measurement: nonsymmetric solves + LOBPCG (session-5 paths).
+
+Measures, with the tunnel-proof scan-differencing pattern from bench.py
+(chained solves inside one jitted scan, difference two scan lengths):
+
+- mg_bicgstab on a 1023x1023 upwind convection-diffusion system (fp32,
+  stencil fast path, V-cycle right preconditioner)
+- plain BiCGStab on the same system (the preconditioning payoff)
+- LOBPCG (k=8, V-cycle M) on 511x511 Poisson
+
+Writes artifacts/nonsym_onchip_r02.json.  Run only when no other TPU
+process is active.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
+def timed_chain(run_one, b, k_pair=(2, 10), tries=3):
+    """Difference two chained-scan lengths; returns seconds per solve."""
+    rng = np.random.default_rng()
+
+    def chain(b, scales):
+        def step(prev_x, s):
+            res = run_one(b * s + 1e-30 * prev_x)
+            return res[0], res[1:]
+
+        x, aux = jax.lax.scan(step, jnp.zeros_like(b), scales)
+        return x, aux
+
+    chain_j = jax.jit(chain)
+    times = {}
+    aux_out = None
+    for k in k_pair:
+        scales = jnp.asarray(1.0 + rng.uniform(1e-5, 1e-3, k).astype(np.float32))
+        out = chain_j(b, scales)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(tries):
+            scales = jnp.asarray(1.0 + rng.uniform(1e-5, 1e-3, k).astype(np.float32))
+            t0 = time.perf_counter()
+            out = chain_j(b, scales)
+            jax.block_until_ready(out[0])
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+        aux_out = out[1]
+    k1, k2 = k_pair
+    return (times[k2] - times[k1]) / (k2 - k1), aux_out
+
+
+def main():
+    assert jax.devices()[0].platform != "cpu", "run on the TPU"
+    from conjugategradient_tpu.core import generators
+    from conjugategradient_tpu.core.formats import dia_to_stencil
+    from conjugategradient_tpu.precond import as_preconditioner, build_hierarchy
+    from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+    from conjugategradient_tpu.solvers.lobpcg import lobpcg
+    from conjugategradient_tpu.solvers.multi import as_multi_preconditioner
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    out = {"device": str(jax.devices()[0])}
+
+    # --- mg_bicgstab / plain bicgstab at 1023^2 --------------------------
+    grid = (1023, 1023)
+    sys_ = generators.convection_diffusion_system(grid, eps=0.05, dtype=np.float32)
+    t0 = time.perf_counter()
+    h = build_hierarchy(sys_.A, grid, dtype=np.dtype(np.float32))
+    out["hierarchy_setup_s"] = round(time.perf_counter() - t0, 2)
+    A_st = dia_to_stencil(sys_.A, grid).device_put(dtype=jnp.float32)
+    b = jnp.asarray(sys_.b, jnp.float32).reshape(grid)
+    pol = ConvergencePolicy(tol=1e-5, norm="rel_l2", max_iteration=40000)
+    M = as_preconditioner(h)
+
+    def run_mg(bb):
+        res = bicgstab_solve(A_st, bb, policy=pol, M=M)
+        return res.x, res.iterations, res.residual, res.converged
+
+    per, (its, ress, convs) = timed_chain(run_mg, b, k_pair=(2, 12))
+    assert bool(np.asarray(convs).all()), "mg_bicgstab did not converge on chip"
+    out["mg_bicgstab_1023_ms"] = round(1e3 * per, 3)
+    out["mg_bicgstab_1023_its"] = int(np.asarray(its)[-1])
+
+    def run_plain(bb):
+        res = bicgstab_solve(A_st, bb, policy=pol)
+        return res.x, res.iterations, res.residual, res.converged
+
+    per_p, (its_p, _, convs_p) = timed_chain(run_plain, b, k_pair=(1, 3))
+    out["bicgstab_1023_ms"] = round(1e3 * per_p, 3)
+    out["bicgstab_1023_its"] = int(np.asarray(its_p)[-1])
+    out["bicgstab_1023_converged"] = bool(np.asarray(convs_p).all())
+    out["mg_speedup"] = round(per_p / per, 2)
+
+    # --- LOBPCG k=8 on 511^2 Poisson -------------------------------------
+    egrid = (511, 511)
+    esys = generators.poisson_system(egrid, dtype=np.float32)
+    eh = build_hierarchy(esys.A, egrid, dtype=np.dtype(np.float32))
+    eM = as_multi_preconditioner(eh)
+    eA = dia_to_stencil(esys.A, egrid).device_put(dtype=jnp.float32)
+    n = esys.n
+
+    # grid-native block operator: reshape columns to the grid, vmap stencil
+    from conjugategradient_tpu.ops.stencil import spmv_stencil
+
+    def _op(X):
+        Y = jax.vmap(lambda c: spmv_stencil(eA, c.reshape(egrid)), in_axes=1, out_axes=0)(X)
+        return Y.reshape(X.shape[1], n).T
+
+    t0 = time.perf_counter()
+    eres = lobpcg(_op, 8, X0=jax.random.normal(jax.random.PRNGKey(0), (n, 8), jnp.float32),
+                  M=eM, tol=1e-4, max_iterations=200, dtype=jnp.float32)
+    jax.block_until_ready(eres.eigenvalues)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    eres = lobpcg(_op, 8, X0=jax.random.normal(jax.random.PRNGKey(1), (n, 8), jnp.float32),
+                  M=eM, tol=1e-4, max_iterations=200, dtype=jnp.float32)
+    jax.block_until_ready(eres.eigenvalues)
+    out["lobpcg_511_s"] = round(time.perf_counter() - t0, 3)
+    out["lobpcg_511_first_s"] = round(t_first, 3)
+    out["lobpcg_511_its"] = int(eres.iterations)
+    out["lobpcg_511_converged"] = bool(eres.converged)
+    out["lobpcg_511_lam1"] = float(np.asarray(eres.eigenvalues)[0])
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "artifacts", "nonsym_onchip_r02.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
