@@ -12,6 +12,8 @@ from conjugategradient_tpu.core.formats import (  # noqa: F401
     dia_to_csr,
     dia_to_dense,
     ell_to_csr,
+    is_symmetric,
+    transpose,
 )
 from conjugategradient_tpu.core.builder import DokBuilder  # noqa: F401
 from conjugategradient_tpu.core.io import (  # noqa: F401

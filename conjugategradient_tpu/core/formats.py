@@ -777,6 +777,63 @@ def matrix_diagonal(A) -> np.ndarray:
     return d
 
 
+def transpose(A):
+    """A^T in the same storage family (host-side, setup work).
+
+    DIA transposes in place: offset ``o`` becomes ``-o`` and its column
+    rolls by ``o`` positions (``A^T[i, i-o] = A[i-o, i]``); CSR/ELL/COO/BSR
+    go through a COO row/column swap; Stencil round-trips through DIA
+    (legs negate their shifts).  Enables normal-equations solvers (CGNR)
+    and the ``is_symmetric`` diagnostic.
+    """
+    if isinstance(A, DiaMatrix):
+        data = np.asarray(A.data)
+        n = A.n
+        out = np.zeros_like(data)
+        order = np.argsort([-o for o in A.offsets])
+        offsets_t = tuple(-A.offsets[k] for k in order)
+        i = np.arange(n)
+        for j, k in enumerate(order):
+            off = A.offsets[k]
+            # A^T[i, i-off] = A[i-off, i] = data[k][i-off]
+            src = i - off
+            ok = (src >= 0) & (src < n)
+            out[j, ok] = data[k, src[ok]]
+        return DiaMatrix(out, offsets_t, A.shape)
+    if isinstance(A, DenseMatrix):
+        return DenseMatrix(np.asarray(A.data).T.copy())
+    if isinstance(A, StencilMatrix):
+        dia = stencil_to_dia(A)
+        return dia_to_stencil(transpose(dia), A.grid)
+    if isinstance(A, ConstStencilMatrix):
+        return stencil_to_const(transpose(const_to_stencil(A)))
+    csr = _any_to_csr(A)
+    coo_t = CooMatrix(
+        data=np.asarray(csr.data),
+        rows=np.asarray(csr.indices, np.int32),
+        cols=np.asarray(csr.row_ids, np.int32),
+        shape=(csr.shape[1], csr.shape[0]),
+    )
+    out = coo_to_csr(coo_t)
+    if isinstance(A, EllMatrix):
+        return csr_to_ell(out)
+    return out
+
+
+def is_symmetric(A, tol: float = 0.0) -> bool:
+    """``max|A - A^T| <= tol`` (host-side diagnostic — e.g. guard a CG call
+    on an ingested matrix before the recurrence silently breaks)."""
+    csr = _any_to_csr(A)
+    import scipy.sparse as sp
+
+    m = sp.csr_matrix(
+        (np.asarray(csr.data), np.asarray(csr.indices), np.asarray(csr.indptr)),
+        shape=csr.shape,
+    )
+    d = m - m.T
+    return float(np.abs(d.data).max()) <= tol if d.nnz else True
+
+
 def to_bcoo(A):
     """Convert any container to a ``jax.experimental.sparse.BCOO`` — the
     ecosystem interchange point (users of jax's own sparse stack can hand

@@ -11,6 +11,7 @@ from conjugategradient_tpu.solvers.deflation import (  # noqa: F401
     make_deflation,
 )
 from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve  # noqa: F401
+from conjugategradient_tpu.solvers.cgnr import cgnr_solve  # noqa: F401
 from conjugategradient_tpu.solvers.gmres import gmres_solve  # noqa: F401
 from conjugategradient_tpu.solvers.lobpcg import LobpcgResult, lobpcg  # noqa: F401
 from conjugategradient_tpu.solvers.multi import MultiCGResult, cg_solve_multi  # noqa: F401
