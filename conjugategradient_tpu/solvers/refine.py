@@ -63,8 +63,17 @@ def refined_solve(
     matrix_dtype=None,
     device_residual: bool = False,
     deflation=None,
+    inner: str = "cg",
 ) -> RefineResult:
     """Solve A x = b to an fp64 tolerance using fp32 device inner solves.
+
+    ``inner="bicgstab"`` swaps the inner Krylov method for BiCGStab —
+    iterative refinement does not care that the inner operator is
+    nonsymmetric, so this gives NONSYMMETRIC systems (convection-diffusion)
+    the same fp64-tolerance-on-fp32-hardware contract as the SPD path;
+    with ``grid=`` the inner solve is V-cycle-right-preconditioned
+    (mg_bicgstab).  Not combinable with ``deflation`` (an SPD construction)
+    or ``device_residual`` (the dd outer loop currently drives CG inners).
 
     ``deflation`` (a ``solvers.deflation.Deflation``, built once per matrix)
     deflates every INNER solve: Galerkin initial correction + the def-CG
@@ -124,6 +133,19 @@ def refined_solve(
 
     from conjugategradient_tpu.solvers.cg import cg_solve
 
+    if inner == "bicgstab":
+        if deflation is not None:
+            raise ValueError("deflation requires inner='cg' (SPD construction)")
+        if device_residual:
+            raise NotImplementedError(
+                "device_residual currently drives CG inners; use inner='cg'"
+            )
+        from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve as _inner_fn
+    elif inner == "cg":
+        _inner_fn = cg_solve
+    else:
+        raise ValueError(f"unknown inner {inner!r}; want cg|bicgstab")
+
     if device_residual:
         return _refined_solve_device(
             A, b, x0, tol=tol, norm=norm, grid=grid, inner_tol=inner_tol,
@@ -174,7 +196,7 @@ def refined_solve(
 
         if deflation is None:
             solve_jit = jax.jit(
-                lambda h_, A_, r: cg_solve(
+                lambda h_, A_, r: _inner_fn(
                     A_, r, policy=inner_policy, M=_as_p(h_), precise_dot=prec
                 )
             )
@@ -195,7 +217,7 @@ def refined_solve(
         plan = plan_dia_cm(tuple(A.offsets), n)
         if deflation is None:
             solve_jit = jax.jit(
-                lambda A_, r_cm: cg_solve(
+                lambda A_, r_cm: _inner_fn(
                     lambda v: cm_apply(A_, v), r_cm, policy=inner_policy,
                     precise_dot=prec,
                 )
@@ -225,7 +247,7 @@ def refined_solve(
     else:
         if deflation is None:
             solve_jit = jax.jit(
-                lambda A_, r: cg_solve(A_, r, policy=inner_policy, precise_dot=prec)
+                lambda A_, r: _inner_fn(A_, r, policy=inner_policy, precise_dot=prec)
             )
             solve = lambda r: solve_jit(A_dev, r)
         else:

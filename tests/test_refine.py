@@ -274,3 +274,42 @@ def test_gspmd_refined_solve_2d_mesh_variable_coefficients():
     assert res.converged
     r = sys_.b - oracle.spmv(sys_.A, res.x)
     assert np.linalg.norm(r) < 1e-10
+
+
+def test_refined_nonsymmetric_inner_bicgstab():
+    """fp64-tolerance NONSYMMETRIC refinement: BiCGStab inner solves on the
+    fp32 device, true-fp64 outer contract — plain and mg-preconditioned."""
+    from conjugategradient_tpu.core.generators import convection_diffusion_system
+
+    grid = (32, 32)
+    sys_ = convection_diffusion_system(grid, eps=0.1)
+    x_true = oracle.direct_solve(sys_.A, sys_.b)
+    # gridless (plain DIA inner)
+    res = refined_solve(sys_.A, sys_.b, tol=1e-9, inner="bicgstab",
+                        use_pallas=False)
+    assert res.converged
+    r = sys_.b - oracle.spmv(sys_.A, res.x)
+    assert np.linalg.norm(r) < 1e-9
+    assert np.linalg.norm(res.x - x_true) / np.linalg.norm(x_true) < 1e-8
+    # grid path: V-cycle-right-preconditioned BiCGStab inners
+    resg = refined_solve(sys_.A, sys_.b, tol=1e-9, grid=grid, inner="bicgstab")
+    assert resg.converged
+    rg = sys_.b - oracle.spmv(sys_.A, resg.x)
+    assert np.linalg.norm(rg) < 1e-9
+    assert resg.inner_iterations < res.inner_iterations
+
+
+def test_refined_inner_bicgstab_guards():
+    from conjugategradient_tpu.core.generators import convection_diffusion_system
+
+    sys_ = convection_diffusion_system((8, 8), eps=0.5)
+    try:
+        refined_solve(sys_.A, sys_.b, inner="bicgstab", device_residual=True)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+    try:
+        refined_solve(sys_.A, sys_.b, inner="qmr")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
