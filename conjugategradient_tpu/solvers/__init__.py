@@ -10,7 +10,10 @@ from conjugategradient_tpu.solvers.deflation import (  # noqa: F401
     deflated_cg_solve,
     make_deflation,
 )
-from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve  # noqa: F401
+from conjugategradient_tpu.solvers.bicgstab import (  # noqa: F401
+    bicgstab_solve,
+    bicgstab_solve_traced,
+)
 from conjugategradient_tpu.solvers.cgnr import cgnr_solve  # noqa: F401
 from conjugategradient_tpu.solvers.gmres import gmres_solve  # noqa: F401
 from conjugategradient_tpu.solvers.lobpcg import LobpcgResult, lobpcg  # noqa: F401

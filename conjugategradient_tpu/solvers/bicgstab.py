@@ -101,3 +101,73 @@ def bicgstab_solve(
     res = res_of(r, rr)
     converged = jnp.logical_and(res < tol, it >= min_iter)
     return CGResult(x=x, iterations=it, residual=res, converged=converged)
+
+
+def bicgstab_solve_traced(
+    A,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    M: Optional[Callable] = None,
+    num_steps: int = 100,
+    precise_dot: bool = False,
+    use_pallas: bool = False,
+):
+    """Fixed-length BiCGStab recording the residual at every iteration —
+    the nonsymmetric twin of ``cg_solve_traced`` (one ``lax.scan``, frozen
+    steps after convergence, dense ``(num_steps,)`` history back in one
+    device array; feed ``utils.reslog.records_from_history``).
+
+    Returns ``(CGResult, residual_history)``.  Entries past ``iterations``
+    are from frozen steps; truncate before use.
+    """
+    op = as_operator(A, use_pallas=use_pallas)
+    dtype = b.dtype
+    tol = jnp.asarray(policy.tol, dtype)
+    min_iter = jnp.int32(policy.min_iteration)
+    dot = lambda u, v: _dot(u, v, precise=precise_dot)
+
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
+    r = b - op(x)
+    rhat = r
+    rr0 = dot(r, r)
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.zeros_like(b)
+
+    def res_of(r, rr):
+        return residual_norm(r, rr, rr0, policy.norm)
+
+    def raw(state):
+        x, r, p, v, rho, alpha, omega, rr = state
+        rho_new = dot(rhat, r)
+        beta = _safe_div(rho_new, rho) * _safe_div(alpha, omega)
+        p = r + beta * (p - omega * v)
+        p_hat = _apply_M(M, p)
+        v = op(p_hat)
+        alpha = _safe_div(rho_new, dot(rhat, v))
+        s = r - alpha * v
+        s_hat = _apply_M(M, s)
+        t = op(s_hat)
+        omega = _safe_div(dot(t, s), dot(t, t))
+        x = x + alpha * p_hat + omega * s_hat
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega, dot(r, r))
+
+    def step(state, _):
+        *vec_state, it = state
+        active = jnp.logical_or(
+            it < min_iter, res_of(vec_state[1], vec_state[7]) >= tol
+        )
+        new = raw(tuple(vec_state))
+        sel = lambda a, b: jnp.where(active, a, b)
+        merged = tuple(sel(a, b) for a, b in zip(new, vec_state))
+        it = it + active.astype(jnp.int32)
+        return (*merged, it), res_of(merged[1], merged[7])
+
+    state0 = (x, r, zero, zero, one, one, one, rr0, jnp.int32(0))
+    state, history = jax.lax.scan(step, state0, None, length=num_steps)
+    *vec_state, it = state
+    res = res_of(vec_state[1], vec_state[7])
+    converged = jnp.logical_and(res < tol, it >= min_iter)
+    result = CGResult(x=vec_state[0], iterations=it, residual=res, converged=converged)
+    return result, history

@@ -148,6 +148,31 @@ def test_central_scheme_high_peclet():
     assert _rel_err(sys_.A, res.x, x_true) < 1e-7
 
 
+def test_bicgstab_traced_history(nonsym_band):
+    """Traced variant: same endpoint as the while_loop driver, monotone-ish
+    recorded history, frozen tail after convergence."""
+    from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve_traced
+
+    sys_, x_true = nonsym_band
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2")
+    loop = bicgstab_solve(sys_.A.device_put(), jnp.asarray(sys_.b), policy=pol)
+    traced, history = bicgstab_solve_traced(
+        sys_.A.device_put(), jnp.asarray(sys_.b), policy=pol, num_steps=120
+    )
+    assert bool(traced.converged)
+    assert int(traced.iterations) == int(loop.iterations)
+    assert _rel_err(sys_.A, traced.x, x_true) < 1e-8
+    h = np.asarray(history)
+    it = int(traced.iterations)
+    assert h[it - 1] < 1e-10  # converged entry recorded
+    np.testing.assert_allclose(h[it:], h[it - 1], rtol=0)  # frozen tail
+    # history feeds the structured residual log
+    from conjugategradient_tpu.utils.reslog import records_from_history
+
+    recs = records_from_history(h, iterations=it)
+    assert len(recs) == it
+
+
 def test_mg_preconditioned_nonsym():
     """The MGCG hierarchy as a right preconditioner for BiCGStab/GMRES:
     convection-diffusion smooth error modes are still multigrid's job
