@@ -29,6 +29,8 @@ here one function routes to the right solver:
 - ``method="bjacobi_cg"`` / ``"bjacobi_bicgstab"`` / ``"bjacobi_gmres"`` —
   block-Jacobi preconditioning (``block_size=`` through kw; batched dense
   block inverses, one MXU matmul per application)
+- ``method="minres"`` / ``"jacobi_minres"`` — symmetric INDEFINITE systems
+  (Helmholtz); constant memory, monotone ``||r||`` (``solvers.minres``)
 - ``method="cgnr"`` — CG on the normal equations (any nonsingular A;
   constant memory, kappa squared — the nonsymmetric fallback)
 - ``method="oracle"`` — fp64 numpy CPU oracle
@@ -208,6 +210,10 @@ def solve(
         from conjugategradient_tpu.solvers.gmres import gmres_solve
 
         return gmres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
+    if method == "minres":
+        from conjugategradient_tpu.solvers.minres import minres_solve
+
+        return minres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
     if method == "cgnr":
         from conjugategradient_tpu.solvers.cgnr import cgnr_solve
 

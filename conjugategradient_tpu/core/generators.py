@@ -463,6 +463,38 @@ def convection_diffusion_system(
     return LinearSystem(A, b.astype(dtype), np.zeros(n, dtype=dtype))
 
 
+def helmholtz_matrix(
+    grid_shape: Tuple[int, ...], shift: float, dtype=np.float64
+) -> DiaMatrix:
+    """Shifted Laplacian ``-lap(u) - shift * u`` (Dirichlet, unit spacing):
+    symmetric, and INDEFINITE once ``shift`` exceeds the smallest Laplacian
+    eigenvalue — the canonical ``solvers.minres`` workload (a Helmholtz
+    operator at wavenumber ``k = sqrt(shift)``).  Same DIA layout as the
+    Poisson family."""
+    if len(grid_shape) == 1:
+        A = poisson1d_matrix(grid_shape[0], dtype=np.float64)
+    elif len(grid_shape) == 2:
+        A = poisson2d_matrix(grid_shape[1], grid_shape[0], dtype=np.float64)
+    else:
+        A = poisson3d_matrix(
+            grid_shape[2], grid_shape[1], grid_shape[0], dtype=np.float64
+        )
+    data = np.asarray(A.data, np.float64).copy()
+    diag_k = A.offsets.index(0)
+    data[diag_k] -= float(shift)
+    return DiaMatrix(data.astype(dtype), A.offsets, A.shape)
+
+
+def helmholtz_system(
+    grid_shape: Tuple[int, ...], shift: float, seed: int = 0, dtype=np.float64
+) -> LinearSystem:
+    A = helmholtz_matrix(grid_shape, shift, dtype=dtype)
+    n = A.n
+    i = np.arange(n, dtype=np.float64)
+    b = np.sin(0.37 * i + seed) + 0.25 * np.cos(1.3 * i)
+    return LinearSystem(A, b.astype(dtype), np.zeros(n, dtype=dtype))
+
+
 def nonsymmetric_banded_matrix(n: int, band: int, dtype=np.float64) -> DiaMatrix:
     """Nonsymmetric twin of ``banded_sin_matrix``: ``a_ij = |sin(i + 2j)| / 2``
     off the diagonal (note ``sin(i + 2j) != sin(j + 2i)``), diagonal = row-sum
