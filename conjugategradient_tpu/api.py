@@ -186,7 +186,7 @@ def solve(
             A, degree=int(kw.pop("degree", 3)), A_dev=A_dev, dtype=b_dev.dtype
         )
         method = "cg"
-    if method in ("bicgstab", "gmres"):
+    if method in ("bicgstab", "gmres", "minres"):
         if "mesh" in kw:
             # row-block-sharded nonsymmetric solve; jacobi_ prefix becomes
             # the shard-equivariant M_local form
@@ -207,13 +207,13 @@ def solve(
             from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
 
             return bicgstab_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
+        if method == "minres":
+            from conjugategradient_tpu.solvers.minres import minres_solve
+
+            return minres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
         from conjugategradient_tpu.solvers.gmres import gmres_solve
 
         return gmres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
-    if method == "minres":
-        from conjugategradient_tpu.solvers.minres import minres_solve
-
-        return minres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
     if method == "cgnr":
         from conjugategradient_tpu.solvers.cgnr import cgnr_solve
 

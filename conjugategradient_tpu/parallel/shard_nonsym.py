@@ -133,6 +133,23 @@ def sharded_gmres_loop(
     )
 
 
+def sharded_minres_loop(
+    op, M, b, x0, policy: ConvergencePolicy, axis: str, n_global: int
+) -> CGResult:
+    """``solvers.minres.minres_loop`` with psum-injected reductions — the
+    distributed symmetric-indefinite solver (two scalar psums per
+    iteration: the Lanczos alfa and beta products)."""
+    from conjugategradient_tpu.solvers.minres import minres_loop
+
+    pdot = lambda u, v: jax.lax.psum(
+        jnp.dot(u.ravel(), v.ravel(), preferred_element_type=u.dtype), axis
+    )
+    pmax_abs = lambda r: jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
+    return minres_loop(
+        op, M, b, x0, policy, dot=pdot, pmax_abs=pmax_abs, n_global=n_global
+    )
+
+
 def make_sharded_nonsym(
     A: DiaMatrix,
     mesh: Mesh,
@@ -150,8 +167,8 @@ def make_sharded_nonsym(
     Returns ``solve(data, b, x0[, m_aux]) -> CGResult``; ``M_local`` as in
     ``make_sharded_cg`` (shard-equivariant, right preconditioning).
     """
-    if method not in ("bicgstab", "gmres"):
-        raise ValueError(f"unknown method {method!r}; want bicgstab|gmres")
+    if method not in ("bicgstab", "gmres", "minres"):
+        raise ValueError(f"unknown method {method!r}; want bicgstab|gmres|minres")
     num = mesh.shape[axis]
     n = A.n
     if n % num:
@@ -170,6 +187,8 @@ def make_sharded_nonsym(
             M = (lambda r: M_local(r, m_aux)) if M_local is not None else (lambda r: r)
             return sharded_bicgstab_loop(op, M, b, x0, policy, axis, n)
         M = (lambda r: M_local(r, m_aux)) if M_local is not None else None
+        if method == "minres":
+            return sharded_minres_loop(op, M, b, x0, policy, axis, n)
         return sharded_gmres_loop(
             op, M, b, x0, policy, axis, n, restart=restart
         )

@@ -39,29 +39,25 @@ from conjugategradient_tpu.solvers.cg import CGResult, _apply_M, _safe_div
 from conjugategradient_tpu.solvers.policy import ConvergencePolicy
 
 
-def minres_solve(
-    A,
+def minres_loop(
+    op,
+    M: Optional[Callable],
     b: jnp.ndarray,
-    x0: Optional[jnp.ndarray] = None,
-    policy: ConvergencePolicy = ConvergencePolicy(),
-    M: Optional[Callable] = None,
-    precise_dot: bool = False,
-    use_pallas: bool = False,
+    x: jnp.ndarray,
+    policy: ConvergencePolicy,
+    dot: Callable,
+    pmax_abs: Optional[Callable] = None,
+    n_global: Optional[int] = None,
 ) -> CGResult:
-    """Solve A x = b (A symmetric, possibly indefinite) by MINRES.
-
-    ``M``: optional SPD preconditioner application.  Returns a
-    ``CGResult``; shape-agnostic (grid-shaped or flat b).
-    """
-    op = as_operator(A, use_pallas=use_pallas)
-    n = b.size
+    """The MINRES recurrence with INJECTED reductions — shared by the
+    single-device driver below and the row-sharded form
+    (``parallel.shard_nonsym``, which passes psum'd twins).  Same contract
+    as ``solvers.gmres.gmres_loop``."""
+    n = n_global if n_global is not None else b.size
     dtype = b.dtype
     tol = jnp.asarray(policy.tol, dtype)
     min_iter = jnp.int32(policy.min_iteration)
     max_iter = jnp.int32(policy.resolve_max(n))
-    dot = lambda u, v: _dot(u, v, precise=precise_dot)
-
-    x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
     r1 = b - op(x)
     rr0 = dot(r1, r1)
     y = _apply_M(M, r1)
@@ -126,7 +122,31 @@ def minres_solve(
 
     # honest reporting: the TRUE residual in the policy norm
     r = b - op(x)
-    rr = dot(r, r)
-    res = residual_norm(r, rr, rr0, policy.norm)
+    if policy.norm == "linf" and pmax_abs is not None:
+        res = pmax_abs(r)
+    else:
+        rr = dot(r, r)
+        res = residual_norm(r, rr, rr0, policy.norm)
     converged = jnp.logical_and(res < tol, it >= min_iter)
     return CGResult(x=x, iterations=it, residual=res, converged=converged)
+
+
+def minres_solve(
+    A,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    M: Optional[Callable] = None,
+    precise_dot: bool = False,
+    use_pallas: bool = False,
+) -> CGResult:
+    """Solve A x = b (A symmetric, possibly indefinite) by MINRES.
+
+    ``M``: optional SPD preconditioner application.  Returns a
+    ``CGResult``; shape-agnostic (grid-shaped or flat b).
+    """
+    op = as_operator(A, use_pallas=use_pallas)
+    dtype = b.dtype
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
+    dot = lambda u, v: _dot(u, v, precise=precise_dot)
+    return minres_loop(op, M, b, x, policy, dot=dot)

@@ -26,6 +26,8 @@ as executable documentation):
      restarted GMRES (CG is shown failing on the same operator)
  13. LOBPCG block eigensolver: smallest eigenpairs of the Poisson
      operator, multigrid-preconditioned, vs the closed-form spectrum
+ 14. symmetric indefinite (Helmholtz): MINRES converges monotonically
+     where CG's residual spikes orders of magnitude
 
 Run:  python examples/features_tour.py            (8 virtual devices, CPU)
 """
@@ -285,6 +287,29 @@ def main() -> int:
         f"  [{'OK ' if good else 'BAD'}] {int(eres.iterations)} iterations, "
         f"eigenvalues {np.array2string(lam, precision=6)} "
         f"(closed form {np.array2string(lam_exact, precision=6)})"
+    )
+
+    # 14. symmetric indefinite: MINRES ------------------------------------
+    # shift 0.05 on the n=256 1-D Laplacian sits above its ~7 smallest
+    # eigenvalues — deep enough indefiniteness that CG visibly spikes
+    print("14. Helmholtz (-lap - 0.05, n=256, indefinite): MINRES vs CG:")
+    hsys = generators.helmholtz_system((256,), shift=0.05)
+    hx_true = oracle.direct_solve(hsys.A, hsys.b)
+    from conjugategradient_tpu.solvers.cg import cg_solve_traced
+
+    _, cg_hist = cg_solve_traced(
+        hsys.A.device_put(), jnp.asarray(hsys.b),
+        policy=ConvergencePolicy(tol=1e-10, norm="rel_l2"), num_steps=200,
+    )
+    mres = solve(hsys.A, hsys.b, method="minres", tol=1e-10, norm="rel_l2",
+                 max_iteration=4000)
+    herr = np.linalg.norm(np.asarray(mres.x) - hx_true) / np.linalg.norm(hx_true)
+    spike = float(np.max(np.asarray(cg_hist)))
+    good = bool(mres.converged) and herr < 1e-7 and spike > 10.0
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] MINRES {int(mres.iterations)} it, rel err "
+        f"{herr:.2e}; CG's relative residual spiked to {spike:.1f} on the way"
     )
 
     print("ALL OK" if ok else "MISMATCH")

@@ -93,6 +93,23 @@ def test_allgather_fallback_wide_band():
     assert _rel(res.x, x_true) < 1e-8
 
 
+def test_sharded_minres_indefinite():
+    """Distributed symmetric-indefinite solve: sharded MINRES on the
+    Helmholtz workload matches single-device and the direct solve."""
+    from conjugategradient_tpu.solvers.minres import minres_solve
+
+    sys_ = generators.helmholtz_system((512,), shift=0.05)
+    x_true = oracle.direct_solve(sys_.A, sys_.b)
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=4000)
+    single = minres_solve(sys_.A.device_put(), jnp.asarray(sys_.b), policy=pol)
+    shard = sharded_nonsym_solve(
+        sys_.A, sys_.b, policy=pol, method="minres", mesh=make_mesh(8)
+    )
+    assert bool(shard.converged)
+    assert _rel(shard.x, x_true) < 1e-7
+    assert abs(int(shard.iterations) - int(single.iterations)) <= 2
+
+
 def test_linf_norm_sharded():
     sys_ = generators.nonsymmetric_banded_system(512, 16)
     pol = ConvergencePolicy(tol=1e-8, norm="linf")
