@@ -33,6 +33,9 @@ here one function routes to the right solver:
   (Helmholtz); constant memory, monotone ``||r||`` (``solvers.minres``)
 - ``method="cgnr"`` — CG on the normal equations (any nonsingular A;
   constant memory, kappa squared — the nonsymmetric fallback)
+- ``method="auto"`` — probe the matrix (symmetry, definiteness) and pick:
+  CG/MGCG for SPD, MINRES for symmetric indefinite, BiCGStab (mg_ with a
+  grid) for nonsymmetric
 - ``method="oracle"`` — fp64 numpy CPU oracle
 - ``method="native"`` — C++ OpenMP CPU solver
 
@@ -68,6 +71,8 @@ def solve(
     policy = ConvergencePolicy(
         tol=tol, norm=norm, min_iteration=min_iteration, max_iteration=max_iteration
     )
+    if method == "auto":
+        method = _auto_method(A, grid)
     if np.asarray(b).ndim == 2:
         # (n, k) right-hand sides: route to the block solver (one matrix
         # pass serves k Krylov recurrences; see solvers.multi)
@@ -261,6 +266,31 @@ def _solve_multi(A, B, X0, method, policy, grid, dtype, **kw):
     elif method != "cg":
         raise ValueError(f"method {method!r} does not support (n, k) right-hand sides")
     return cg_solve_multi(A_dev, B_dev, X0_dev, policy, M=M, **kw)
+
+
+def _auto_method(A, grid) -> str:
+    """Pick a solver from the matrix's structure (host-side probe).
+
+    Symmetric + positive-definite-looking -> CG (MGCG when a grid is
+    given); symmetric indefinite -> MINRES; nonsymmetric -> BiCGStab
+    (mg_bicgstab with a grid).  Definiteness is probed cheaply: positive
+    diagonal + a 30-step Lanczos lower bound (exact Gershgorin positivity
+    would be sufficient but rejects most interesting SPD systems).
+    """
+    tol_sym = 1e-12 * float(np.max(np.abs(np.asarray(A.data))))
+    if not formats.is_symmetric(A, tol=tol_sym):
+        return "mg_bicgstab" if grid is not None else "bicgstab"
+    diag = _diagonal(A)
+    spd = bool(np.all(diag > 0))
+    if spd:
+        from conjugategradient_tpu.core import oracle
+        from conjugategradient_tpu.solvers.eigen import lanczos_bounds
+
+        lo, _hi = lanczos_bounds(lambda v: oracle.spmv(A, v), A.shape[0], k=30)
+        spd = lo > -1e-10 * abs(_hi)
+    if not spd:
+        return "minres"
+    return "mgcg" if grid is not None else "cg"
 
 
 def _to_csr(A) -> formats.CsrMatrix:

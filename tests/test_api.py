@@ -109,3 +109,33 @@ def test_multi_rhs_through_facade():
         for j in range(3):
             r = B[:, j] - oracle.spmv(sys_.A, np.asarray(res.x[:, j], np.float64))
             assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-8, method
+
+
+def test_auto_method_dispatch():
+    """method='auto' picks by structure: SPD -> cg/mgcg, symmetric
+    indefinite -> minres, nonsymmetric -> bicgstab/mg_bicgstab."""
+    import numpy as np
+
+    from conjugategradient_tpu.api import _auto_method
+    from conjugategradient_tpu.core import generators, oracle
+
+    spd = generators.banded_sin_matrix(128, 8)
+    assert _auto_method(spd, None) == "cg"
+    assert _auto_method(generators.poisson2d_matrix(16), (16, 16)) == "mgcg"
+    indef = generators.helmholtz_matrix((128,), shift=0.05)
+    assert _auto_method(indef, None) == "minres"
+    nonsym = generators.convection_diffusion_matrix((12, 12), eps=0.1)
+    assert _auto_method(nonsym, None) == "bicgstab"
+    assert _auto_method(nonsym, (12, 12)) == "mg_bicgstab"
+
+    # end-to-end through the facade on each class
+    for sys_, kw in (
+        (generators.banded_sin_system(256, 8), {}),
+        (generators.helmholtz_system((128,), shift=0.05), {"max_iteration": 2000}),
+        (generators.convection_diffusion_system((12, 12), eps=0.1), {}),
+    ):
+        res = solve(sys_.A, sys_.b, method="auto", tol=1e-9, norm="rel_l2", **kw)
+        x_true = oracle.direct_solve(sys_.A, sys_.b)
+        assert bool(res.converged)
+        err = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
+        assert err < 1e-6
