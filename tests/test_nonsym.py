@@ -271,3 +271,36 @@ def test_fp32_accuracy(convdiff):
         )
         assert bool(res.converged)
         assert _rel_err(sys_.A, res.x, x_true) < 3e-3
+
+
+def test_fuzz_random_nonsymmetric_band():
+    """Seeded fuzz: random diagonally-dominant nonsymmetric DIA systems;
+    every family member must reach the direct solution."""
+    from conjugategradient_tpu.core.formats import DiaMatrix
+    from conjugategradient_tpu.solvers.cgnr import cgnr_solve
+
+    rng = np.random.default_rng(42)
+    for case in range(6):
+        n = int(rng.integers(60, 200))
+        h = int(rng.integers(1, 5))
+        offsets = tuple(range(-h, h + 1))
+        data = rng.standard_normal((len(offsets), n))
+        i = np.arange(n)
+        diag_k = offsets.index(0)
+        for k, off in enumerate(offsets):
+            valid = (i + off >= 0) & (i + off < n)
+            data[k] = np.where(valid, data[k], 0.0)
+        data[diag_k] = np.abs(data).sum(axis=0) + 1.0  # row dominance
+        A = DiaMatrix(data, offsets, (n, n))
+        b = rng.standard_normal(n)
+        x_true = oracle.direct_solve(A, b)
+        pol = ConvergencePolicy(tol=1e-11, norm="rel_l2", max_iteration=5000)
+        for fn, kw in (
+            (bicgstab_solve, {}),
+            (gmres_solve, {"restart": 25}),
+            (cgnr_solve, {}),
+        ):
+            res = fn(A.device_put(), jnp.asarray(b), policy=pol, **kw)
+            assert bool(res.converged), (case, fn.__name__)
+            err = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
+            assert err < 1e-8, (case, fn.__name__, err)
