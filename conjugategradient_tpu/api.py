@@ -254,6 +254,14 @@ def _solve_multi(A, B, X0, method, policy, grid, dtype, **kw):
     if method == "jacobi_cg":
         inv = jnp.asarray(1.0 / _diagonal(A), dtype=B_dev.dtype)
         M = lambda R: inv[:, None] * R
+    elif method == "bjacobi_cg":
+        from conjugategradient_tpu.precond import block_jacobi_preconditioner
+
+        # the block-Jacobi apply is shape-agnostic over the trailing axis
+        M = block_jacobi_preconditioner(
+            A, int(kw.pop("block_size", 8)), dtype=B_dev.dtype
+        )
+        method = "cg"
     elif method == "mgcg":
         from conjugategradient_tpu.precond import build_hierarchy
 

@@ -99,3 +99,16 @@ def test_spd_preserved_for_cg():
     r = jnp.asarray(rng.standard_normal(256))
     s = jnp.asarray(rng.standard_normal(256))
     assert abs(float(jnp.vdot(M(r), s) - jnp.vdot(r, M(s)))) < 1e-10
+
+
+def test_multi_rhs_facade():
+    """(n, k) right-hand sides through method='bjacobi_cg'."""
+    sys_ = generators.banded_sin_system(512, 16)
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((512, 3))
+    res = solve(sys_.A, B, method="bjacobi_cg", block_size=16, tol=1e-10,
+                norm="rel_l2")
+    assert bool(np.asarray(res.converged).all())
+    for j in range(3):
+        r = B[:, j] - oracle.spmv(sys_.A, np.asarray(res.x[:, j], np.float64))
+        assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-8
