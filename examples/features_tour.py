@@ -28,6 +28,9 @@ as executable documentation):
      operator, multigrid-preconditioned, vs the closed-form spectrum
  14. symmetric indefinite (Helmholtz): MINRES converges monotonically
      where CG's residual spikes orders of magnitude
+ 15. functional transforms over solves: jax.vmap batches a parameter
+     sweep into one program; jax.grad differentiates THROUGH a solve
+     (implicit adjoint = one extra CG solve, O(n) memory)
 
 Run:  python examples/features_tour.py            (8 virtual devices, CPU)
 """
@@ -310,6 +313,49 @@ def main() -> int:
     print(
         f"  [{'OK ' if good else 'BAD'}] MINRES {int(mres.iterations)} it, rel err "
         f"{herr:.2e}; CG's relative residual spiked to {spike:.1f} on the way"
+    )
+
+    # 15. transforms over solves ------------------------------------------
+    print("15. transforms: vmap'd parameter sweep + grad through a solve:")
+    from conjugategradient_tpu.core.formats import DiaMatrix
+    from conjugategradient_tpu.solvers.cg import cg_solve
+    from conjugategradient_tpu.solvers.diff import cg_solve_implicit
+
+    tsys = generators.banded_sin_system(256, 8)
+    offs, tshape = tsys.A.offsets, tsys.A.shape
+    tpol = ConvergencePolicy(tol=1e-11, norm="rel_l2")
+    scales = 1.0 + 0.1 * np.arange(4)
+    datas = jnp.asarray(np.stack([np.asarray(tsys.A.data) * s for s in scales]))
+    bs = jnp.asarray(np.tile(tsys.b, (4, 1)))
+    sweep = jax.jit(
+        jax.vmap(lambda d, b_: cg_solve(DiaMatrix(d, offs, tshape), b_, policy=tpol))
+    )(datas, bs)
+    worst = 0.0
+    for j, s in enumerate(scales):
+        Aj = generators.DiaMatrix(np.asarray(datas[j]), offs, tshape)
+        r = tsys.b - oracle.spmv(Aj, np.asarray(sweep.x[j]))
+        worst = max(worst, np.linalg.norm(r))
+    good = bool(np.asarray(sweep.converged).all()) and worst < 1e-8
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] vmap sweep over 4 operator scales in one "
+        f"program, worst abs residual {worst:.2e}"
+    )
+
+    data0 = jnp.asarray(np.asarray(tsys.A.data))
+    b0 = jnp.asarray(tsys.b)
+    w = jnp.asarray(np.cos(0.1 * np.arange(tsys.n)))
+    lossf = lambda b_: jnp.vdot(w, cg_solve_implicit(data0, b_, offs, tshape, tpol))
+    g = jax.grad(lossf)(b0)
+    d = np.random.default_rng(5).standard_normal(tsys.n)
+    eps = 1e-6
+    fd = (float(lossf(b0 + eps * d)) - float(lossf(b0 - eps * d))) / (2 * eps)
+    an = float(jnp.vdot(g, jnp.asarray(d)))
+    good = abs(an - fd) < 1e-5 * max(1.0, abs(fd))
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] grad through the solve vs finite "
+        f"difference: {an:.6f} vs {fd:.6f}"
     )
 
     print("ALL OK" if ok else "MISMATCH")
