@@ -384,6 +384,58 @@ def outlier_system(
 # ---------------------------------------------------------------------------
 
 
+def convection_diffusion_rows(
+    grid_shape: Tuple[int, int],
+    lo: int,
+    hi: int,
+    eps: float = 1.0,
+    velocity="recirculating",
+    scheme: str = "upwind",
+    dtype=np.float64,
+):
+    """(offsets, data columns) for flat rows [lo, hi) of the 2-D
+    convection-diffusion operator — closed-form in the row index (the
+    recirculating field's normaliser ``sqrt(cx^2 + cy^2)`` is attained at
+    the grid corners, so no global pass is needed), hence usable as a
+    rung-5 per-row-block callback like ``poisson2d_rows``."""
+    ny, nx = grid_shape
+    i = np.arange(lo, hi, dtype=np.int64)
+    gx = (i % nx).astype(np.float64)
+    gy = (i // nx).astype(np.float64)
+    if velocity == "recirculating":
+        cx, cy = (nx - 1) / 2.0, (ny - 1) / 2.0
+        vx = gy - cy
+        vy = -(gx - cx)
+        speed = np.sqrt(cx * cx + cy * cy)  # max over the grid (corners)
+        if speed > 0:
+            vx, vy = vx / speed, vy / speed
+    else:
+        vx = np.full(hi - lo, float(velocity[0]))
+        vy = np.full(hi - lo, float(velocity[1]))
+    if scheme == "upwind":
+        west = -eps - np.maximum(vx, 0.0)
+        east = -eps - np.maximum(-vx, 0.0)
+        south = -eps - np.maximum(vy, 0.0)
+        north = -eps - np.maximum(-vy, 0.0)
+        diag = 4.0 * eps + np.abs(vx) + np.abs(vy)
+    elif scheme == "central":
+        west = -eps - 0.5 * vx
+        east = -eps + 0.5 * vx
+        south = -eps - 0.5 * vy
+        north = -eps + 0.5 * vy
+        diag = np.full(hi - lo, 4.0 * eps)
+    else:
+        raise ValueError(f"unknown scheme {scheme!r}")
+    x, y = i % nx, i // nx
+    data = np.zeros((5, hi - lo), dtype=dtype)
+    data[0] = np.where(y >= 1, south, 0.0)  # A[i, i-nx]
+    data[1] = np.where(x >= 1, west, 0.0)  # A[i, i-1]
+    data[2] = diag
+    data[3] = np.where(x <= nx - 2, east, 0.0)  # A[i, i+1]
+    data[4] = np.where(y <= ny - 2, north, 0.0)  # A[i, i+nx]
+    return (-nx, -1, 0, 1, nx), data
+
+
 def convection_diffusion_matrix(
     grid_shape: Tuple[int, int],
     eps: float = 1.0,
@@ -408,41 +460,10 @@ def convection_diffusion_matrix(
     """
     ny, nx = grid_shape
     n = nx * ny
-    i = np.arange(n, dtype=np.int64)
-    gx = (i % nx).astype(np.float64)
-    gy = (i // nx).astype(np.float64)
-    if velocity == "recirculating":
-        cx, cy = (nx - 1) / 2.0, (ny - 1) / 2.0
-        vx = gy - cy
-        vy = -(gx - cx)
-        speed = np.sqrt(vx * vx + vy * vy).max()
-        if speed > 0:
-            vx, vy = vx / speed, vy / speed
-    else:
-        vx = np.full(n, float(velocity[0]))
-        vy = np.full(n, float(velocity[1]))
-    if scheme == "upwind":
-        west = -eps - np.maximum(vx, 0.0)
-        east = -eps - np.maximum(-vx, 0.0)
-        south = -eps - np.maximum(vy, 0.0)
-        north = -eps - np.maximum(-vy, 0.0)
-        diag = 4.0 * eps + np.abs(vx) + np.abs(vy)
-    elif scheme == "central":
-        west = -eps - 0.5 * vx
-        east = -eps + 0.5 * vx
-        south = -eps - 0.5 * vy
-        north = -eps + 0.5 * vy
-        diag = np.full(n, 4.0 * eps)
-    else:
-        raise ValueError(f"unknown scheme {scheme!r}")
-    x, y = i % nx, i // nx
-    data = np.zeros((5, n), dtype=dtype)
-    data[0] = np.where(y >= 1, south, 0.0)  # A[i, i-nx]
-    data[1] = np.where(x >= 1, west, 0.0)  # A[i, i-1]
-    data[2] = diag
-    data[3] = np.where(x <= nx - 2, east, 0.0)  # A[i, i+1]
-    data[4] = np.where(y <= ny - 2, north, 0.0)  # A[i, i+nx]
-    return DiaMatrix(data, (-nx, -1, 0, 1, nx), (n, n))
+    offsets, data = convection_diffusion_rows(
+        grid_shape, 0, n, eps=eps, velocity=velocity, scheme=scheme, dtype=dtype
+    )
+    return DiaMatrix(data, offsets, (n, n))
 
 
 def convection_diffusion_system(
@@ -483,6 +504,22 @@ def helmholtz_matrix(
     diag_k = A.offsets.index(0)
     data[diag_k] -= float(shift)
     return DiaMatrix(data.astype(dtype), A.offsets, A.shape)
+
+
+def helmholtz_rows(
+    grid_shape: Tuple[int, ...], shift: float, lo: int, hi: int, dtype=np.float64
+):
+    """(offsets, data columns) for rows [lo, hi) of the shifted Laplacian —
+    the Poisson row recipes with the diagonal shifted (per-row-block form)."""
+    g = tuple(grid_shape)
+    if len(g) == 1:
+        offsets, data = tridiagonal_rows(g[0], lo, hi, diag=2.0, off=-1.0, dtype=dtype)
+    elif len(g) == 2:
+        offsets, data = poisson2d_rows(g[1], g[0], lo, hi, dtype=dtype)
+    else:
+        offsets, data = poisson3d_rows(g[2], g[1], g[0], lo, hi, dtype=dtype)
+    data[offsets.index(0)] -= shift
+    return offsets, data
 
 
 def helmholtz_system(
@@ -574,10 +611,13 @@ def system_rows(
     b_kind: str = "cos10",
     x0_kind: str = "zeros",
     dtype=np.float64,
+    param: float | None = None,
 ):
     """(offsets, A-data columns, b, x0) for rows [lo, hi) of a named workload
     family — the block callback behind ``parallel.multihost
-    .make_distributed_system``."""
+    .make_distributed_system``.  ``param``: the family's scalar knob —
+    the Helmholtz shift (default 0.05) or the convection-diffusion eps
+    (default 0.05)."""
     if builder == "banded_sin":
         offsets, data = banded_sin_rows(n, band, lo, hi, dtype=dtype)
     elif builder == "tridiagonal":
@@ -593,6 +633,18 @@ def system_rows(
             offsets, data = poisson3d_rows(g[2], g[1], g[0], lo, hi, dtype=dtype)
         else:
             raise ValueError("poisson grid must be 1-3D")
+        b_kind = "poisson"
+        x0_kind = "zeros"
+    elif builder == "helmholtz":
+        offsets, data = helmholtz_rows(
+            tuple(grid), 0.05 if param is None else param, lo, hi, dtype=dtype
+        )
+        b_kind = "poisson"
+        x0_kind = "zeros"
+    elif builder == "convection_diffusion":
+        offsets, data = convection_diffusion_rows(
+            tuple(grid), lo, hi, eps=0.05 if param is None else param, dtype=dtype
+        )
         b_kind = "poisson"
         x0_kind = "zeros"
     else:

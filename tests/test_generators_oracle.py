@@ -120,3 +120,29 @@ def test_oracle_norm_conventions(norm):
         assert np.max(np.abs(r)) < 1e-9
     else:
         assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-9
+
+
+def test_rows_forms_match_full_builders():
+    """Per-row-block recipes for the session-5 families reproduce the full
+    builders slab-by-slab (the rung-5 assembly contract)."""
+    from conjugategradient_tpu.core import generators as g
+
+    A = g.convection_diffusion_matrix((12, 10), eps=0.07)
+    for lo, hi in ((0, 40), (40, 97), (97, 120)):
+        offs, data = g.convection_diffusion_rows((12, 10), lo, hi, eps=0.07)
+        assert offs == A.offsets
+        np.testing.assert_allclose(data, np.asarray(A.data)[:, lo:hi], atol=0)
+
+    H = g.helmholtz_matrix((9, 11), shift=0.03)
+    for lo, hi in ((0, 50), (50, 99)):
+        offs, data = g.helmholtz_rows((9, 11), 0.03, lo, hi)
+        assert offs == H.offsets
+        np.testing.assert_allclose(data, np.asarray(H.data)[:, lo:hi], atol=0)
+
+    # through the registry entry point
+    offs, data, b, x0 = g.system_rows(
+        "convection_diffusion", 10, 30, 120, grid=(12, 10), param=0.07
+    )
+    np.testing.assert_allclose(data, np.asarray(A.data)[:, 10:30], atol=0)
+    offs, data, b, x0 = g.system_rows("helmholtz", 0, 99, 99, grid=(9, 11), param=0.03)
+    np.testing.assert_allclose(data, np.asarray(H.data), atol=0)
