@@ -151,24 +151,59 @@ def solve(
 
     from conjugategradient_tpu.solvers.cg import cg_solve
 
-    A_dev = A.device_put(dtype=dtype) if hasattr(A, "device_put") else A
     b_dev = jnp.asarray(np.asarray(b), dtype=dtype)
     x0_dev = None if x0 is None else jnp.asarray(np.asarray(x0), dtype=dtype)
+
+    # split a preconditioner prefix off the method name; M construction is
+    # DEFERRED until the route is known (the sharded paths place the matrix
+    # themselves, and must not pay for a hierarchy they cannot use)
+    prefix = None
+    base = method
+    for p in ("jacobi_", "bjacobi_", "mg_"):
+        if method.startswith(p):
+            prefix, base = p[:-1], method[len(p):]
+            break
+
+    if base in ("bicgstab", "gmres", "minres") and "mesh" in kw:
+        # row-block-sharded nonsymmetric solve; only shard-equivariant
+        # preconditioning is available (jacobi_ becomes the M_local form —
+        # mg_/bjacobi_ would be silently replaced, so they are refused)
+        from conjugategradient_tpu.parallel.shard_nonsym import sharded_nonsym_solve
+
+        if prefix in ("bjacobi", "mg"):
+            raise ValueError(
+                f"{method} with mesh= is not supported: the {prefix} "
+                "preconditioner is not plumbed through the sharded solvers; "
+                "use the jacobi_ prefix or an explicit M_local via "
+                "parallel.shard_nonsym.sharded_nonsym_solve"
+            )
+        mkw = {}
+        if prefix == "jacobi":
+            mkw = dict(M_local=lambda r, aux: aux * r, M_aux=1.0 / _diagonal(A))
+        return sharded_nonsym_solve(
+            A, b, x0, policy, method=base, dtype=dtype, **mkw, **kw
+        )
+    if method == "cgnr":
+        from conjugategradient_tpu.solvers.cgnr import cgnr_solve
+
+        return cgnr_solve(A, b_dev, x0_dev, policy, **kw)
+
+    A_dev = A.device_put(dtype=dtype) if hasattr(A, "device_put") else A
     M = None
-    if method.startswith("jacobi_"):
+    if prefix == "jacobi":
         from conjugategradient_tpu.precond import jacobi_preconditioner
 
         diag = _diagonal(A)
         M = jacobi_preconditioner(jnp.asarray((1.0 / diag), dtype=b_dev.dtype))
-        method = method[len("jacobi_"):]
-    elif method.startswith("bjacobi_"):
+        method = base
+    elif prefix == "bjacobi":
         from conjugategradient_tpu.precond import block_jacobi_preconditioner
 
         M = block_jacobi_preconditioner(
             A, int(kw.pop("block_size", 8)), dtype=b_dev.dtype
         )
-        method = method[len("bjacobi_"):]
-    elif method.startswith("mg_"):
+        method = base
+    elif prefix == "mg":
         # multigrid-preconditioned nonsymmetric solve: the same Galerkin
         # hierarchy/V-cycle as MGCG, applied as a right preconditioner
         # (measured: 1100 -> 16 BiCGStab its on 63x63 convection-diffusion
@@ -181,7 +216,7 @@ def solve(
             raise TypeError(f"{method} requires a DiaMatrix")
         h = build_hierarchy(A, grid, dtype=np.dtype(b_dev.dtype))
         M = as_preconditioner(h)
-        method = method[len("mg_"):]
+        method = base
     elif method == "cheb_cg":
         from conjugategradient_tpu.precond import chebyshev_preconditioner_for
 
@@ -191,38 +226,18 @@ def solve(
             A, degree=int(kw.pop("degree", 3)), A_dev=A_dev, dtype=b_dev.dtype
         )
         method = "cg"
-    if method in ("bicgstab", "gmres", "minres"):
-        if "mesh" in kw:
-            # row-block-sharded nonsymmetric solve; jacobi_ prefix becomes
-            # the shard-equivariant M_local form
-            from conjugategradient_tpu.parallel.shard_nonsym import (
-                sharded_nonsym_solve,
-            )
+    if method == "bicgstab":
+        from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
 
-            mkw = {}
-            if M is not None:
-                mkw = dict(
-                    M_local=lambda r, aux: aux * r,
-                    M_aux=1.0 / _diagonal(A),
-                )
-            return sharded_nonsym_solve(
-                A, b, x0, policy, method=method, dtype=dtype, **mkw, **kw
-            )
-        if method == "bicgstab":
-            from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+        return bicgstab_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
+    if method == "minres":
+        from conjugategradient_tpu.solvers.minres import minres_solve
 
-            return bicgstab_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
-        if method == "minres":
-            from conjugategradient_tpu.solvers.minres import minres_solve
-
-            return minres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
+        return minres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
+    if method == "gmres":
         from conjugategradient_tpu.solvers.gmres import gmres_solve
 
         return gmres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
-    if method == "cgnr":
-        from conjugategradient_tpu.solvers.cgnr import cgnr_solve
-
-        return cgnr_solve(A, b_dev, x0_dev, policy, **kw)
     if method != "cg":
         raise ValueError(f"unknown method {method!r}")
     return cg_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
@@ -281,20 +296,27 @@ def _auto_method(A, grid) -> str:
 
     Symmetric + positive-definite-looking -> CG (MGCG when a grid is
     given); symmetric indefinite -> MINRES; nonsymmetric -> BiCGStab
-    (mg_bicgstab with a grid).  Definiteness is probed cheaply: positive
-    diagonal + a 30-step Lanczos lower bound (exact Gershgorin positivity
-    would be sufficient but rejects most interesting SPD systems).
+    (mg_bicgstab with a grid).  Definiteness is probed by positive
+    diagonal + a 120-step full-reorth Lanczos lower bound (exact
+    Gershgorin positivity would be sufficient but rejects most
+    interesting SPD systems; 30 steps measurably MISSES a -1.5*lambda_1
+    Helmholtz shift on a 63x63 grid, 120 resolves it exactly).  A deeply
+    clustered interior negative eigenvalue can still evade the probe —
+    when in doubt pass method="minres" explicitly (it is also correct,
+    just marginally slower, on SPD systems).
     """
-    tol_sym = 1e-12 * float(np.max(np.abs(np.asarray(A.data))))
+    diag = _diagonal(A)
+    tol_sym = 1e-12 * float(np.max(np.abs(diag)))
     if not formats.is_symmetric(A, tol=tol_sym):
         return "mg_bicgstab" if grid is not None else "bicgstab"
-    diag = _diagonal(A)
     spd = bool(np.all(diag > 0))
     if spd:
         from conjugategradient_tpu.core import oracle
         from conjugategradient_tpu.solvers.eigen import lanczos_bounds
 
-        lo, _hi = lanczos_bounds(lambda v: oracle.spmv(A, v), A.shape[0], k=30)
+        lo, _hi = lanczos_bounds(
+            lambda v: oracle.spmv(A, v), A.shape[0], k=min(A.shape[0], 120)
+        )
         spd = lo > -1e-10 * abs(_hi)
     if not spd:
         return "minres"

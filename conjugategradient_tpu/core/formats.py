@@ -874,6 +874,8 @@ def _any_to_csr(A) -> CsrMatrix:
         return dia_to_csr(A)
     if isinstance(A, StencilMatrix):
         return dia_to_csr(stencil_to_dia(A))
+    if isinstance(A, ConstStencilMatrix):
+        return dia_to_csr(stencil_to_dia(const_to_stencil(A)))
     if isinstance(A, EllMatrix):
         return ell_to_csr(A)
     if isinstance(A, CooMatrix):

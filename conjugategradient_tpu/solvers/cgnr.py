@@ -41,11 +41,15 @@ def cgnr_solve(
     kappa(A^T A) = kappa(A)^2 — expect roughly the square of the
     equivalent CG iteration count.
     """
+    from conjugategradient_tpu.ops.blas import residual_norm
+
     A_t = transpose(A)
     A_dev = A.device_put(dtype=b.dtype) if hasattr(A, "device_put") else A
     At_dev = A_t.device_put(dtype=b.dtype) if hasattr(A_t, "device_put") else A_t
     op = as_operator(A_dev)
     opT = as_operator(At_dev)
+    r0 = b - op(jnp.zeros_like(b) if x0 is None else x0.astype(b.dtype))
+    rr0 = jnp.vdot(r0, r0, preferred_element_type=b.dtype)
     res = cg_solve(
         lambda x: opT(op(x)),
         opT(b),
@@ -55,11 +59,5 @@ def cgnr_solve(
     )
     r = b - op(res.x)
     rr = jnp.vdot(r, r, preferred_element_type=r.dtype)
-    rr0 = jnp.vdot(b, b, preferred_element_type=r.dtype)
-    if policy.norm == "linf":
-        true_res = jnp.max(jnp.abs(r))
-    elif policy.norm == "rel_l2":
-        true_res = jnp.sqrt(rr / rr0)
-    else:
-        true_res = jnp.sqrt(rr)
+    true_res = residual_norm(r, rr, rr0, policy.norm)
     return dataclasses.replace(res, residual=true_res)

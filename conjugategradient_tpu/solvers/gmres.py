@@ -150,7 +150,13 @@ def gmres_loop(
             sk = _safe_div(hk1, denom)
             cs = jnp.where(active, cs.at[k].set(ck), cs)
             sn = jnp.where(active, sn.at[k].set(sk), sn)
-            col = (h.at[k].set(ck * hk + sk * hk1))[:m] * (rows[:m] <= k).astype(dtype)
+            # denom == 0 (complete breakdown: a zero-residual start forced
+            # active by min_iteration) would write a ZERO diagonal into R
+            # and NaN the triangular solve; park a 1 there instead — g's
+            # matching entry is 0 in exactly that case, so y_k = 0
+            col = (h.at[k].set(jnp.where(denom > 0, denom, 1.0)))[:m] * (
+                rows[:m] <= k
+            ).astype(dtype)
             R = jnp.where(active, R.at[:, k].set(col), R)
             g = jnp.where(
                 active,

@@ -119,6 +119,7 @@ def minres_loop(
     )
     state = jax.lax.while_loop(cond, body, state0)
     x, it = state[0], state[13]
+    beta_final = state[7]
 
     # honest reporting: the TRUE residual in the policy norm
     r = b - op(x)
@@ -127,7 +128,12 @@ def minres_loop(
     else:
         rr = dot(r, r)
         res = residual_norm(r, rr, rr0, policy.norm)
-    converged = jnp.logical_and(res < tol, it >= min_iter)
+    # Lanczos breakdown (beta = 0) is exact convergence and may exit the
+    # loop before min_iteration — it must not read as failure (cg/bicgstab
+    # reach the same situation by iterating NaN-frozen steps instead)
+    converged = jnp.logical_and(
+        res < tol, jnp.logical_or(it >= min_iter, beta_final == 0)
+    )
     return CGResult(x=x, iterations=it, residual=res, converged=converged)
 
 

@@ -28,13 +28,19 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
-def timed_chain(run_one, b, k_pair=(2, 10), tries=3):
-    """Difference two chained-scan lengths; returns seconds per solve."""
+def timed_chain(run_one, args, b, k_pair=(2, 10), tries=3):
+    """Difference two chained-scan lengths; returns seconds per solve.
+
+    ``args`` is a pytree of operator/preconditioner state passed as a jit
+    ARGUMENT (CLAUDE.md: closure constants ship inside the compile request
+    — prohibitive through the tunnel at these sizes); ``run_one(args, bb)``
+    performs one solve.
+    """
     rng = np.random.default_rng()
 
-    def chain(b, scales):
+    def chain(args, b, scales):
         def step(prev_x, s):
-            res = run_one(b * s + 1e-30 * prev_x)
+            res = run_one(args, b * s + 1e-30 * prev_x)
             return res[0], res[1:]
 
         x, aux = jax.lax.scan(step, jnp.zeros_like(b), scales)
@@ -45,13 +51,13 @@ def timed_chain(run_one, b, k_pair=(2, 10), tries=3):
     aux_out = None
     for k in k_pair:
         scales = jnp.asarray(1.0 + rng.uniform(1e-5, 1e-3, k).astype(np.float32))
-        out = chain_j(b, scales)
+        out = chain_j(args, b, scales)
         jax.block_until_ready(out)
         best = float("inf")
         for _ in range(tries):
             scales = jnp.asarray(1.0 + rng.uniform(1e-5, 1e-3, k).astype(np.float32))
             t0 = time.perf_counter()
-            out = chain_j(b, scales)
+            out = chain_j(args, b, scales)
             jax.block_until_ready(out[0])
             best = min(best, time.perf_counter() - t0)
         times[k] = best
@@ -81,22 +87,23 @@ def main():
     A_st = dia_to_stencil(sys_.A, grid).device_put(dtype=jnp.float32)
     b = jnp.asarray(sys_.b, jnp.float32).reshape(grid)
     pol = ConvergencePolicy(tol=1e-5, norm="rel_l2", max_iteration=40000)
-    M = as_preconditioner(h)
+    from conjugategradient_tpu.precond import as_preconditioner as _as_p
 
-    def run_mg(bb):
-        res = bicgstab_solve(A_st, bb, policy=pol, M=M)
+    def run_mg(args, bb):
+        A_, h_ = args
+        res = bicgstab_solve(A_, bb, policy=pol, M=_as_p(h_))
         return res.x, res.iterations, res.residual, res.converged
 
-    per, (its, ress, convs) = timed_chain(run_mg, b, k_pair=(2, 12))
+    per, (its, ress, convs) = timed_chain(run_mg, (A_st, h), b, k_pair=(2, 12))
     assert bool(np.asarray(convs).all()), "mg_bicgstab did not converge on chip"
     out["mg_bicgstab_1023_ms"] = round(1e3 * per, 3)
     out["mg_bicgstab_1023_its"] = int(np.asarray(its)[-1])
 
-    def run_plain(bb):
-        res = bicgstab_solve(A_st, bb, policy=pol)
+    def run_plain(args, bb):
+        res = bicgstab_solve(args, bb, policy=pol)
         return res.x, res.iterations, res.residual, res.converged
 
-    per_p, (its_p, _, convs_p) = timed_chain(run_plain, b, k_pair=(1, 3))
+    per_p, (its_p, _, convs_p) = timed_chain(run_plain, A_st, b, k_pair=(1, 3))
     out["bicgstab_1023_ms"] = round(1e3 * per_p, 3)
     out["bicgstab_1023_its"] = int(np.asarray(its_p)[-1])
     out["bicgstab_1023_converged"] = bool(np.asarray(convs_p).all())

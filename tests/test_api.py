@@ -139,3 +139,24 @@ def test_auto_method_dispatch():
         assert bool(res.converged)
         err = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
         assert err < 1e-6
+
+
+def test_auto_handles_const_stencil_and_deep_indefinite():
+    """Review findings: auto must probe ConstStencilMatrix (no .data leaf)
+    and catch mildly indefinite 2-D Helmholtz shifts (needs the 120-step
+    Lanczos probe — 30 steps misses them)."""
+    import numpy as np
+
+    from conjugategradient_tpu.api import _auto_method
+    from conjugategradient_tpu.core import formats, generators
+
+    A = generators.poisson2d_matrix(16)
+    st = formats.dia_to_stencil(A, (16, 16))
+    cst = formats.stencil_to_const(st)
+    assert cst is not None
+    assert _auto_method(cst, (16, 16)) == "mgcg"
+
+    lam1 = 2 * 4 * np.sin(np.pi / 128) ** 2
+    for mult in (1.5, 3.0):
+        indef = generators.helmholtz_matrix((63, 63), shift=mult * lam1)
+        assert _auto_method(indef, None) == "minres", mult

@@ -109,3 +109,23 @@ def test_exact_x0_and_max_iteration(helmholtz):
     )
     assert int(capped.iterations) == 7
     assert not bool(capped.converged)
+
+
+def test_breakdown_exit_before_min_iteration_converges(helmholtz):
+    """Exact-breakdown exit (beta1 = 0, e.g. b = 0) before min_iteration is
+    exact convergence, not failure (review finding); a noisy near-exact x0
+    (beta1 ~ 1e-13 > 0) instead iterates NaN-free to min_iteration and
+    also converges."""
+    sys_, x_true = helmholtz
+    zero = minres_solve(
+        sys_.A.device_put(), jnp.zeros(sys_.n),
+        policy=ConvergencePolicy(tol=1e-8, norm="l2", min_iteration=5),
+    )
+    assert bool(zero.converged)
+    assert int(zero.iterations) == 0
+    near = minres_solve(
+        sys_.A.device_put(), jnp.asarray(sys_.b), jnp.asarray(x_true),
+        policy=ConvergencePolicy(tol=1e-8, norm="l2", min_iteration=5),
+    )
+    assert bool(near.converged)
+    assert float(near.residual) < 1e-10

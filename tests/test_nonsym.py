@@ -304,3 +304,34 @@ def test_fuzz_random_nonsymmetric_band():
             assert bool(res.converged), (case, fn.__name__)
             err = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
             assert err < 1e-8, (case, fn.__name__, err)
+
+
+def test_gmres_zero_residual_min_iteration_nan_free():
+    """Zero-residual start + min_iteration: the forced-active Arnoldi steps
+    write an identity diagonal (not zero) into R — x stays finite and zero
+    (review finding: NaN via 0/0 in the triangular solve)."""
+    sys_ = generators.banded_sin_system(64, 8)
+    res = gmres_solve(
+        sys_.A.device_put(), jnp.zeros(64),
+        policy=ConvergencePolicy(tol=1e-10, norm="l2", min_iteration=1),
+        restart=8,
+    )
+    x = np.asarray(res.x)
+    assert np.all(np.isfinite(x))
+    assert np.abs(x).max() == 0.0
+    assert bool(res.converged)
+
+
+def test_mesh_with_unsupported_prefix_raises(convdiff):
+    """mg_/bjacobi_ + mesh= must refuse loudly, not silently degrade to
+    point Jacobi (review finding)."""
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+
+    sys_, _ = convdiff
+    mesh = make_mesh(4)
+    for method in ("mg_bicgstab", "bjacobi_gmres"):
+        with pytest.raises(ValueError, match="not supported"):
+            solve(
+                sys_.A, sys_.b, method=method, grid=(24, 24), mesh=mesh,
+                tol=1e-6, norm="rel_l2",
+            )
