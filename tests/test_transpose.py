@@ -72,3 +72,24 @@ def test_cgnr_solves_nonsymmetric():
     r = sys_.b - oracle.spmv(sys_.A, np.asarray(res.x, np.float64))
     rel = np.linalg.norm(r) / np.linalg.norm(sys_.b)
     np.testing.assert_allclose(float(res.residual), rel, rtol=1e-3)
+
+
+def test_transpose_fuzz_random_dia():
+    """Seeded fuzz: random sparse DIA offset sets / data; transpose matches
+    the dense transpose and is an involution."""
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        n = int(rng.integers(5, 40))
+        n_off = int(rng.integers(1, min(2 * n - 1, 9)))
+        offsets = tuple(
+            sorted(rng.choice(np.arange(-(n - 1), n), size=n_off, replace=False))
+        )
+        data = rng.standard_normal((n_off, n))
+        i = np.arange(n)
+        for k, off in enumerate(offsets):
+            data[k] = np.where((i + off >= 0) & (i + off < n), data[k], 0.0)
+        A = formats.DiaMatrix(data, offsets, (n, n))
+        At = transpose(A)
+        np.testing.assert_allclose(_dense(At), _dense(A).T, atol=1e-14)
+        Att = transpose(At)
+        np.testing.assert_allclose(_dense(Att), _dense(A), atol=1e-14)
