@@ -33,6 +33,51 @@ import time
 import numpy as np
 
 
+def _devices_or_die(timeout_s: int = 600):
+    """Backend discovery with a hard timeout.
+
+    The axon tunnel, when down, makes ``jax.devices()`` HANG for tens of
+    minutes before raising (observed: a ~7 h outage on 2026-08-18 where
+    every probe blocked >5 min).  A benched round must fail fast and
+    legibly instead.  The probe runs in a SUBPROCESS — the hang sits
+    inside C-level PJRT client init, which defers in-process signal
+    handlers indefinitely (SIGALRM measured not to fire), but a child can
+    always be killed.  On timeout/init failure: one JSON line with an
+    ``error`` field, exit nonzero, so the driver records the outage
+    rather than a silent stall.
+    """
+    import subprocess
+    import sys
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        ok = probe.returncode == 0
+        detail = "" if ok else probe.stderr.decode()[-300:]
+    except subprocess.TimeoutExpired:
+        ok = False
+        detail = f"backend init exceeded {timeout_s}s"
+    if not ok:
+        print(
+            json.dumps(
+                {
+                    "metric": "mgcg_1M_poisson_solve",
+                    "value": None,
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "error": f"TPU backend unavailable: {detail}",
+                }
+            )
+        )
+        sys.exit(1)
+    import jax
+
+    return jax.devices()
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -41,7 +86,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    platform = jax.devices()[0].platform
+    platform = _devices_or_die()[0].platform
     on_tpu = platform != "cpu"
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
