@@ -33,6 +33,9 @@ here one function routes to the right solver:
   (Helmholtz); constant memory, monotone ``||r||`` (``solvers.minres``)
 - ``method="cgnr"`` — CG on the normal equations (any nonsingular A;
   constant memory, kappa squared — the nonsymmetric fallback)
+- ``method="chebyshev"`` — dot-free Chebyshev iteration for SPD systems
+  (``bounds=(lo, hi)``, ``check_every=``); with ``mesh=``: ONE all-reduce
+  per check_every iterations (``solvers.cheby``)
 - ``method="auto"`` — probe the matrix (symmetry, definiteness) and pick:
   CG/MGCG for SPD, MINRES for symmetric indefinite, BiCGStab (mg_ with a
   grid) for nonsymmetric
@@ -164,7 +167,12 @@ def solve(
             prefix, base = p[:-1], method[len(p):]
             break
 
-    if base in ("bicgstab", "gmres", "minres") and "mesh" in kw:
+    if base == "chebyshev" and prefix is not None:
+        raise ValueError(
+            "chebyshev takes no preconditioner prefix (fold scaling into "
+            "the operator and its bounds instead)"
+        )
+    if base in ("bicgstab", "gmres", "minres", "chebyshev") and "mesh" in kw:
         # row-block-sharded nonsymmetric solve; only shard-equivariant
         # preconditioning is available (jacobi_ becomes the M_local form —
         # mg_/bjacobi_ would be silently replaced, so they are refused)
@@ -180,6 +188,14 @@ def solve(
         mkw = {}
         if prefix == "jacobi":
             mkw = dict(M_local=lambda r, aux: aux * r, M_aux=1.0 / _diagonal(A))
+        if base == "chebyshev" and "bounds" not in kw:
+            from conjugategradient_tpu.core import oracle as _oracle
+            from conjugategradient_tpu.solvers.eigen import lanczos_bounds
+
+            lo_e, hi_e = lanczos_bounds(
+                lambda v: _oracle.spmv(A, v), A.shape[0], k=min(A.shape[0], 40)
+            )
+            kw["bounds"] = (max(lo_e * 0.9, 1e-12 * hi_e), hi_e * 1.1)
         return sharded_nonsym_solve(
             A, b, x0, policy, method=base, dtype=dtype, **mkw, **kw
         )
@@ -238,6 +254,10 @@ def solve(
         from conjugategradient_tpu.solvers.gmres import gmres_solve
 
         return gmres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
+    if method == "chebyshev":
+        from conjugategradient_tpu.solvers.cheby import chebyshev_solve
+
+        return chebyshev_solve(A, b_dev, x0_dev, policy, **kw)
     if method != "cg":
         raise ValueError(f"unknown method {method!r}")
     return cg_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)

@@ -1,4 +1,6 @@
-"""Row-block-sharded nonsymmetric solvers: BiCGStab and GMRES(m).
+"""Row-block-sharded solvers beyond plain CG: BiCGStab, GMRES(m), MINRES
+and the dot-free Chebyshev iteration (all built by psum-injection into the
+shared single-device loops).
 
 Extends the flagship distributed design (``parallel.sharded_cg`` — the
 re-design of ``Mgcg/cuBlas/Mgcg/ConjugateGradientParallelGpu.cs:424-565``)
@@ -150,6 +152,25 @@ def sharded_minres_loop(
     )
 
 
+def sharded_chebyshev_loop(
+    op, b, x0, policy: ConvergencePolicy, axis: str, n_global: int,
+    lo: float, hi: float, check_every: int = 16
+) -> CGResult:
+    """Dot-free distributed solve: ONE all-reduce per ``check_every``
+    halo-exchange SpMVs (the latency-bound-regime extreme of the
+    communication axis — cf. variant="cg1" at 1/iteration)."""
+    from conjugategradient_tpu.solvers.cheby import chebyshev_loop
+
+    pdot = lambda u, v: jax.lax.psum(
+        jnp.dot(u.ravel(), v.ravel(), preferred_element_type=u.dtype), axis
+    )
+    pmax_abs = lambda r: jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
+    return chebyshev_loop(
+        op, b, x0, policy, lo, hi, pdot, check_every=check_every,
+        pmax_abs=pmax_abs, n_global=n_global,
+    )
+
+
 def make_sharded_nonsym(
     A: DiaMatrix,
     mesh: Mesh,
@@ -158,17 +179,25 @@ def make_sharded_nonsym(
     axis: str = "x",
     M_local: Optional[Callable] = None,
     restart: int = 32,
+    bounds=None,
+    check_every: int = 16,
     donate: bool = True,
 ):
-    """Build a jitted row-block-sharded nonsymmetric solver (DIA storage,
-    halo-ppermute SpMV; all-gather fallback for bandwidth > n_local — the
-    same operator construction as ``make_sharded_cg``).
+    """Build a jitted row-block-sharded solver (DIA storage, halo-ppermute
+    SpMV; all-gather fallback for bandwidth > n_local — the same operator
+    construction as ``make_sharded_cg``).
 
     Returns ``solve(data, b, x0[, m_aux]) -> CGResult``; ``M_local`` as in
     ``make_sharded_cg`` (shard-equivariant, right preconditioning).
+    ``method="chebyshev"`` (dot-free; requires ``bounds=(lo, hi)``) ignores
+    ``M_local``.
     """
-    if method not in ("bicgstab", "gmres", "minres"):
-        raise ValueError(f"unknown method {method!r}; want bicgstab|gmres|minres")
+    if method not in ("bicgstab", "gmres", "minres", "chebyshev"):
+        raise ValueError(
+            f"unknown method {method!r}; want bicgstab|gmres|minres|chebyshev"
+        )
+    if method == "chebyshev" and bounds is None:
+        raise ValueError("chebyshev requires bounds=(lo, hi)")
     num = mesh.shape[axis]
     n = A.n
     if n % num:
@@ -183,6 +212,12 @@ def make_sharded_nonsym(
             op = lambda p: spmv_dia_allgather(data, offsets, p, axis, num)
         else:
             op = lambda p: spmv_dia_local_overlap(data, offsets, p, halo, axis, num)
+        if method == "chebyshev":
+            lo, hi = bounds
+            return sharded_chebyshev_loop(
+                op, b, x0, policy, axis, n, float(lo), float(hi),
+                check_every=check_every,
+            )
         if method == "bicgstab":
             M = (lambda r: M_local(r, m_aux)) if M_local is not None else (lambda r: r)
             return sharded_bicgstab_loop(op, M, b, x0, policy, axis, n)
@@ -219,6 +254,8 @@ def sharded_nonsym_solve(
     M_local: Optional[Callable] = None,
     M_aux=None,
     restart: int = 32,
+    bounds=None,
+    check_every: int = 16,
     dtype=None,
 ) -> CGResult:
     """One-call convenience: place the system row-block-sharded and solve."""
@@ -230,7 +267,7 @@ def sharded_nonsym_solve(
         mesh = make_mesh(axis=axis)
     solve = make_sharded_nonsym(
         A, mesh, policy, method=method, axis=axis, M_local=M_local,
-        restart=restart, donate=False,
+        restart=restart, bounds=bounds, check_every=check_every, donate=False,
     )
     dt = dtype or np.asarray(A.data).dtype
     row = NamedSharding(mesh, P(axis))
