@@ -72,11 +72,16 @@ def main() -> int:
     print("1. one-call facade (banded |sin| n=1024, band 16):")
     sys_ = generators.banded_sin_system(1024, 16)
     its = {}
-    for method, kw in (("cg", {}), ("jacobi_cg", {}), ("cheb_cg", {"degree": 3})):
+    for method, kw in (
+        ("cg", {}),
+        ("jacobi_cg", {}),
+        ("cheb_cg", {"degree": 3}),
+        ("chebyshev", {"max_iteration": 20000}),  # dot-free fixed polynomial
+    ):
         res = solve(sys_.A, sys_.b, sys_.x0, method=method, tol=1e-10, norm="rel_l2", **kw)
         its[method] = int(res.iterations)
         check(f"{method} ({its[method]} iterations)", res.x, sys_)
-    assert its["cheb_cg"] < its["jacobi_cg"] < its["cg"], its
+    assert its["cheb_cg"] < its["jacobi_cg"] < its["cg"] <= its["chebyshev"], its
 
     grid = (63, 63)
     psys = generators.poisson_system(grid)
