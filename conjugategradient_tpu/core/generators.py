@@ -436,6 +436,65 @@ def convection_diffusion_rows(
     return (-nx, -1, 0, 1, nx), data
 
 
+def convection_diffusion3d_rows(
+    grid_shape: Tuple[int, int, int],
+    lo: int,
+    hi: int,
+    eps: float = 1.0,
+    velocity="recirculating",
+    scheme: str = "upwind",
+    dtype=np.float64,
+):
+    """(offsets, data columns) for flat rows [lo, hi) of the 3-D
+    convection-diffusion operator on an ``nz x ny x nx`` grid (7-point
+    layout like ``poisson3d_rows``).  The recirculating field rotates
+    about the z-axis: ``v = (y - cy, -(x - cx), 0) / corner_speed`` —
+    closed-form in the row index like the 2-D version."""
+    nz, ny, nx = grid_shape
+    i = np.arange(lo, hi, dtype=np.int64)
+    gx = (i % nx).astype(np.float64)
+    gy = ((i // nx) % ny).astype(np.float64)
+    if velocity == "recirculating":
+        cx, cy = (nx - 1) / 2.0, (ny - 1) / 2.0
+        vx = gy - cy
+        vy = -(gx - cx)
+        vz = np.zeros(hi - lo)
+        speed = np.sqrt(cx * cx + cy * cy)
+        if speed > 0:
+            vx, vy = vx / speed, vy / speed
+    else:
+        vx = np.full(hi - lo, float(velocity[0]))
+        vy = np.full(hi - lo, float(velocity[1]))
+        vz = np.full(hi - lo, float(velocity[2]))
+    if scheme == "upwind":
+        west = -eps - np.maximum(vx, 0.0)
+        east = -eps - np.maximum(-vx, 0.0)
+        south = -eps - np.maximum(vy, 0.0)
+        north = -eps - np.maximum(-vy, 0.0)
+        down = -eps - np.maximum(vz, 0.0)
+        up = -eps - np.maximum(-vz, 0.0)
+        diag = 6.0 * eps + np.abs(vx) + np.abs(vy) + np.abs(vz)
+    elif scheme == "central":
+        west, east = -eps - 0.5 * vx, -eps + 0.5 * vx
+        south, north = -eps - 0.5 * vy, -eps + 0.5 * vy
+        down, up = -eps - 0.5 * vz, -eps + 0.5 * vz
+        diag = np.full(hi - lo, 6.0 * eps)
+    else:
+        raise ValueError(f"unknown scheme {scheme!r}")
+    x = i % nx
+    y = (i // nx) % ny
+    z = i // (nx * ny)
+    data = np.zeros((7, hi - lo), dtype=dtype)
+    data[0] = np.where(z >= 1, down, 0.0)
+    data[1] = np.where(y >= 1, south, 0.0)
+    data[2] = np.where(x >= 1, west, 0.0)
+    data[3] = diag
+    data[4] = np.where(x <= nx - 2, east, 0.0)
+    data[5] = np.where(y <= ny - 2, north, 0.0)
+    data[6] = np.where(z <= nz - 2, up, 0.0)
+    return (-nx * ny, -nx, -1, 0, 1, nx, nx * ny), data
+
+
 def convection_diffusion_matrix(
     grid_shape: Tuple[int, int],
     eps: float = 1.0,
@@ -443,9 +502,10 @@ def convection_diffusion_matrix(
     scheme: str = "upwind",
     dtype=np.float64,
 ) -> DiaMatrix:
-    """2-D convection-diffusion ``-eps * lap(u) + v . grad(u)`` on an
-    ``ny x nx`` unit-spacing grid, Dirichlet boundaries, 5-point DIA layout
-    (offsets ``(-nx, -1, 0, 1, nx)`` exactly like ``poisson2d_matrix``).
+    """Convection-diffusion ``-eps * lap(u) + v . grad(u)`` on a 2-D
+    ``ny x nx`` (5-point) or 3-D ``nz x ny x nx`` (7-point) unit-spacing
+    grid, Dirichlet boundaries, DIA layout exactly like the Poisson
+    builders.
 
     ``velocity``: ``"recirculating"`` — the classic rotating field
     ``v(x, y) = (y - cy, -(x - cx))`` scaled to max speed 1 (circulation
@@ -458,10 +518,15 @@ def convection_diffusion_matrix(
     The cell Peclet number ``max|v| / eps`` controls nonnormality: eps >> 1
     is a perturbed Laplacian, eps << 1 is transport-dominated.
     """
-    ny, nx = grid_shape
-    n = nx * ny
-    offsets, data = convection_diffusion_rows(
-        grid_shape, 0, n, eps=eps, velocity=velocity, scheme=scheme, dtype=dtype
+    n = int(np.prod(grid_shape))
+    rows = (
+        convection_diffusion_rows
+        if len(grid_shape) == 2
+        else convection_diffusion3d_rows
+    )
+    offsets, data = rows(
+        tuple(grid_shape), 0, n, eps=eps, velocity=velocity, scheme=scheme,
+        dtype=dtype,
     )
     return DiaMatrix(data, offsets, (n, n))
 
@@ -642,7 +707,12 @@ def system_rows(
         b_kind = "poisson"
         x0_kind = "zeros"
     elif builder == "convection_diffusion":
-        offsets, data = convection_diffusion_rows(
+        rows_fn = (
+            convection_diffusion_rows
+            if len(tuple(grid)) == 2
+            else convection_diffusion3d_rows
+        )
+        offsets, data = rows_fn(
             tuple(grid), lo, hi, eps=0.05 if param is None else param, dtype=dtype
         )
         b_kind = "poisson"

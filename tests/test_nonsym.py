@@ -335,3 +335,31 @@ def test_mesh_with_unsupported_prefix_raises(convdiff):
                 sys_.A, sys_.b, method=method, grid=(24, 24), mesh=mesh,
                 tol=1e-6, norm="rel_l2",
             )
+
+
+def test_3d_convection_diffusion():
+    """3-D transport family: rows form matches the full builder, and the
+    whole nonsym ladder (bicgstab / mg_bicgstab) solves it."""
+    grid = (10, 12, 8)
+    sys_ = generators.convection_diffusion_system(grid, eps=0.1)
+    n = sys_.A.n
+    assert n == 960
+    # rows slab parity
+    offs, data = generators.convection_diffusion3d_rows(grid, 100, 500, eps=0.1)
+    assert offs == sys_.A.offsets
+    np.testing.assert_allclose(data, np.asarray(sys_.A.data)[:, 100:500], atol=0)
+    # genuinely nonsymmetric, solvable
+    from conjugategradient_tpu.core.formats import is_symmetric
+
+    assert not is_symmetric(sys_.A, tol=1e-10)
+    x_true = oracle.direct_solve(sys_.A, sys_.b)
+    res = solve(sys_.A, sys_.b, method="bicgstab", tol=1e-10, norm="rel_l2")
+    assert bool(res.converged)
+    assert _rel_err(sys_.A, res.x, x_true) < 1e-7
+    mg = solve(
+        sys_.A, sys_.b, method="mg_bicgstab", grid=grid, tol=1e-10,
+        norm="rel_l2",
+    )
+    assert bool(mg.converged)
+    assert _rel_err(sys_.A, mg.x, x_true) < 1e-7
+    assert int(mg.iterations) < int(res.iterations)
