@@ -189,13 +189,9 @@ def solve(
         if prefix == "jacobi":
             mkw = dict(M_local=lambda r, aux: aux * r, M_aux=1.0 / _diagonal(A))
         if base == "chebyshev" and "bounds" not in kw:
-            from conjugategradient_tpu.core import oracle as _oracle
-            from conjugategradient_tpu.solvers.eigen import lanczos_bounds
+            from conjugategradient_tpu.solvers.cheby import estimate_bounds
 
-            lo_e, hi_e = lanczos_bounds(
-                lambda v: _oracle.spmv(A, v), A.shape[0], k=min(A.shape[0], 40)
-            )
-            kw["bounds"] = (max(lo_e * 0.9, 1e-12 * hi_e), hi_e * 1.1)
+            kw["bounds"] = estimate_bounds(A)
         return sharded_nonsym_solve(
             A, b, x0, policy, method=base, dtype=dtype, **mkw, **kw
         )
@@ -257,7 +253,11 @@ def solve(
     if method == "chebyshev":
         from conjugategradient_tpu.solvers.cheby import chebyshev_solve
 
-        return chebyshev_solve(A, b_dev, x0_dev, policy, **kw)
+        if "bounds" not in kw:
+            from conjugategradient_tpu.solvers.cheby import estimate_bounds
+
+            kw["bounds"] = estimate_bounds(A)
+        return chebyshev_solve(A_dev, b_dev, x0_dev, policy, **kw)
     if method != "cg":
         raise ValueError(f"unknown method {method!r}")
     return cg_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)

@@ -452,12 +452,13 @@ def convection_diffusion3d_rows(
     closed-form in the row index like the 2-D version."""
     nz, ny, nx = grid_shape
     i = np.arange(lo, hi, dtype=np.int64)
-    gx = (i % nx).astype(np.float64)
-    gy = ((i // nx) % ny).astype(np.float64)
+    x = i % nx
+    y = (i // nx) % ny
+    z = i // (nx * ny)
     if velocity == "recirculating":
         cx, cy = (nx - 1) / 2.0, (ny - 1) / 2.0
-        vx = gy - cy
-        vy = -(gx - cx)
+        vx = y.astype(np.float64) - cy
+        vy = -(x.astype(np.float64) - cx)
         vz = np.zeros(hi - lo)
         speed = np.sqrt(cx * cx + cy * cy)
         if speed > 0:
@@ -481,9 +482,6 @@ def convection_diffusion3d_rows(
         diag = np.full(hi - lo, 6.0 * eps)
     else:
         raise ValueError(f"unknown scheme {scheme!r}")
-    x = i % nx
-    y = (i // nx) % ny
-    z = i // (nx * ny)
     data = np.zeros((7, hi - lo), dtype=dtype)
     data[0] = np.where(z >= 1, down, 0.0)
     data[1] = np.where(y >= 1, south, 0.0)

@@ -90,12 +90,17 @@ def chebyshev_loop(
             jnp.logical_or(it < min_iter, res >= tol), it < max_iter
         )
 
+    need_rr = not (policy.norm == "linf" and pmax_abs is not None)
+
     def body(state):
-        x, r, d, rho_prev, _rr, it, started = state
+        x, r, d, rho_prev, rr, it, started = state
         (x, r, d, rho_prev, it, started), _ = jax.lax.scan(
             step, (x, r, d, rho_prev, it, started), None, length=check
         )
-        rr = dot(r, r)  # the ONE reduction per `check` iterations
+        # the ONE reduction per `check` iterations — skipped entirely for
+        # linf, whose predicate pmax in `cond` is the reduction instead
+        if need_rr:
+            rr = dot(r, r)
         return (x, r, d, rho_prev, rr, it, started)
 
     zero = jnp.zeros_like(b)
@@ -105,6 +110,20 @@ def chebyshev_loop(
     res = res_of(r, rr)
     converged = jnp.logical_and(res < tol, it >= min_iter)
     return CGResult(x=x, iterations=it, residual=res, converged=converged)
+
+
+def estimate_bounds(A, k: int = 40, widen: float = 0.1):
+    """Setup-time spectral-bound estimate: host Lanczos widened by
+    ``widen`` on each side (an UNDERestimated upper bound diverges the
+    recurrence).  Shared by ``chebyshev_solve`` and the facade's sharded
+    route, so both paths always use identical bounds for a given matrix."""
+    from conjugategradient_tpu.core import oracle
+    from conjugategradient_tpu.solvers.eigen import lanczos_bounds
+
+    lo_e, hi_e = lanczos_bounds(
+        lambda v: oracle.spmv(A, v), A.shape[0], k=min(A.shape[0], k)
+    )
+    return max(lo_e * (1.0 - widen), 1e-12 * hi_e), hi_e * (1.0 + widen)
 
 
 def chebyshev_solve(
@@ -126,18 +145,7 @@ def chebyshev_solve(
     production use.  ``check_every`` trades convergence-detection latency
     against reduction count.
     """
-    if bounds is None:
-        import numpy as np
-
-        from conjugategradient_tpu.core import oracle
-        from conjugategradient_tpu.solvers.eigen import lanczos_bounds
-
-        lo_e, hi_e = lanczos_bounds(
-            lambda v: oracle.spmv(A, v), A.shape[0], k=min(A.shape[0], 40)
-        )
-        lo, hi = max(lo_e * 0.9, 1e-12 * hi_e), hi_e * 1.1
-    else:
-        lo, hi = bounds
+    lo, hi = estimate_bounds(A) if bounds is None else bounds
     op = as_operator(A, use_pallas=use_pallas)
     dtype = b.dtype
     x = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)

@@ -87,8 +87,11 @@ def main() -> int:
         f"loss {l0:.3e} -> {l1:.3e} in {args.steps} Adam steps ({wall:.1f} s); "
         f"relative coefficient error {err:.2e}"
     )
-    # each gradient = 2 CG solves (forward + adjoint), O(n) memory
-    ok = l1 < 1e-6 * max(l0, 1e-30) and (err < 0.05 or args.noise > 0)
+    # each gradient = 2 CG solves (forward + adjoint), O(n) memory.
+    # With observation noise the achievable loss floor is ~noise^2 (the
+    # MSE of fitting noise), not a fraction of l0
+    loss_goal = 1e-6 * max(l0, 1e-30) if args.noise == 0 else 10.0 * args.noise**2
+    ok = l1 < loss_goal and (err < 0.05 or args.noise > 0)
     print("OK" if ok else "MISMATCH")
     return 0 if ok else 1
 

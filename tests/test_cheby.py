@@ -121,3 +121,52 @@ def test_facade_single_device(band):
     assert bool(res.converged)
     err = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
     assert err < 1e-7
+
+
+def test_facade_dtype_override(band):
+    """Review finding: facade chebyshev must apply dtype= to the MATRIX
+    too (mixed fp64-matrix / fp32-state crashed the scan carry)."""
+    sys_, x_true = band
+    res = solve(
+        sys_.A, sys_.b, method="chebyshev", tol=1e-5, norm="rel_l2",
+        max_iteration=20000, dtype=np.float32,
+    )
+    assert res.x.dtype == jnp.float32
+    assert bool(res.converged)
+    err = np.linalg.norm(np.asarray(res.x, np.float64) - x_true) / np.linalg.norm(
+        x_true
+    )
+    assert err < 1e-3
+
+
+def test_hlo_linf_no_wasted_reduce(band):
+    """Review finding: the linf path must not ALSO pay the (unused) rr
+    psum per chunk — its predicate pmax in `cond` is the only reduction."""
+    import re
+
+    import jax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+    from conjugategradient_tpu.parallel.shard_nonsym import make_sharded_nonsym
+
+    sys_, _ = band
+    mesh = make_mesh(8)
+    pol = ConvergencePolicy(tol=1e-6, norm="linf", max_iteration=20000)
+    solve_fn = make_sharded_nonsym(
+        sys_.A, mesh, pol, method="chebyshev", bounds=(0.01, 70.0), donate=False
+    )
+    row = NamedSharding(mesh, P("x"))
+    data = jax.device_put(
+        jnp.asarray(np.asarray(sys_.A.data)), NamedSharding(mesh, P(None, "x"))
+    )
+    b = jax.device_put(jnp.asarray(sys_.b), row)
+    x0 = jax.device_put(jnp.zeros(sys_.n), row)
+    hlo = solve_fn.lower(data, b, x0).compile().as_text()
+    body_ar = sum(
+        1
+        for line in hlo.splitlines()
+        if re.search(r"\ball-reduce(?:-start)?\(", line) and "/while/body" in line
+    )
+    assert body_ar == 0, body_ar
