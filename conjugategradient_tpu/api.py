@@ -178,16 +178,35 @@ def solve(
         # mg_/bjacobi_ would be silently replaced, so they are refused)
         from conjugategradient_tpu.parallel.shard_nonsym import sharded_nonsym_solve
 
-        if prefix in ("bjacobi", "mg"):
+        if prefix == "mg":
             raise ValueError(
-                f"{method} with mesh= is not supported: the {prefix} "
+                f"{method} with mesh= is not supported: the mg "
                 "preconditioner is not plumbed through the sharded solvers; "
-                "use the jacobi_ prefix or an explicit M_local via "
-                "parallel.shard_nonsym.sharded_nonsym_solve"
+                "use the jacobi_/bjacobi_ prefixes or an explicit M_local "
+                "via parallel.shard_nonsym.sharded_nonsym_solve"
             )
         mkw = {}
         if prefix == "jacobi":
             mkw = dict(M_local=lambda r, aux: aux * r, M_aux=1.0 / _diagonal(A))
+        elif prefix == "bjacobi":
+            # shard-local when blocks never cross shard boundaries
+            from conjugategradient_tpu.precond.block_jacobi import (
+                block_jacobi_M_local,
+                block_jacobi_aux,
+            )
+
+            bs = int(kw.pop("block_size", 8))
+            mesh_obj = kw["mesh"]
+            axis0 = kw.get("axis", "x")
+            n_local = A.n // mesh_obj.shape[axis0]
+            if n_local % bs:
+                raise ValueError(
+                    f"bjacobi with mesh= needs block_size ({bs}) to divide "
+                    f"the shard length ({n_local}) so blocks stay shard-local"
+                )
+            mkw = dict(
+                M_local=block_jacobi_M_local, M_aux=block_jacobi_aux(A, bs)
+            )
         if base == "chebyshev" and "bounds" not in kw:
             from conjugategradient_tpu.solvers.cheby import estimate_bounds
 

@@ -181,6 +181,7 @@ def make_sharded_nonsym(
     restart: int = 32,
     bounds=None,
     check_every: int = 16,
+    m_aux_spec=None,
     donate: bool = True,
 ):
     """Build a jitted row-block-sharded solver (DIA storage, halo-ppermute
@@ -231,7 +232,9 @@ def make_sharded_nonsym(
     in_specs = (P(None, axis), P(axis), P(axis))
     if M_local is not None:
         fn = local_solve
-        in_specs = in_specs + (P(axis),)
+        # default: a row-sharded (n,) auxiliary; pass m_aux_spec for other
+        # layouts (e.g. P(axis, None) for the (n, bs) block-Jacobi carrier)
+        in_specs = in_specs + (m_aux_spec if m_aux_spec is not None else P(axis),)
     else:
         fn = lambda data, b, x0: local_solve(data, b, x0, None)
     shard_fn = jax.shard_map(
@@ -265,9 +268,14 @@ def sharded_nonsym_solve(
         from conjugategradient_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(axis=axis)
+    aux_arr = None if M_aux is None else np.asarray(M_aux)
+    m_aux_spec = None
+    if aux_arr is not None and aux_arr.ndim == 2:
+        m_aux_spec = P(axis, None)
     solve = make_sharded_nonsym(
         A, mesh, policy, method=method, axis=axis, M_local=M_local,
-        restart=restart, bounds=bounds, check_every=check_every, donate=False,
+        restart=restart, bounds=bounds, check_every=check_every,
+        m_aux_spec=m_aux_spec, donate=False,
     )
     dt = dtype or np.asarray(A.data).dtype
     row = NamedSharding(mesh, P(axis))
@@ -279,5 +287,6 @@ def sharded_nonsym_solve(
     x0_dev = jax.device_put(jnp.asarray(x0_arr), row)
     args = [data, b_dev, x0_dev]
     if M_local is not None:
-        args.append(jax.device_put(jnp.asarray(np.asarray(M_aux, dtype=dt)), row))
+        aux_sh = row if m_aux_spec is None else NamedSharding(mesh, m_aux_spec)
+        args.append(jax.device_put(jnp.asarray(aux_arr.astype(dt)), aux_sh))
     return solve(*args)

@@ -16,6 +16,8 @@ from conjugategradient_tpu.precond.multigrid import (  # noqa: F401
     v_cycle,
 )
 from conjugategradient_tpu.precond.block_jacobi import (  # noqa: F401
+    block_jacobi_M_local,
+    block_jacobi_aux,
     block_jacobi_blocks,
     block_jacobi_preconditioner,
 )

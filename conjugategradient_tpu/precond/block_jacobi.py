@@ -59,6 +59,37 @@ def block_jacobi_blocks(A, block_size: int) -> np.ndarray:
     return np.linalg.inv(B)
 
 
+def block_jacobi_aux(A, block_size: int, dtype=None) -> np.ndarray:
+    """Row-sharded carrier for the inverse blocks: ``(n_padded, bs)`` where
+    row ``i`` holds ``Binv[i // bs, i % bs, :]``.
+
+    This layout makes distributed block-Jacobi a SHARD-LOCAL operation:
+    the array row-shards exactly like the solution vector (spec
+    ``P(axis, None)``), and as long as ``block_size`` divides the shard
+    length every block lives wholly on one shard — apply with
+    ``block_jacobi_M_local``.
+    """
+    Binv = block_jacobi_blocks(A, block_size)
+    nb, bs, _ = Binv.shape
+    out = Binv.reshape(nb * bs, bs)
+    if dtype is not None:
+        out = out.astype(dtype)
+    return out
+
+
+def block_jacobi_M_local(r_local, aux_local):
+    """Shard-local apply for the ``block_jacobi_aux`` layout (``M_local``
+    signature of the sharded solvers).  Requires the shard length to be a
+    multiple of the block size."""
+    n_local = r_local.shape[0]
+    bs = aux_local.shape[1]
+    B = aux_local.reshape(n_local // bs, bs, bs)
+    R = r_local.reshape(n_local // bs, bs)
+    return jnp.einsum(
+        "bij,bj->bi", B, R, preferred_element_type=r_local.dtype
+    ).reshape(n_local)
+
+
 def block_jacobi_preconditioner(
     A, block_size: int, dtype=None
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
