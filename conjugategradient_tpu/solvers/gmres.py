@@ -191,6 +191,80 @@ def gmres_loop(
     return CGResult(x=x, iterations=it, residual=res, converged=converged)
 
 
+def gmres_loop_traced(
+    op,
+    M_flat: Optional[Callable],
+    b_flat: jnp.ndarray,
+    x: jnp.ndarray,
+    policy: ConvergencePolicy,
+    m: int,
+    dot: Callable,
+    matdot: Callable,
+    num_cycles: int = 32,
+    pmax_abs: Optional[Callable] = None,
+    n_global: Optional[int] = None,
+):
+    """Fixed-cycle GMRES recording the true residual after every restart
+    cycle (resolution: ``m`` inner iterations per record — within a cycle
+    the Givens estimate is monotone by construction, so the cycle-boundary
+    record is the informative granularity).  Frozen cycles after
+    convergence keep the trailing history flat, like ``cg_solve_traced``.
+
+    Returns ``(CGResult, (num_cycles,) residual_history,
+    (num_cycles,) cumulative_iteration_counts)`` — history entries are in
+    the POLICY's norm convention.
+    """
+    dtype = b_flat.dtype
+    tol = jnp.asarray(policy.tol, dtype)
+    min_iter = jnp.int32(policy.min_iteration)
+
+    # anchor rel_l2 to the INITIAL residual: inner single-cycle runs use an
+    # equivalent ABSOLUTE policy (their own rr0 would re-normalise per cycle)
+    r0 = b_flat - op(x)
+    rr0 = dot(r0, r0)
+    if policy.norm == "rel_l2":
+        inner_norm, scale = "l2", jnp.sqrt(rr0)
+    else:
+        inner_norm, scale = policy.norm, jnp.asarray(1.0, dtype)
+    tol_inner = tol * scale
+
+    def step(carry, _):
+        x, it, res_abs, done = carry
+        # tol=1e-300 underflows to 0 in any device dtype: the inner cycle
+        # always runs its full m steps (fixed-work tracing; the policy
+        # object itself requires a positive python float)
+        r = gmres_loop(
+            op, M_flat, b_flat, x,
+            ConvergencePolicy(tol=1e-300, norm=inner_norm, max_iteration=int(m)),
+            m, dot=dot, matdot=matdot, pmax_abs=pmax_abs, n_global=n_global,
+        )
+        x2 = jnp.where(done, x, r.x)
+        it2 = jnp.where(done, it, it + r.iterations)
+        res2 = jnp.where(done, res_abs, r.residual)
+        done2 = jnp.logical_or(
+            done, jnp.logical_and(res2 < tol_inner, it2 >= min_iter)
+        )
+        return (x2, it2, res2, done2), (res2 / scale, it2)
+
+    from conjugategradient_tpu.ops.blas import residual_norm as _rn
+
+    if policy.norm == "linf" and pmax_abs is not None:
+        res_init = pmax_abs(r0)
+    else:
+        res_init = _rn(r0, rr0, rr0, inner_norm)
+    (x, it, res_abs, done), (hist, its) = jax.lax.scan(
+        step, (x, jnp.int32(0), res_init, jnp.asarray(False)), None,
+        length=num_cycles,
+    )
+    res = res_abs / scale
+    converged = jnp.logical_and(res < tol, it >= min_iter)
+    return (
+        CGResult(x=x, iterations=it, residual=res, converged=converged),
+        hist,
+        its,
+    )
+
+
 def gmres_solve(
     A,
     b: jnp.ndarray,
@@ -232,3 +306,38 @@ def gmres_solve(
     import dataclasses
 
     return dataclasses.replace(res, x=res.x.reshape(shape))
+
+
+def gmres_solve_traced(
+    A,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    M: Optional[Callable] = None,
+    restart: int = 32,
+    num_cycles: int = 32,
+    precise_dot: bool = False,
+):
+    """Fixed-cycle GMRES recording the residual after every restart cycle
+    (the GMRES member of the ``cg_solve_traced`` / ``bicgstab_solve_traced``
+    observability family; resolution = one record per ``restart`` inner
+    iterations, frozen after convergence).
+
+    Returns ``(CGResult, residual_history, cumulative_iterations)`` —
+    both ``(num_cycles,)`` arrays.
+    """
+    m = int(restart)
+    dtype = b.dtype
+    b_flat = b.reshape(-1)
+    op0 = as_operator(A)
+    op = (lambda u: op0(u.reshape(b.shape)).reshape(-1)) if b.ndim > 1 else op0
+    M_flat = None if M is None else (lambda u: _apply_M(M, u))
+    dot = lambda u, v: _dot(u, v, precise=precise_dot)
+    x = jnp.zeros_like(b_flat) if x0 is None else x0.astype(dtype).reshape(-1)
+    res, hist, its = gmres_loop_traced(
+        op, M_flat, b_flat, x, policy, m, dot=dot,
+        matdot=lambda V, w: V @ w, num_cycles=num_cycles,
+    )
+    import dataclasses
+
+    return dataclasses.replace(res, x=res.x.reshape(b.shape)), hist, its

@@ -363,3 +363,23 @@ def test_3d_convection_diffusion():
     assert bool(mg.converged)
     assert _rel_err(sys_.A, mg.x, x_true) < 1e-7
     assert int(mg.iterations) < int(res.iterations)
+
+
+def test_gmres_traced_history(nonsym_band):
+    """Per-cycle residual history: monotone non-increasing records, frozen
+    tail after convergence, endpoint validates against the direct solve."""
+    from conjugategradient_tpu.solvers.gmres import gmres_solve_traced
+
+    sys_, x_true = nonsym_band
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2")
+    res, hist, its = gmres_solve_traced(
+        sys_.A.device_put(), jnp.asarray(sys_.b), policy=pol,
+        restart=20, num_cycles=16,
+    )
+    assert bool(res.converged)
+    assert _rel_err(sys_.A, res.x, x_true) < 1e-8
+    h = np.asarray(hist)
+    assert np.all(np.diff(h) <= 1e-12)  # per-cycle GMRES residual is monotone
+    k = int(np.searchsorted(-h, -1e-10))  # first cycle under tol
+    np.testing.assert_allclose(h[k:], h[-1], rtol=0)  # frozen tail
+    assert np.asarray(its)[-1] == int(res.iterations)
