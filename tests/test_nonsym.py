@@ -323,18 +323,18 @@ def test_gmres_zero_residual_min_iteration_nan_free():
 
 
 def test_mesh_with_unsupported_prefix_raises(convdiff):
-    """mg_/bjacobi_ + mesh= must refuse loudly, not silently degrade to
-    point Jacobi (review finding)."""
+    """mg_ + mesh= must refuse loudly, not silently degrade to point
+    Jacobi (review finding; bjacobi_ + mesh= is now the supported
+    shard-local path — see test_sharded_block_jacobi)."""
     from conjugategradient_tpu.parallel.mesh import make_mesh
 
     sys_, _ = convdiff
     mesh = make_mesh(4)
-    for method in ("mg_bicgstab", "bjacobi_gmres"):
-        with pytest.raises(ValueError, match="not supported"):
-            solve(
-                sys_.A, sys_.b, method=method, grid=(24, 24), mesh=mesh,
-                tol=1e-6, norm="rel_l2",
-            )
+    with pytest.raises(ValueError, match="not supported"):
+        solve(
+            sys_.A, sys_.b, method="mg_bicgstab", grid=(24, 24), mesh=mesh,
+            tol=1e-6, norm="rel_l2",
+        )
 
 
 def test_3d_convection_diffusion():
