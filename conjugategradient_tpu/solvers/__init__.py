@@ -18,7 +18,10 @@ from conjugategradient_tpu.solvers.cgnr import cgnr_solve  # noqa: F401
 from conjugategradient_tpu.solvers.cheby import chebyshev_solve  # noqa: F401
 from conjugategradient_tpu.solvers.diff import cg_solve_implicit  # noqa: F401
 from conjugategradient_tpu.solvers.minres import minres_solve  # noqa: F401
-from conjugategradient_tpu.solvers.gmres import gmres_solve  # noqa: F401
+from conjugategradient_tpu.solvers.gmres import (  # noqa: F401
+    gmres_solve,
+    gmres_solve_traced,
+)
 from conjugategradient_tpu.solvers.lobpcg import LobpcgResult, lobpcg  # noqa: F401
 from conjugategradient_tpu.solvers.multi import MultiCGResult, cg_solve_multi  # noqa: F401
 from conjugategradient_tpu.solvers.refine import (  # noqa: F401
