@@ -11,16 +11,21 @@ exchange):
 - ``ops``      — device BLAS-1 (dot / axpy / scal / norms in all three of the
                  reference's conventions) and SpMV for every format; XLA paths
                  plus Pallas TPU kernels with VMEM vector-window tiling.
-- ``solvers``  — fully device-resident CG / PCG (``lax.while_loop``; scalars
-                 never leave the chip), convergence policy, residual tracing,
-                 and eigen diagnostics (Jacobi rotations, power iteration,
-                 Lanczos bounds).
-- ``precond``  — Jacobi / Chebyshev smoothers and geometric-multigrid V-cycles
+- ``solvers``  — a fully device-resident Krylov family complete by symmetry
+                 class (CG/PCG, MINRES, BiCGStab, restarted GMRES, CGNR, the
+                 dot-free Chebyshev iteration; ``lax.while_loop`` — scalars
+                 never leave the chip), mixed-precision iterative refinement,
+                 deflation, multi-RHS block solves, LOBPCG, implicit-adjoint
+                 differentiation through solves, convergence policy, residual
+                 tracing, and eigen diagnostics.
+- ``precond``  — Jacobi / block-Jacobi / Chebyshev / deflation and
+                 geometric-multigrid V/W-cycles with hybrid transfers
                  (the "Mg" that the reference's name promises but never ships).
-- ``parallel`` — 1-D mesh row-block sharding via ``shard_map``: ``psum`` dots
-                 replace the reference's host-side ``Sum()`` allreduce and
+- ``parallel`` — mesh row-block sharding via ``shard_map`` and GSPMD: ``psum``
+                 dots replace the reference's host-side ``Sum()`` allreduce and
                  ``ppermute`` halo shifts over ICI/DCN replace its staged
-                 device->host->device boundary copies.
+                 device->host->device boundary copies; ten distributed designs
+                 including communication-reduced variants.
 - ``models``   — problem families: the reference's five benchmark workloads and
                  structured Poisson grids (1-D/2-D/3-D) for multigrid.
 - ``utils``    — phase timers, structured residual logs, configuration.
@@ -31,7 +36,7 @@ See SURVEY.md at the repo root for the full structural analysis of the
 reference and citations of each capability being re-designed here.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from conjugategradient_tpu.core.formats import (  # noqa: F401
     BsrMatrix,
