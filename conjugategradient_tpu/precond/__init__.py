@@ -5,6 +5,14 @@ fresh, TPU-first (static hierarchies, traced V-cycles, MXU coarse solves).
 """
 
 from conjugategradient_tpu.precond import smoothers, transfer  # noqa: F401
+from conjugategradient_tpu.precond.amg import (  # noqa: F401
+    AmgHierarchy,
+    AmgLevel,
+    amg_cg_solve,
+    amg_preconditioner,
+    amg_vcycle,
+    build_amg_hierarchy,
+)
 from conjugategradient_tpu.precond.multigrid import (  # noqa: F401
     MgHierarchy,
     MgLevel,

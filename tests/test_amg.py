@@ -1,0 +1,171 @@
+"""Algebraic (smoothed-aggregation) multigrid: the grid-free MGCG.
+
+Differential strategy (SURVEY.md §4): every AMG solve is validated against
+the fp64 oracle, and the algebraic claim is pinned by a random symmetric
+permutation — the SAME matrix with its grid structure destroyed must
+converge in the same few iterations (a geometric hierarchy cannot even be
+built for it).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from conjugategradient_tpu import solve
+from conjugategradient_tpu.core import oracle
+from conjugategradient_tpu.core.formats import dia_to_csr
+from conjugategradient_tpu.core.generators import (
+    convection_diffusion_system,
+    poisson_system,
+)
+from conjugategradient_tpu.core.io import from_scipy, to_scipy
+from conjugategradient_tpu.precond.amg import (
+    _aggregate,
+    _strength_graph,
+    amg_cg_solve,
+    build_amg_hierarchy,
+)
+from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+
+def _poisson_csr(grid=(63, 63)):
+    sys_ = poisson_system(grid)
+    return dia_to_csr(sys_.A), sys_
+
+
+def test_amg_cg_poisson_csr():
+    """AMG-PCG on 2-D Poisson handed over as bare CSR (no grid)."""
+    A_csr, sys_ = _poisson_csr()
+    res, h = amg_cg_solve(A_csr, sys_.b, policy=ConvergencePolicy(tol=1e-10))
+    assert bool(res.converged)
+    assert int(res.iterations) <= 25  # MGCG-strength, not Jacobi-strength
+    assert h.n_levels >= 3  # it actually coarsened
+    x_ref = oracle.cg(sys_.A, sys_.b, tol=1e-12).x
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-7, atol=1e-9)
+
+
+def test_amg_beats_plain_cg_iterations():
+    A_csr, sys_ = _poisson_csr()
+    plain = solve(A_csr, sys_.b, method="cg", tol=1e-8)
+    amg = solve(A_csr, sys_.b, method="amg_cg", tol=1e-8)
+    assert bool(amg.converged) and bool(plain.converged)
+    assert int(amg.iterations) * 5 < int(plain.iterations)
+
+
+def test_amg_survives_permutation():
+    """P A P^T with a random permutation: no banded/grid structure remains,
+    iteration count must stay in the same ballpark (the algebraic claim)."""
+    A_csr, sys_ = _poisson_csr()
+    n = sys_.n
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(n)
+    Pm = sp.csr_matrix((np.ones(n), (perm, np.arange(n))), shape=(n, n))
+    A_p = (Pm @ to_scipy(A_csr) @ Pm.T).tocsr()
+    b_p = np.asarray(sys_.b)[np.argsort(perm)]  # (P A P^T)(P x) = P b
+
+    res = solve(from_scipy(A_p), b_p, method="amg_cg", tol=1e-10)
+    assert bool(res.converged) and int(res.iterations) <= 30
+    x_ref = oracle.cg(sys_.A, sys_.b, tol=1e-12).x
+    np.testing.assert_allclose(
+        np.asarray(res.x), x_ref[np.argsort(perm)], rtol=1e-7, atol=1e-9
+    )
+
+
+def test_amg_near_null_candidate():
+    """Symmetric diagonal rescaling S A S: the near-kernel becomes S^{-1}*1.
+    Telling setup about it must keep the solver at Poisson-like counts."""
+    A_csr, sys_ = _poisson_csr((31, 31))
+    n = sys_.n
+    rng = np.random.default_rng(3)
+    s = np.exp(rng.uniform(-2.0, 2.0, n))  # 4 decades of row scaling
+    S = sp.diags(s)
+    A_s = (S @ to_scipy(A_csr) @ S).tocsr()
+    x_true = rng.standard_normal(n)
+    b = A_s @ x_true
+
+    res = solve(from_scipy(A_s), b, method="amg_cg", tol=1e-10, near_null=1.0 / s)
+    assert bool(res.converged) and int(res.iterations) <= 35
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6, atol=1e-8)
+
+
+def test_amg_bicgstab_convection_diffusion():
+    """Nonsymmetric: Jacobi-smoothed hierarchy on A itself, right-
+    preconditioned BiCGStab (the grid-free analogue of mg_bicgstab);
+    measured 660 -> 12 iterations."""
+    grid = (63, 63)
+    sys_ = convection_diffusion_system(grid, eps=0.1)
+    A_csr = dia_to_csr(sys_.A)
+    plain = solve(A_csr, sys_.b, method="bicgstab", tol=1e-8, norm="rel_l2")
+    res = solve(A_csr, sys_.b, method="amg_bicgstab", tol=1e-8, norm="rel_l2")
+    assert bool(res.converged)
+    assert int(res.iterations) * 10 < int(plain.iterations)
+    # rel_l2 residual 1e-8 bounds the error by kappa * 1e-8, not 1e-8
+    x_ref = sp.linalg.spsolve(to_scipy(sys_.A).tocsc(), np.asarray(sys_.b))
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_amg_multi_rhs():
+    A_csr, sys_ = _poisson_csr((31, 31))
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((sys_.n, 4))
+    res = solve(A_csr, B, method="amg_cg", tol=1e-10)
+    assert bool(np.asarray(res.converged).all())
+    for j in range(4):
+        x_ref = oracle.cg(sys_.A, B[:, j], tol=1e-12).x
+        np.testing.assert_allclose(
+            np.asarray(res.x)[:, j], x_ref, rtol=1e-6, atol=1e-8
+        )
+
+
+def test_amg_minres_route():
+    A_csr, sys_ = _poisson_csr((31, 31))
+    res = solve(A_csr, sys_.b, method="amg_minres", tol=1e-10)
+    assert bool(res.converged) and int(res.iterations) <= 30
+    x_ref = oracle.cg(sys_.A, sys_.b, tol=1e-12).x
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_aggregation_covers_every_node():
+    A_csr, _ = _poisson_csr((17, 19))
+    S = _strength_graph(to_scipy(A_csr).tocsr(), theta=0.0)
+    agg, n_agg = _aggregate(S)
+    assert (agg >= 0).all() and agg.max() == n_agg - 1
+    assert n_agg < agg.shape[0] / 3  # genuine coarsening (5-point: ~1/5)
+
+
+def test_strength_filter_theta():
+    # anisotropic 1-D chain embedded in 2-D: weak couplings dropped
+    A = sp.csr_matrix(
+        np.array(
+            [
+                [2.0, -1.0, -0.01],
+                [-1.0, 2.0, -0.01],
+                [-0.01, -0.01, 2.0],
+            ]
+        )
+    )
+    S = _strength_graph(A, theta=0.1)
+    assert S.nnz == 5  # 3 diagonal + the two strong -1 couplings
+
+
+def test_stagnation_guard_diagonal_matrix():
+    """A diagonal matrix aggregates into singletons; coarsening must stop
+    (0 levels) and the dense coarse solve still answers correctly."""
+    n = 300
+    rng = np.random.default_rng(1)
+    d = rng.uniform(1.0, 2.0, n)
+    h = build_amg_hierarchy(sp.diags(d).tocsr(), max_coarse=200)
+    assert len(h.levels) == 0
+    b = rng.standard_normal(n)
+    from conjugategradient_tpu.precond.amg import amg_vcycle
+    import jax.numpy as jnp
+
+    np.testing.assert_allclose(
+        np.asarray(amg_vcycle(h, jnp.asarray(b))), b / d, rtol=1e-10
+    )
+
+
+def test_amg_rejects_nonpositive_diagonal():
+    A = sp.csr_matrix(np.array([[1.0, 0.0], [0.0, -1.0]]))
+    with pytest.raises(ValueError, match="non-positive diagonal"):
+        build_amg_hierarchy(A, max_coarse=1)
