@@ -26,6 +26,12 @@ here one function routes to the right solver:
 - ``method="mg_bicgstab"`` / ``"mg_gmres"`` — multigrid-preconditioned
   nonsymmetric solves (needs ``grid=``): the MGCG hierarchy as a right
   preconditioner (70-150x measured iteration cuts on convection-diffusion)
+- ``method="fgmres"`` — FLEXIBLE GMRES: the preconditioner may be nonlinear
+  / iteration-varying.  ``inner="bicgstab"|"cg"|"chebyshev"`` (+
+  ``inner_iterations=``) installs a fixed-budget inner Krylov solve as the
+  preconditioner (inner-outer composition); prefixes compose — e.g.
+  ``method="mg_fgmres", inner="bicgstab"`` preconditions the INNER solve
+  with the V-cycle.  ``mesh=`` routes to the row-sharded form
 - ``method="amg_cg"`` / ``"amg_minres"`` / ``"amg_bicgstab"`` /
   ``"amg_gmres"`` — ALGEBRAIC (smoothed-aggregation) multigrid, no grid
   required: the MGCG-strength preconditioner for Matrix Market / permuted /
@@ -177,7 +183,7 @@ def solve(
             "chebyshev takes no preconditioner prefix (fold scaling into "
             "the operator and its bounds instead)"
         )
-    if base in ("bicgstab", "gmres", "minres", "chebyshev") and "mesh" in kw:
+    if base in ("bicgstab", "gmres", "fgmres", "minres", "chebyshev") and "mesh" in kw:
         # row-block-sharded nonsymmetric solve; only shard-equivariant
         # preconditioning is available (jacobi_ becomes the M_local form —
         # mg_/bjacobi_ would be silently replaced, so they are refused)
@@ -189,6 +195,13 @@ def solve(
                 "preconditioner is not plumbed through the sharded solvers; "
                 "use the jacobi_/bjacobi_ prefixes or an explicit M_local "
                 "via parallel.shard_nonsym.sharded_nonsym_solve"
+            )
+        if base == "fgmres" and "inner" in kw:
+            raise ValueError(
+                "fgmres with mesh= does not take inner=: a global inner "
+                "Krylov solve needs its own collectives; pass a shard-local "
+                "fixed-budget M_local to "
+                "parallel.shard_nonsym.sharded_nonsym_solve instead"
             )
         mkw = {}
         if prefix == "jacobi":
@@ -250,7 +263,15 @@ def solve(
             raise ValueError(f"{method} requires grid=")
         if not isinstance(A, DiaMatrix):
             raise TypeError(f"{method} requires a DiaMatrix")
-        h = build_hierarchy(A, grid, dtype=np.dtype(b_dev.dtype))
+        # coarse_operator= (rediscretization hook): REQUIRED for stability
+        # on convection-dominated operators past ~127^2 — Galerkin-of-upwind
+        # coarse operators amplify (see generators.
+        # convection_diffusion_coarse_operator); harmless to omit for
+        # diffusion-dominated systems
+        h = build_hierarchy(
+            A, grid, dtype=np.dtype(b_dev.dtype),
+            coarse_operator=kw.pop("coarse_operator", None),
+        )
         M = as_preconditioner(h)
         method = base
     elif prefix == "amg":
@@ -295,6 +316,22 @@ def solve(
         from conjugategradient_tpu.solvers.gmres import gmres_solve
 
         return gmres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
+    if method == "fgmres":
+        from conjugategradient_tpu.solvers.gmres import (
+            fgmres_solve,
+            inner_solve_preconditioner,
+        )
+
+        inner = kw.pop("inner", None)
+        if inner is not None:
+            # inner-outer Krylov: the prefix-built M (V-cycle, Jacobi, ...)
+            # preconditions the INNER solve; FGMRES sees the composed,
+            # nonlinear fixed-budget map
+            M = inner_solve_preconditioner(
+                A_dev, method=inner,
+                iterations=int(kw.pop("inner_iterations", 8)), M=M,
+            )
+        return fgmres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
     if method == "chebyshev":
         from conjugategradient_tpu.solvers.cheby import chebyshev_solve
 

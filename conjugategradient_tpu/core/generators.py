@@ -529,6 +529,50 @@ def convection_diffusion_matrix(
     return DiaMatrix(data, offsets, (n, n))
 
 
+def convection_diffusion_coarse_operator(
+    eps: float,
+    velocity="recirculating",
+    scheme: str = "upwind",
+    dtype=np.float64,
+):
+    """Rediscretization hook for ``precond.build_hierarchy(coarse_operator=)``
+    on the convection-diffusion family.
+
+    Galerkin coarsening of an upwind transport operator is UNSTABLE past
+    cell Peclet ~1: the product operator behaves like an under-dissipated
+    higher-order scheme on the doubled mesh, the coarse-grid correction
+    amplifies, and the mg_* preconditioned solves diverge from 127x127 up
+    (measured; 63x63 still converges).  Rediscretizing every level with the
+    first-order upwind generator keeps each coarse operator an M-matrix at
+    ANY Peclet — the classic geometric-MG remedy (Trottenberg et al.,
+    *Multigrid* §7).
+
+    The per-level scaling matches this builder's fw transfer convention
+    (measured stencil-moment factors: diffusion 1/4, convection 1/2 per
+    level, identical in 1/2/3-D):
+
+        A_{l+1} = 0.5 * A_gen(eps_l / 2, v)   i.e.  eps_l = eps / 2**l,
+        cumulative scale 0.5**l
+
+    — cell Peclet doubles per level exactly as physical coarsening demands.
+    ``scheme`` defaults to upwind regardless of the fine discretization:
+    a central fine operator with upwind coarse levels is the standard
+    defect-correction pairing (the preconditioner only needs stability).
+    """
+
+    def cb(level: int, coarse_grid: Tuple[int, ...]) -> DiaMatrix:
+        A = convection_diffusion_matrix(
+            tuple(coarse_grid), eps=eps / (2.0 ** level), velocity=velocity,
+            scheme=scheme, dtype=dtype,
+        )
+        return DiaMatrix(
+            np.asarray(A.data) * np.asarray(0.5 ** level, dtype=dtype),
+            A.offsets, A.shape,
+        )
+
+    return cb
+
+
 def convection_diffusion_system(
     grid_shape: Tuple[int, int],
     eps: float = 0.05,

@@ -120,10 +120,14 @@ def sharded_bicgstab_loop(
 
 def sharded_gmres_loop(
     op, M, b, x0, policy: ConvergencePolicy, axis: str, n_global: int,
-    restart: int = 32,
+    restart: int = 32, flexible: bool = False,
 ) -> CGResult:
     """``solvers.gmres.gmres_loop`` with psum-injected reductions (see
-    module docstring).  ``M=None`` for unpreconditioned."""
+    module docstring).  ``M=None`` for unpreconditioned.  ``flexible=True``
+    is row-sharded FGMRES: the Z basis shards exactly like V
+    ((m, n_local) per shard), and — because the correction is assembled
+    from Z locally — a shard-local ``M`` may then be NONLINEAR (e.g. a
+    fixed-budget inner solve on the shard's diagonal block)."""
     pdot = lambda u, v: jax.lax.psum(
         jnp.dot(u.ravel(), v.ravel(), preferred_element_type=u.dtype), axis
     )
@@ -132,6 +136,7 @@ def sharded_gmres_loop(
     return gmres_loop(
         op, M, b, x0, policy, int(restart),
         dot=pdot, matdot=pmatdot, pmax_abs=pmax_abs, n_global=n_global,
+        flexible=flexible,
     )
 
 
@@ -191,11 +196,13 @@ def make_sharded_nonsym(
     Returns ``solve(data, b, x0[, m_aux]) -> CGResult``; ``M_local`` as in
     ``make_sharded_cg`` (shard-equivariant, right preconditioning).
     ``method="chebyshev"`` (dot-free; requires ``bounds=(lo, hi)``) ignores
-    ``M_local``.
+    ``M_local``.  ``method="fgmres"`` is the flexible form: ``M_local`` may
+    be NONLINEAR (a fixed-budget inner solve) — the other methods require a
+    linear shard-local M.
     """
-    if method not in ("bicgstab", "gmres", "minres", "chebyshev"):
+    if method not in ("bicgstab", "gmres", "fgmres", "minres", "chebyshev"):
         raise ValueError(
-            f"unknown method {method!r}; want bicgstab|gmres|minres|chebyshev"
+            f"unknown method {method!r}; want bicgstab|gmres|fgmres|minres|chebyshev"
         )
     if method == "chebyshev" and bounds is None:
         raise ValueError("chebyshev requires bounds=(lo, hi)")
@@ -226,7 +233,8 @@ def make_sharded_nonsym(
         if method == "minres":
             return sharded_minres_loop(op, M, b, x0, policy, axis, n)
         return sharded_gmres_loop(
-            op, M, b, x0, policy, axis, n, restart=restart
+            op, M, b, x0, policy, axis, n, restart=restart,
+            flexible=(method == "fgmres"),
         )
 
     in_specs = (P(None, axis), P(axis), P(axis))

@@ -266,6 +266,7 @@ def build_hierarchy(
     sa_smooth_levels: int | None = None,
     const_detect: bool = True,
     transfer_kind: str = "auto",
+    coarse_operator=None,
 ) -> MgHierarchy:
     """Build the static hierarchy from the fine operator.
 
@@ -286,6 +287,25 @@ def build_hierarchy(
     ``sa_smooth_levels=1`` keeps every operator a bounded stencil — what the
     distributed (probing) setup and very deep hierarchies need, at a small
     iteration-count cost.
+
+    ``coarse_operator``: REDISCRETIZATION hook — ``fn(level, coarse_grid) ->
+    host DiaMatrix`` (``level`` = index of the coarse level being built;
+    the fine operator is level 0) replaces the Galerkin product.  This is
+    the classic geometric-MG cure for operators whose Galerkin coarsening
+    is unstable: for convection-dominated transport (cell Peclet >~ 1),
+    Galerkin-of-upwind loses the M-matrix property after 1-2 coarsenings
+    and the coarse-grid correction AMPLIFIES — measured here: mg_bicgstab
+    on the eps=0.05 recirculating workload diverges from 127x127 up with
+    EVERY smoother/depth combination, while upwind rediscretization (which
+    keeps first-order stability at any Peclet) converges grid-independently
+    (see ``generators.convection_diffusion_coarse_operator``; Trottenberg
+    et al., *Multigrid*, §7.1-7.3 for the phenomenon).  Requires the
+    vertex-centered geometric path (``transfer_kind="fw"`` is forced;
+    raises if an axis cannot fw-coarsen).  The hook must bake in the
+    per-level scaling that matches the fw transfer convention: this
+    builder's measured factors are diffusion 1/4 and convection 1/2 per
+    level, i.e. coarse = 0.5 * A_gen(eps/2, v) for the unit-spacing
+    convection-diffusion family (calibrated by stencil moments in 1/2/3-D).
     """
     if layout not in ("stencil", "dia"):
         raise ValueError(f"unknown layout {layout!r}")
@@ -295,6 +315,13 @@ def build_hierarchy(
         raise ValueError(f"prod(grid)={int(np.prod(grid))} != n={A.n}")
     if smoother not in ("jacobi", "chebyshev", "rbgs"):
         raise ValueError(f"unknown smoother {smoother!r}")
+    if coarse_operator is not None:
+        if transfer_kind not in ("auto", "fw"):
+            raise ValueError(
+                "coarse_operator (rediscretization) assumes the vertex-"
+                f"centered fw transfer geometry; got transfer_kind={transfer_kind!r}"
+            )
+        transfer_kind = "fw"
 
     levels = []
     A_h = A  # host-side numpy DIA
@@ -380,10 +407,19 @@ def build_hierarchy(
                 sa_smooth=sa_smooth,
             )
         )
-        A_h = galerkin_coarse(
-            A_h, g, kind, lam_max=bounds[1] or None, weight=W_host, sa_smooth=sa_smooth
-        )
-        g = _coarse_shape_of(g, kind)
+        g_next = _coarse_shape_of(g, kind)
+        if coarse_operator is not None:
+            A_h = coarse_operator(len(levels), g_next)
+            if int(np.prod(g_next)) != A_h.n:
+                raise ValueError(
+                    f"coarse_operator returned n={A_h.n} for grid {g_next}"
+                )
+        else:
+            A_h = galerkin_coarse(
+                A_h, g, kind, lam_max=bounds[1] or None, weight=W_host,
+                sa_smooth=sa_smooth,
+            )
+        g = g_next
 
     dt = dtype or np.asarray(A_h.data).dtype
     dense = formats.dia_to_dense(A_h)

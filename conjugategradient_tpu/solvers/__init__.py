@@ -19,8 +19,10 @@ from conjugategradient_tpu.solvers.cheby import chebyshev_solve  # noqa: F401
 from conjugategradient_tpu.solvers.diff import cg_solve_implicit  # noqa: F401
 from conjugategradient_tpu.solvers.minres import minres_solve  # noqa: F401
 from conjugategradient_tpu.solvers.gmres import (  # noqa: F401
+    fgmres_solve,
     gmres_solve,
     gmres_solve_traced,
+    inner_solve_preconditioner,
 )
 from conjugategradient_tpu.solvers.lobpcg import LobpcgResult, lobpcg  # noqa: F401
 from conjugategradient_tpu.solvers.multi import MultiCGResult, cg_solve_multi  # noqa: F401

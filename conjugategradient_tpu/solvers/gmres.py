@@ -61,6 +61,7 @@ def gmres_loop(
     matdot: Callable,
     pmax_abs: Optional[Callable] = None,
     n_global: Optional[int] = None,
+    flexible: bool = False,
 ) -> CGResult:
     """The restart-cycle recurrence with INJECTED reductions — shared by the
     single-device driver below and the row-sharded solver
@@ -72,6 +73,15 @@ def gmres_loop(
     (global) ``(m+1, n) @ (n,)`` basis-projection product (the CGS2 Gram
     pass — ONE collective per orthogonalisation pass when sharded);
     ``pmax_abs(r)`` the global ``max|r|`` for the linf convention.
+
+    ``flexible=True`` is FGMRES (Saad, SIAM J. Sci. Comput. 14, 1993): the
+    preconditioned vectors ``z_j = M(v_j)`` are kept as a second ``(m, n)``
+    basis Z and the correction is assembled from Z directly (``x += Z^T y``)
+    instead of re-applying M once at cycle end.  This is the form that
+    admits a NONLINEAR / iteration-varying M — an inner Krylov solve, a
+    tolerance-adapted V-cycle — which the memory-saving linear-M form
+    cannot (it assumes ``M(V^T y) == Z^T y``).  Cost: one extra ``(m, n)``
+    array resident per cycle.
     """
     dtype = b_flat.dtype
     n = n_global if n_global is not None else b_flat.size
@@ -103,20 +113,30 @@ def gmres_loop(
         r = b_flat - op(x)
         beta = jnp.sqrt(dot(r, r))
         V = jnp.zeros((m + 1, nloc), dtype).at[0].set(_safe_div(1.0, beta) * r)
+        # FGMRES: the preconditioned basis Z (z_j = M(v_j)), stored so the
+        # correction can be taken from it; a zero-row stub otherwise (XLA
+        # dead-code-eliminates the untouched carry in the linear-M form).
+        # Derived from V rather than jnp.zeros so the carry keeps V's
+        # varying-manual-axes type under shard_map (a fresh zeros array is
+        # "unvarying" and the while-carry types would mismatch).
+        Z = V[1:] * 0 if flexible else V[:0]
         R = jnp.eye(m, dtype=dtype)  # rotated Hessenberg (frozen cols keep e_j)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
         cs = jnp.ones(m, dtype)
         sn = jnp.zeros(m, dtype)
 
         def arnoldi(j, carry):
-            V, R, g, cs, sn, k = carry
+            V, Z, R, g, cs, sn, k = carry
             it = it_total + k
             active = jnp.logical_and(
                 jnp.logical_or(it < min_iter, jnp.abs(g[k]) >= inner_tol),
                 it < max_iter,
             )
             vj = jax.lax.dynamic_index_in_dim(V, k, keepdims=False)
-            w = op(vj if M_flat is None else M_flat(vj))
+            z = vj if M_flat is None else M_flat(vj)
+            if flexible:
+                Z = jnp.where(active, Z.at[k].set(z), Z)
+            w = op(z)
             # CGS2: two matmul orthogonalisation passes against rows <= k
             # (matdot is the global projection — one collective per pass
             # when sharded; the h @ V reconstruction is purely local)
@@ -164,16 +184,19 @@ def gmres_loop(
                 g,
             )
             k = k + active.astype(jnp.int32)
-            return V, R, g, cs, sn, k
+            return V, Z, R, g, cs, sn, k
 
-        V, R, g, cs, sn, k = jax.lax.fori_loop(
-            0, m, arnoldi, (V, R, g, cs, sn, jnp.int32(0))
+        V, Z, R, g, cs, sn, k = jax.lax.fori_loop(
+            0, m, arnoldi, (V, Z, R, g, cs, sn, jnp.int32(0))
         )
         # neutralise frozen columns (identity diagonal + zero rhs -> y = 0)
         g_solve = jnp.where(jnp.arange(m) < k, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(R, g_solve, lower=False)
-        u = y @ V[:m]
-        x = x + (u if M_flat is None else M_flat(u))
+        if flexible:
+            x = x + y @ Z
+        else:
+            u = y @ V[:m]
+            x = x + (u if M_flat is None else M_flat(u))
         return x, it_total + k
 
     def cond(state):
@@ -306,6 +329,96 @@ def gmres_solve(
     import dataclasses
 
     return dataclasses.replace(res, x=res.x.reshape(shape))
+
+
+def fgmres_solve(
+    A,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    M: Optional[Callable] = None,
+    restart: int = 32,
+    precise_dot: bool = False,
+    use_pallas: bool = False,
+) -> CGResult:
+    """Solve A x = b by FLEXIBLE restarted GMRES (FGMRES, Saad 1993).
+
+    Identical to ``gmres_solve`` except that ``M`` may be ANY callable —
+    nonlinear or iteration-varying — because the preconditioned vectors are
+    stored as a second (restart, n) basis (see ``gmres_loop(flexible=)``).
+    The canonical use is an inner Krylov solve as the preconditioner
+    (``inner_solve_preconditioner`` below): inner/outer Krylov composition,
+    a capability class the linear-M ``gmres_solve`` excludes by design.
+    With a linear ``M`` the two produce the same iterate sequence (tested);
+    prefer ``gmres_solve`` there — it holds one less (restart, n) array.
+    """
+    m = int(restart)
+    if m < 1:
+        raise ValueError("restart must be >= 1")
+    op0 = as_operator(A, use_pallas=use_pallas)
+    shape = b.shape
+    dtype = b.dtype
+    b_flat = b.reshape(-1)
+    op = (lambda u: op0(u.reshape(shape)).reshape(-1)) if len(shape) > 1 else op0
+    M_flat = None
+    if M is not None:
+        M_flat = (
+            (lambda u: _apply_M(M, u.reshape(shape)).reshape(-1))
+            if len(shape) > 1
+            else (lambda u: _apply_M(M, u))
+        )
+    dot = lambda u, v: _dot(u, v, precise=precise_dot)
+    x = jnp.zeros_like(b_flat) if x0 is None else x0.astype(dtype).reshape(-1)
+    res = gmres_loop(
+        op, M_flat, b_flat, x, policy, m,
+        dot=dot, matdot=lambda V, w: V @ w, flexible=True,
+    )
+    import dataclasses
+
+    return dataclasses.replace(res, x=res.x.reshape(shape))
+
+
+def inner_solve_preconditioner(
+    A,
+    method: str = "bicgstab",
+    iterations: int = 8,
+    M: Optional[Callable] = None,
+    use_pallas: bool = False,
+    bounds=None,
+):
+    """A fixed-budget inner Krylov solve of ``A z = v`` packaged as a
+    preconditioner callable for ``fgmres_solve`` (inner-outer Krylov).
+
+    The inner solve runs at most ``iterations`` steps of ``method``
+    ("bicgstab" | "cg" | "chebyshev") from a zero guess at an effectively
+    unreachable tolerance — a *fixed work budget*, not a convergence
+    criterion, which is what makes the map nonlinear and FGMRES (not
+    GMRES) the required outer method.  ``M`` optionally preconditions the
+    inner solve itself (e.g. the multigrid V-cycle), ``bounds=(lo, hi)``
+    feeds the Chebyshev inner (estimated via Lanczos when omitted).
+    """
+    pol = ConvergencePolicy(tol=1e-30, norm="l2", max_iteration=int(iterations))
+    if method == "bicgstab":
+        from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+
+        return lambda v: bicgstab_solve(
+            A, v, policy=pol, M=M, use_pallas=use_pallas
+        ).x
+    if method == "cg":
+        from conjugategradient_tpu.solvers.cg import cg_solve
+
+        return lambda v: cg_solve(A, v, policy=pol, M=M, use_pallas=use_pallas).x
+    if method == "chebyshev":
+        from conjugategradient_tpu.solvers.cheby import chebyshev_solve, estimate_bounds
+
+        if bounds is None:
+            bounds = estimate_bounds(A)
+        lo, hi = bounds
+        return lambda v: chebyshev_solve(
+            A, v, policy=pol, bounds=(float(lo), float(hi)),
+            check_every=int(iterations),
+        ).x
+    raise ValueError(f"unknown inner method {method!r}; want bicgstab|cg|chebyshev")
 
 
 def gmres_solve_traced(
