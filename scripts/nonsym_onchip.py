@@ -1,5 +1,10 @@
 """On-chip measurement: nonsymmetric solves + LOBPCG (session-5 paths).
 
+Round 3: the mg_bicgstab hierarchy uses rediscretized upwind coarse
+operators — the Galerkin-coarsened hierarchy DIVERGES at this size (the
+round-2 version of this script hit max_iteration and the 40000-iteration
+chained scan read back as a tunnel "device error").
+
 Measures, with the tunnel-proof scan-differencing pattern from bench.py
 (chained solves inside one jitted scan, difference two scan lengths):
 
@@ -8,7 +13,7 @@ Measures, with the tunnel-proof scan-differencing pattern from bench.py
 - plain BiCGStab on the same system (the preconditioning payoff)
 - LOBPCG (k=8, V-cycle M) on 511x511 Poisson
 
-Writes artifacts/nonsym_onchip_r02.json.  Run only when no other TPU
+Writes artifacts/nonsym_onchip_r03.json.  Run only when no other TPU
 process is active.
 """
 
@@ -82,7 +87,13 @@ def main():
     grid = (1023, 1023)
     sys_ = generators.convection_diffusion_system(grid, eps=0.05, dtype=np.float32)
     t0 = time.perf_counter()
-    h = build_hierarchy(sys_.A, grid, dtype=np.dtype(np.float32))
+    # rediscretized coarse operators: Galerkin-of-upwind diverges from
+    # 127x127 up (see generators.convection_diffusion_coarse_operator)
+    h = build_hierarchy(
+        sys_.A, grid, dtype=np.dtype(np.float32),
+        coarse_operator=generators.convection_diffusion_coarse_operator(
+            eps=0.05, dtype=np.float32),
+    )
     out["hierarchy_setup_s"] = round(time.perf_counter() - t0, 2)
     A_st = dia_to_stencil(sys_.A, grid).device_put(dtype=jnp.float32)
     b = jnp.asarray(sys_.b, jnp.float32).reshape(grid)
@@ -140,7 +151,7 @@ def main():
     out["lobpcg_511_lam1"] = float(np.asarray(eres.eigenvalues)[0])
 
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "artifacts", "nonsym_onchip_r02.json")
+                        "artifacts", "nonsym_onchip_r03.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
