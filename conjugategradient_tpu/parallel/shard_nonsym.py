@@ -131,7 +131,11 @@ def sharded_gmres_loop(
     pdot = lambda u, v: jax.lax.psum(
         jnp.dot(u.ravel(), v.ravel(), preferred_element_type=u.dtype), axis
     )
-    pmatdot = lambda V, w: jax.lax.psum(V @ w, axis)
+    # HIGHEST precision on the local Gram product — the TPU default's bf16
+    # operand truncation degrades CGS2 (see solvers.gmres._matdot_default)
+    pmatdot = lambda V, w: jax.lax.psum(
+        jnp.matmul(V, w, precision=jax.lax.Precision.HIGHEST), axis
+    )
     pmax_abs = lambda r: jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
     return gmres_loop(
         op, M, b, x0, policy, int(restart),

@@ -42,6 +42,8 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+
+_PH = jax.lax.Precision.HIGHEST  # see _coeffs
 import numpy as np
 
 from conjugategradient_tpu.ops.spmv import as_operator
@@ -86,7 +88,11 @@ class Deflation:
     # grid-shaped; the (n, k) contractions flatten internally) --------------
 
     def _coeffs(self, U, v):
-        c = U.T @ v.reshape(-1)
+        # HIGHEST precision: the TPU default truncates fp32 matmul operands
+        # to bf16 — fatal for these (n, k) contractions, whose whole point
+        # is resolving ~1e-6-scale deflated components (cf. the AW note in
+        # make_deflation); bandwidth-bound, so HIGHEST costs nothing
+        c = jnp.matmul(U.T, v.reshape(-1), precision=_PH)
         if self.psum_axis is not None:
             c = jax.lax.psum(c, self.psum_axis)
         return self.scale * jax.scipy.linalg.cho_solve(
@@ -95,11 +101,15 @@ class Deflation:
 
     def galerkin_correct(self, x, r):
         """x + W E⁻¹ Wᵀ r — the Galerkin (coarse) solve that zeroes Wᵀ r."""
-        return x + (self.W @ self._coeffs(self.W, r)).reshape(x.shape)
+        return x + jnp.matmul(
+            self.W, self._coeffs(self.W, r), precision=_PH
+        ).reshape(x.shape)
 
     def project_direction(self, z):
         """z - W E⁻¹ (AW)ᵀ z — keeps directions A-orthogonal to span{W}."""
-        return z - (self.W @ self._coeffs(self.AW, z)).reshape(z.shape)
+        return z - jnp.matmul(
+            self.W, self._coeffs(self.AW, z), precision=_PH
+        ).reshape(z.shape)
 
     def project_residual(self, r):
         """r - AW E⁻¹ Wᵀ r — zeroes Wᵀ r exactly (Wᵀ AW = E).  Applied
@@ -108,7 +118,9 @@ class Deflation:
         O(eps·kappa)/step and fp32 def-CG on an outlier spectrum DIVERGES
         (measured).  The deflated solution components it discards are
         restored by the final Galerkin correction."""
-        return r - (self.AW @ self._coeffs(self.W, r)).reshape(r.shape)
+        return r - jnp.matmul(
+            self.AW, self._coeffs(self.W, r), precision=_PH
+        ).reshape(r.shape)
 
     def map_basis(self, fn) -> "Deflation":
         """New Deflation with ``fn`` applied to every column of W and AW —
@@ -152,7 +164,9 @@ def lanczos_basis(op: Callable, n: int, m: int, dtype=jnp.float32, seed: int = 0
         w = w - alpha * q - beta_prev * v_prev
         # full reorthogonalisation against the rows filled so far (rows past
         # j are zero, so the masked contraction is just the full matmul)
-        w = w - V.T @ (V @ w)
+        w = w - jnp.matmul(
+            V.T, jnp.matmul(V, w, precision=_PH), precision=_PH
+        )
         beta = jnp.linalg.norm(w)
         v_next = jnp.where(beta > 0, w / jnp.where(beta > 0, beta, 1.0), 0.0)
         V = jax.lax.cond(
@@ -197,7 +211,7 @@ def make_deflation(
     evals, S = np.linalg.eigh(T)
     Sk = jnp.asarray(S[:, :k], dtype)  # k smallest Ritz pairs
 
-    W = jax.jit(lambda V_, Sk_: V_.T @ Sk_)(V, Sk)  # (n, k)
+    W = jax.jit(lambda V_, Sk_: jnp.matmul(V_.T, Sk_, precision=_PH))(V, Sk)  # (n, k)
 
     # AW to WORKING accuracy, not fp32-SpMV accuracy: for an outlier mode
     # (lambda ~ 1e-6 against an O(1) bulk) the fp32 A @ w is pure

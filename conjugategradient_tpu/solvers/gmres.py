@@ -49,6 +49,14 @@ from conjugategradient_tpu.ops.spmv import as_operator
 from conjugategradient_tpu.solvers.cg import CGResult, _apply_M, _safe_div
 from conjugategradient_tpu.solvers.policy import ConvergencePolicy
 
+# basis-sized matmuls run at HIGHEST precision: the TPU default truncates
+# fp32 matmul operands to bf16, which degrades CGS2 orthogonalisation and
+# the assembled correction (same failure class measured in solvers.lobpcg
+# at 511^2: default precision stalls, HIGHEST matches the CPU trajectory).
+# These are (m, n) @ (n,) matvecs — bandwidth-bound, so HIGHEST is free.
+_PH = jax.lax.Precision.HIGHEST
+_matdot_default = lambda V, w: jnp.matmul(V, w, precision=_PH)
+
 
 def gmres_loop(
     op,
@@ -142,9 +150,9 @@ def gmres_loop(
             # when sharded; the h @ V reconstruction is purely local)
             mask = (rows <= k).astype(dtype)
             h1 = mask * matdot(V, w)
-            w = w - h1 @ V
+            w = w - jnp.matmul(h1, V, precision=_PH)
             h2 = mask * matdot(V, w)
-            w = w - h2 @ V
+            w = w - jnp.matmul(h2, V, precision=_PH)
             h = h1 + h2
             wnorm = jnp.sqrt(dot(w, w))
             V = jnp.where(
@@ -193,9 +201,9 @@ def gmres_loop(
         g_solve = jnp.where(jnp.arange(m) < k, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(R, g_solve, lower=False)
         if flexible:
-            x = x + y @ Z
+            x = x + jnp.matmul(y, Z, precision=_PH)
         else:
-            u = y @ V[:m]
+            u = jnp.matmul(y, V[:m], precision=_PH)
             x = x + (u if M_flat is None else M_flat(u))
         return x, it_total + k
 
@@ -324,7 +332,7 @@ def gmres_solve(
     dot = lambda u, v: _dot(u, v, precise=precise_dot)
     x = jnp.zeros_like(b_flat) if x0 is None else x0.astype(dtype).reshape(-1)
     res = gmres_loop(
-        op, M_flat, b_flat, x, policy, m, dot=dot, matdot=lambda V, w: V @ w
+        op, M_flat, b_flat, x, policy, m, dot=dot, matdot=_matdot_default
     )
     import dataclasses
 
@@ -371,7 +379,7 @@ def fgmres_solve(
     x = jnp.zeros_like(b_flat) if x0 is None else x0.astype(dtype).reshape(-1)
     res = gmres_loop(
         op, M_flat, b_flat, x, policy, m,
-        dot=dot, matdot=lambda V, w: V @ w, flexible=True,
+        dot=dot, matdot=_matdot_default, flexible=True,
     )
     import dataclasses
 
@@ -449,7 +457,7 @@ def gmres_solve_traced(
     x = jnp.zeros_like(b_flat) if x0 is None else x0.astype(dtype).reshape(-1)
     res, hist, its = gmres_loop_traced(
         op, M_flat, b_flat, x, policy, m, dot=dot,
-        matdot=lambda V, w: V @ w, num_cycles=num_cycles,
+        matdot=_matdot_default, num_cycles=num_cycles,
     )
     import dataclasses
 

@@ -69,6 +69,22 @@ jax.tree_util.register_dataclass(
 )
 
 
+# every Gram/projection/update matmul runs at HIGHEST precision: the TPU
+# default (bf16 passes) corrupts the whitening eigendecomposition — measured
+# on chip at 511^2 Poisson: default precision leaves max(res) stuck ~1e-1
+# for 200 iterations with 20% eigenvalue error, HIGHEST converges in 4
+# iterations matching the CPU fp32 trajectory
+_PH = jax.lax.Precision.HIGHEST
+
+
+def _dotc(a, b):
+    return jnp.matmul(a, b, precision=_PH)
+
+
+def _colsq(S):
+    return jnp.einsum("nj,nj->j", S, S, precision=_PH)
+
+
 def _spectral_orth(S, delta):
     """Whitened basis Q with near-null directions hard-zeroed.
 
@@ -81,13 +97,13 @@ def _spectral_orth(S, delta):
     (zero columns).  Returns ``(Q, good)`` with Q exactly orthonormal on
     the kept directions.
     """
-    norms = jnp.sqrt(jnp.einsum("nj,nj->j", S, S))
+    norms = jnp.sqrt(_colsq(S))
     S = S / jnp.where(norms > 0, norms, 1.0)[None, :]
-    G = S.T @ S
+    G = _dotc(S.T, S)
     w, E = jnp.linalg.eigh(G)
     good = w > delta * jnp.max(w)
     inv_sqrt = jnp.where(good, 1.0 / jnp.sqrt(jnp.where(good, w, 1.0)), 0.0)
-    Q = S @ (E * inv_sqrt[None, :])
+    Q = _dotc(S, E * inv_sqrt[None, :])
     return Q, good
 
 
@@ -142,7 +158,7 @@ def lobpcg(
         W = R if M is None else M(R)
         Q, good = _spectral_orth(jnp.concatenate([X, W, P], axis=1), delta)
         AQ = op(Q)  # the ONE matrix pass of the iteration (width 3k)
-        H = Q.T @ AQ
+        H = _dotc(Q.T, AQ)
         H = 0.5 * (H + H.T)
         # park dropped directions above every true Ritz value
         big = jnp.trace(jnp.abs(H)) + 1.0
@@ -151,14 +167,14 @@ def lobpcg(
         Hs = Hs + jnp.diag(jnp.where(good, 0.0, big))
         _theta, C = jnp.linalg.eigh(Hs)
         C1 = C[:, :k]  # ascending; sign flip selects the wanted end
-        X_new = Q @ C1
-        AXn = AQ @ C1  # A(Q C1) without a second matrix pass
+        X_new = _dotc(Q, C1)
+        AXn = _dotc(AQ, C1)  # A(Q C1) without a second matrix pass
         # P = the component of the update outside span(X) (projector form —
         # correct even though the whitened basis mixes the X/W/P blocks)
-        P_new = X_new - X @ (X.T @ X_new)
-        lam_new = jnp.einsum("nk,nk->k", X_new, AXn)
+        P_new = X_new - _dotc(X, _dotc(X.T, X_new))
+        lam_new = jnp.einsum("nk,nk->k", X_new, AXn, precision=_PH)
         Rn = AXn - X_new * lam_new[None, :]
-        res = jnp.sqrt(jnp.einsum("nk,nk->k", Rn, Rn)) / (jnp.abs(lam_new) + 1.0)
+        res = jnp.sqrt(_colsq(Rn)) / (jnp.abs(lam_new) + 1.0)
         return X_new, AXn, P_new, lam_new, res, it + 1
 
     def cond(state):
@@ -166,9 +182,9 @@ def lobpcg(
         return jnp.logical_and(jnp.max(res) >= tol, it < jnp.int32(max_iterations))
 
     AX0 = op(X)
-    lam0 = jnp.einsum("nk,nk->k", X, AX0)
+    lam0 = jnp.einsum("nk,nk->k", X, AX0, precision=_PH)
     R0 = AX0 - X * lam0[None, :]
-    res0 = jnp.sqrt(jnp.einsum("nk,nk->k", R0, R0)) / (jnp.abs(lam0) + 1.0)
+    res0 = jnp.sqrt(_colsq(R0)) / (jnp.abs(lam0) + 1.0)
     X, _AX, P, lam, res, it = jax.lax.while_loop(
         cond, body, (X, AX0, P0, lam0, res0, jnp.int32(0))
     )

@@ -63,7 +63,11 @@ def timed_chain(run_one, args, b, k_pair=(2, 10), tries=3):
             scales = jnp.asarray(1.0 + rng.uniform(1e-5, 1e-3, k).astype(np.float32))
             t0 = time.perf_counter()
             out = chain_j(args, b, scales)
-            jax.block_until_ready(out[0])
+            # scalar readback of the LAST chain element forces the whole
+            # chain through the tunnel — block_until_ready alone measurably
+            # returns early on dropped/deduplicated executions (bench.py
+            # uses the same guard; a (8,208) spread once differenced to 0.0)
+            float(np.asarray(out[1][1])[-1])
             best = min(best, time.perf_counter() - t0)
         times[k] = best
         aux_out = out[1]
@@ -105,7 +109,9 @@ def main():
         res = bicgstab_solve(A_, bb, policy=pol, M=_as_p(h_))
         return res.x, res.iterations, res.residual, res.converged
 
-    per, (its, ress, convs) = timed_chain(run_mg, (A_st, h), b, k_pair=(2, 12))
+    # large scan spread: small spreads measurably produce negative diffs
+    # through the tunnel (see CLAUDE.md / STATUS operational notes)
+    per, (its, ress, convs) = timed_chain(run_mg, (A_st, h), b, k_pair=(8, 208))
     assert bool(np.asarray(convs).all()), "mg_bicgstab did not converge on chip"
     out["mg_bicgstab_1023_ms"] = round(1e3 * per, 3)
     out["mg_bicgstab_1023_its"] = int(np.asarray(its)[-1])
@@ -117,8 +123,11 @@ def main():
     per_p, (its_p, _, convs_p) = timed_chain(run_plain, A_st, b, k_pair=(1, 3))
     out["bicgstab_1023_ms"] = round(1e3 * per_p, 3)
     out["bicgstab_1023_its"] = int(np.asarray(its_p)[-1])
+    # unpreconditioned fp32 BiCGStab at this size stagnates into the rho~0
+    # breakdown freeze (recorded, not asserted — the point of mg_)
     out["bicgstab_1023_converged"] = bool(np.asarray(convs_p).all())
-    out["mg_speedup"] = round(per_p / per, 2)
+    if out["bicgstab_1023_converged"]:
+        out["mg_speedup"] = round(per_p / per, 2)
 
     # --- LOBPCG k=8 on 511^2 Poisson -------------------------------------
     egrid = (511, 511)
@@ -136,19 +145,33 @@ def main():
         return Y.reshape(X.shape[1], n).T
 
     t0 = time.perf_counter()
+    # fp32 floor for ||Ax - lam x||/(|lam|+1) at n=261k, lam_max~8 is
+    # ~4e-4 (eps32 * sqrt(n) * ||A||); 1e-4 is unreachable — use 2e-3 and
+    # validate the eigenvalues against the closed-form Laplacian spectrum
     eres = lobpcg(_op, 8, X0=jax.random.normal(jax.random.PRNGKey(0), (n, 8), jnp.float32),
-                  M=eM, tol=1e-4, max_iterations=200, dtype=jnp.float32)
+                  M=eM, tol=2e-3, max_iterations=200, dtype=jnp.float32)
     jax.block_until_ready(eres.eigenvalues)
     t_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     eres = lobpcg(_op, 8, X0=jax.random.normal(jax.random.PRNGKey(1), (n, 8), jnp.float32),
-                  M=eM, tol=1e-4, max_iterations=200, dtype=jnp.float32)
+                  M=eM, tol=2e-3, max_iterations=200, dtype=jnp.float32)
     jax.block_until_ready(eres.eigenvalues)
     out["lobpcg_511_s"] = round(time.perf_counter() - t0, 3)
     out["lobpcg_511_first_s"] = round(t_first, 3)
     out["lobpcg_511_its"] = int(eres.iterations)
     out["lobpcg_511_converged"] = bool(eres.converged)
     out["lobpcg_511_lam1"] = float(np.asarray(eres.eigenvalues)[0])
+    # closed form: lam_{i,j} = 4 - 2cos(i pi/512) - 2cos(j pi/512)
+    m = egrid[0] + 1
+    ij = np.arange(1, 6)
+    lam = (2 - 2 * np.cos(ij * np.pi / m))[:, None] + (
+        2 - 2 * np.cos(ij * np.pi / m)
+    )[None, :]
+    exact = np.sort(lam.ravel())[:8]
+    got = np.sort(np.asarray(eres.eigenvalues, np.float64))
+    out["lobpcg_511_max_rel_eig_err"] = float(
+        np.max(np.abs(got - exact) / exact)
+    )
 
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "artifacts", "nonsym_onchip_r03.json")
