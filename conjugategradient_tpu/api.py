@@ -189,12 +189,30 @@ def solve(
         # mg_/bjacobi_ would be silently replaced, so they are refused)
         from conjugategradient_tpu.parallel.shard_nonsym import sharded_nonsym_solve
 
-        if prefix in ("mg", "amg"):
+        if prefix == "mg":
+            # distributed multigrid-preconditioned nonsym solve: the GSPMD
+            # carrier (V-cycle + Krylov loop partitioned as one program) —
+            # the explicit shard_map path's even-extent constraint excludes
+            # the odd fw grids rediscretized hierarchies live on
+            if base not in ("bicgstab", "gmres", "fgmres"):
+                raise ValueError(f"{method} with mesh= is not supported")
+            if grid is None:
+                raise ValueError(f"{method} requires grid=")
+            if not isinstance(A, DiaMatrix):
+                raise TypeError(f"{method} requires a DiaMatrix")
+            from conjugategradient_tpu.parallel.gspmd import gspmd_mg_nonsym_solve
+
+            return gspmd_mg_nonsym_solve(
+                A, b, grid, mesh=kw.pop("mesh"), policy=policy, method=base,
+                x0=x0, dtype=dtype,
+                coarse_operator=kw.pop("coarse_operator", None), **kw,
+            )
+        if prefix == "amg":
             raise ValueError(
-                f"{method} with mesh= is not supported: the mg/amg "
+                f"{method} with mesh= is not supported: the amg "
                 "preconditioner is not plumbed through the sharded solvers; "
-                "use the jacobi_/bjacobi_ prefixes or an explicit M_local "
-                "via parallel.shard_nonsym.sharded_nonsym_solve"
+                "use the jacobi_/bjacobi_/mg_ prefixes or an explicit "
+                "M_local via parallel.shard_nonsym.sharded_nonsym_solve"
             )
         if base == "fgmres" and "inner" in kw:
             raise ValueError(

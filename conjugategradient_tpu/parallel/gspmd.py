@@ -61,6 +61,65 @@ def shard_system(
     return A, put_vec(system.b), put_vec(system.x0)
 
 
+def _shard_hierarchy_and_fine(h, A_host: DiaMatrix, grid, mesh: Mesh, axes, dt):
+    """Place a host-built MgHierarchy on the mesh (row/block-sharded level
+    data, replicated tiny/odd levels) and return the sharded hierarchy, the
+    sharded fine stencil operator, and the placement helpers.  Shared by the
+    GSPMD MGCG and the GSPMD mg-preconditioned nonsymmetric solvers."""
+    import dataclasses as _dc
+
+    from conjugategradient_tpu.core.formats import ConstStencilMatrix, StencilMatrix
+    from conjugategradient_tpu.parallel.mesh import specs_for_grid
+    from conjugategradient_tpu.precond.multigrid import MgHierarchy
+
+    def put(arr, spec):
+        return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+
+    def specs_for(g):
+        # tiny/odd coarse levels replicate — they cost nothing
+        return specs_for_grid(g, mesh, axes)
+
+    levels = []
+    for lvl in h.levels:
+        dspec, vspec = specs_for(lvl.grid)
+        if isinstance(lvl.A, ConstStencilMatrix):
+            # constant-coefficient level: coeffs are static metadata, no data
+            A_sh = lvl.A
+            ivspec = P() if getattr(lvl.inv_diag, "ndim", 0) == 0 else vspec
+        else:
+            A_sh = StencilMatrix(put(lvl.A.data, dspec), lvl.A.shifts, lvl.A.grid)
+            ivspec = vspec
+        levels.append(
+            _dc.replace(
+                lvl,
+                A=A_sh,
+                inv_diag=put(lvl.inv_diag, ivspec),
+                mask=None if lvl.mask is None else put(lvl.mask, vspec),
+                weight=None if lvl.weight is None else put(lvl.weight, vspec),
+            )
+        )
+    h_sharded = MgHierarchy(
+        levels=tuple(levels),
+        coarse_inv=put(h.coarse_inv, P()),
+        smoother=h.smoother,
+        pre=h.pre,
+        post=h.post,
+        omega=h.omega,
+    )
+
+    dspec0, _vspec0 = specs_for(tuple(grid))
+    if h_sharded.levels:
+        fine_A = h_sharded.levels[0].A
+    else:
+        # below max_coarse the hierarchy is just the direct solve; build the
+        # fine stencil operator separately
+        from conjugategradient_tpu.core.formats import dia_to_stencil
+
+        st = dia_to_stencil(A_host, tuple(grid)).astype(dt)
+        fine_A = StencilMatrix(put(st.data, dspec0), st.shifts, st.grid)
+    return h_sharded, fine_A, put, specs_for
+
+
 def make_gspmd_mgcg(
     system: LinearSystem,
     grid,
@@ -96,59 +155,10 @@ def make_gspmd_mgcg(
         system.A, grid, smoother=smoother, pre=pre, post=post, dtype=dt, layout="stencil"
     )
 
-    def put(arr, spec):
-        return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
-
-    nd = len(grid)
-
-    from conjugategradient_tpu.parallel.mesh import specs_for_grid
-
-    def specs_for(g):
-        # tiny/odd coarse levels replicate — they cost nothing
-        return specs_for_grid(g, mesh, axes)
-
-    import dataclasses as _dc
-
-    from conjugategradient_tpu.core.formats import ConstStencilMatrix
-
-    levels = []
-    for lvl in h.levels:
-        dspec, vspec = specs_for(lvl.grid)
-        if isinstance(lvl.A, ConstStencilMatrix):
-            # constant-coefficient level: coeffs are static metadata, no data
-            A_sh = lvl.A
-            ivspec = P() if getattr(lvl.inv_diag, "ndim", 0) == 0 else vspec
-        else:
-            A_sh = StencilMatrix(put(lvl.A.data, dspec), lvl.A.shifts, lvl.A.grid)
-            ivspec = vspec
-        levels.append(
-            _dc.replace(
-                lvl,
-                A=A_sh,
-                inv_diag=put(lvl.inv_diag, ivspec),
-                mask=None if lvl.mask is None else put(lvl.mask, vspec),
-                weight=None if lvl.weight is None else put(lvl.weight, vspec),
-            )
-        )
-    h_sharded = MgHierarchy(
-        levels=tuple(levels),
-        coarse_inv=put(h.coarse_inv, P()),
-        smoother=h.smoother,
-        pre=h.pre,
-        post=h.post,
-        omega=h.omega,
+    h_sharded, fine_A, put, specs_for = _shard_hierarchy_and_fine(
+        h, system.A, grid, mesh, axes, dt
     )
-
-    dspec0, vspec0 = specs_for(tuple(grid))
-    if h_sharded.levels:
-        fine_A = h_sharded.levels[0].A
-    else:
-        # below max_coarse the hierarchy is just the direct solve; build the
-        # fine stencil operator separately
-        from conjugategradient_tpu.core.formats import dia_to_stencil
-
-        st = dia_to_stencil(system.A, tuple(grid)).astype(dt)
-        fine_A = StencilMatrix(put(st.data, dspec0), st.shifts, st.grid)
+    _dspec0, vspec0 = specs_for(tuple(grid))
     b_dev = put(np.asarray(system.b, dtype=dt).reshape(grid), vspec0)
     x0_dev = put(np.asarray(system.x0, dtype=dt).reshape(grid), vspec0)
 
@@ -184,6 +194,102 @@ def gspmd_mgcg_solve(
         mesh = make_mesh()
     solve, (b, x0) = make_gspmd_mgcg(system, grid, mesh, policy, **kw)
     return solve(b, x0)
+
+
+def make_gspmd_mg_nonsym(
+    A: DiaMatrix,
+    b,
+    grid,
+    mesh: Mesh,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    method: str = "bicgstab",
+    axes=("x",),
+    smoother: str = "jacobi",
+    pre: int = 2,
+    post: int = 2,
+    dtype=None,
+    hierarchy=None,
+    coarse_operator=None,
+    restart: int = 32,
+    x0=None,
+    **build_kw,
+):
+    """Mesh-partitioned MULTIGRID-PRECONDITIONED nonsymmetric solve:
+    BiCGStab / GMRES / FGMRES with the V-cycle as right preconditioner,
+    the whole thing one GSPMD program.
+
+    This is the distributed form of ``solve(method="mg_bicgstab"|...)`` —
+    the explicit ``shard_map`` MGCG path cannot carry it because its
+    sharding constraint (even local extents, agg/hyb transfers) excludes
+    the odd fw grids that ``coarse_operator`` rediscretization requires,
+    and convection-dominated operators NEED rediscretized coarse levels
+    (Galerkin-of-upwind diverges from 127x127 up — see
+    ``generators.convection_diffusion_coarse_operator``).  GSPMD has no
+    such constraint: levels that stop dividing the mesh replicate.
+
+    ``smoother`` defaults to "jacobi": the chebyshev smoother's bounds are
+    estimated on a symmetrized similar operator, safe for mildly nonsym
+    levels but the jacobi default is robust at any Peclet.  Returns
+    ``(solve, (b, x0))`` with pre-placed inputs, like ``make_gspmd_mgcg``.
+    """
+    from conjugategradient_tpu.precond import build_hierarchy
+    from conjugategradient_tpu.precond.multigrid import v_cycle
+    from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+    from conjugategradient_tpu.solvers.gmres import fgmres_solve, gmres_solve
+
+    if method not in ("bicgstab", "gmres", "fgmres"):
+        raise ValueError(f"unknown method {method!r}; want bicgstab|gmres|fgmres")
+    axes = tuple(axes)
+    dt = dtype or np.asarray(A.data).dtype
+    h = hierarchy or build_hierarchy(
+        A, grid, smoother=smoother, pre=pre, post=post, dtype=dt,
+        layout="stencil", coarse_operator=coarse_operator, **build_kw,
+    )
+    h_sharded, fine_A, put, specs_for = _shard_hierarchy_and_fine(
+        h, A, grid, mesh, axes, dt
+    )
+    _dspec0, vspec0 = specs_for(tuple(grid))
+    b_dev = put(np.asarray(b, dtype=dt).reshape(grid), vspec0)
+    x0_arr = np.zeros(tuple(grid), dtype=dt) if x0 is None else np.asarray(
+        x0, dtype=dt
+    ).reshape(grid)
+    x0_dev = put(x0_arr, vspec0)
+
+    @jax.jit
+    def _solve(h_, A_, b_, x0_):
+        op = as_operator(A_, roll=True)
+        M = lambda r: v_cycle(h_, r, roll=True)
+        if method == "bicgstab":
+            res = bicgstab_solve(op, b_, x0_, policy, M=M)
+        elif method == "gmres":
+            res = gmres_solve(op, b_, x0_, policy, M=M, restart=restart)
+        else:
+            res = fgmres_solve(op, b_, x0_, policy, M=M, restart=restart)
+        import dataclasses as _dc
+
+        return _dc.replace(res, x=res.x.reshape(-1))
+
+    return lambda b_, x0_: _solve(h_sharded, fine_A, b_, x0_), (b_dev, x0_dev)
+
+
+def gspmd_mg_nonsym_solve(
+    A: DiaMatrix,
+    b,
+    grid,
+    mesh: Optional[Mesh] = None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    **kw,
+) -> CGResult:
+    """One-call convenience for the GSPMD mg-preconditioned nonsym solve."""
+    if mesh is None:
+        from conjugategradient_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    x0 = kw.pop("x0", None)
+    solve, (b_dev, x0_dev) = make_gspmd_mg_nonsym(
+        A, b, grid, mesh, policy, x0=x0, **kw
+    )
+    return solve(b_dev, x0_dev)
 
 
 def gspmd_refined_solve(

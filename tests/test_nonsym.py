@@ -323,16 +323,21 @@ def test_gmres_zero_residual_min_iteration_nan_free():
 
 
 def test_mesh_with_unsupported_prefix_raises(convdiff):
-    """mg_ + mesh= must refuse loudly, not silently degrade to point
-    Jacobi (review finding; bjacobi_ + mesh= is now the supported
-    shard-local path — see test_sharded_block_jacobi)."""
+    """amg_ + mesh= must refuse loudly, not silently degrade to point
+    Jacobi (review finding; bjacobi_ + mesh= is the shard-local path and
+    mg_ + mesh= now routes to the GSPMD carrier — test_gspmd_mg_nonsym)."""
     from conjugategradient_tpu.parallel.mesh import make_mesh
 
     sys_, _ = convdiff
     mesh = make_mesh(4)
     with pytest.raises(ValueError, match="not supported"):
         solve(
-            sys_.A, sys_.b, method="mg_bicgstab", grid=(24, 24), mesh=mesh,
+            sys_.A, sys_.b, method="amg_bicgstab", mesh=mesh,
+            tol=1e-6, norm="rel_l2",
+        )
+    with pytest.raises(ValueError, match="not supported"):
+        solve(
+            sys_.A, sys_.b, method="mg_minres", grid=(24, 24), mesh=mesh,
             tol=1e-6, norm="rel_l2",
         )
 
