@@ -227,6 +227,18 @@ def make_gspmd_mg_nonsym(
     ``generators.convection_diffusion_coarse_operator``).  GSPMD has no
     such constraint: levels that stop dividing the mesh replicate.
 
+    Sharding caveat, stated honestly: ``NamedSharding`` requires the
+    sharded axis to DIVIDE the mesh (verified — uneven shards are
+    rejected), and fw-rediscretized hierarchies live on odd (2^k - 1)
+    grids, so on a 2^m mesh every level of this program replicates: the
+    result is correct and the collectives are exercised, but the work is
+    not partitioned.  Sharded execution needs a divisible leading axis —
+    pad_system + agg/hyb transfers (the rung-5 recipe), which is exactly
+    the Galerkin path that convection breaks.  Rediscretization for the
+    CELL-CENTERED (even-grid) transfer convention would close this; until
+    then, convection-dominated mg_* at scale is a single-chip capability
+    (measured: 7 its / 2.2 ms at 1023^2 fp32).
+
     ``smoother`` defaults to "jacobi": the chebyshev smoother's bounds are
     estimated on a symmetrized similar operator, safe for mildly nonsym
     levels but the jacobi default is robust at any Peclet.  Returns
