@@ -227,17 +227,16 @@ def make_gspmd_mg_nonsym(
     ``generators.convection_diffusion_coarse_operator``).  GSPMD has no
     such constraint: levels that stop dividing the mesh replicate.
 
-    Sharding caveat, stated honestly: ``NamedSharding`` requires the
-    sharded axis to DIVIDE the mesh (verified — uneven shards are
-    rejected), and fw-rediscretized hierarchies live on odd (2^k - 1)
-    grids, so on a 2^m mesh every level of this program replicates: the
-    result is correct and the collectives are exercised, but the work is
-    not partitioned.  Sharded execution needs a divisible leading axis —
-    pad_system + agg/hyb transfers (the rung-5 recipe), which is exactly
-    the Galerkin path that convection breaks.  Rediscretization for the
-    CELL-CENTERED (even-grid) transfer convention would close this; until
-    then, convection-dominated mg_* at scale is a single-chip capability
-    (measured: 7 its / 2.2 ms at 1023^2 fp32).
+    Sharding note: ``NamedSharding`` requires the sharded axis to DIVIDE
+    the mesh (verified — uneven shards are rejected), so on odd (2^k - 1)
+    fw grids every level replicates (correct, but unpartitioned).  For
+    GENUINELY SHARDED convection-MG use an EVEN (2^k) grid: the hybrid
+    cell-centered transfers carry the same calibrated rediscretization
+    scaling (measured: identical 1/4-diffusion / 1/2-convection per-level
+    factors for cc and fw axes), every level halves 128 -> 64 -> ... and
+    keeps dividing the mesh, and the rediscretized hierarchy converges
+    where Galerkin-hyb diverges (13/18/18 its at 128^2..512^2 vs divergence
+    at every size).
 
     ``smoother`` defaults to "jacobi": the chebyshev smoother's bounds are
     estimated on a symmetrized similar operator, safe for mildly nonsym

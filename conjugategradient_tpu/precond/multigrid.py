@@ -315,13 +315,17 @@ def build_hierarchy(
         raise ValueError(f"prod(grid)={int(np.prod(grid))} != n={A.n}")
     if smoother not in ("jacobi", "chebyshev", "rbgs"):
         raise ValueError(f"unknown smoother {smoother!r}")
-    if coarse_operator is not None:
-        if transfer_kind not in ("auto", "fw"):
-            raise ValueError(
-                "coarse_operator (rediscretization) assumes the vertex-"
-                f"centered fw transfer geometry; got transfer_kind={transfer_kind!r}"
-            )
-        transfer_kind = "fw"
+    if coarse_operator is not None and transfer_kind == "agg":
+        # the fw/hyb geometric transfers share one calibrated scaling
+        # (diffusion 1/4, convection 1/2 per level — measured identical for
+        # vertex-centered odd axes and cell-centered even axes); weighted
+        # aggregation adapts its transfers to the operator's near-null
+        # space, so no fixed rediscretization scale exists for it
+        raise ValueError(
+            "coarse_operator (rediscretization) assumes the geometric "
+            "fw/hyb transfer conventions; transfer_kind='agg' has no fixed "
+            "calibration"
+        )
 
     levels = []
     A_h = A  # host-side numpy DIA
@@ -363,6 +367,11 @@ def build_hierarchy(
     ):
         kind = _pick_kind(g, geom_ok=_const_near_null(A_h, g))
         if kind is None:
+            break
+        if coarse_operator is not None and kind == "agg":
+            # no calibrated rediscretization scale for weighted aggregation
+            # (see the transfer_kind check above): stop here — the dense
+            # coarse inverse takes over at whatever size remains
             break
         diag = dia_diagonal(A_h)
         if np.any(diag <= 0):
