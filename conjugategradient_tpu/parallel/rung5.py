@@ -127,6 +127,96 @@ def make_rung5_system(
     return StencilMatrix(legs, shifts, padded), b, x0, padded, int(np.prod(grid))
 
 
+def make_convection_system(
+    grid: GridShape,
+    mesh: Mesh,
+    eps: float = 0.05,
+    velocity="recirculating",
+    scheme: str = "upwind",
+    axis: str = "x",
+    dtype=np.float32,
+    seed: int = 0,
+):
+    """Sharded convection-diffusion fine system for the nonsym rung-5 path.
+
+    EVEN-extent grids only (asserted): they both divide the mesh (no
+    identity padding needed, unlike the odd Poisson grids) and halve
+    cleanly under the cell-centered transfers that the REDISCRETIZED
+    hierarchy (``precond.distributed.build_hierarchy_redisc``) uses —
+    Galerkin coarsening diverges on this operator family, so the probed
+    builder is not an option here.  Returns ``(A, b, x0)``, all
+    mesh-sharded, assembled slab by slab.
+    """
+    grid = tuple(grid)
+    num = mesh.shape[axis]
+    if grid[0] % num:
+        raise ValueError(f"grid[0]={grid[0]} must divide the mesh ({num})")
+    if any(n % 2 for n in grid):
+        raise ValueError(f"even extents required for cc coarsening, got {grid}")
+    from conjugategradient_tpu.core.generators import (
+        convection_diffusion_level_slab,
+        convection_diffusion_rhs_slab,
+    )
+
+    d = len(grid)
+    shifts = unit_shifts(d)
+    slab = convection_diffusion_level_slab(
+        eps, velocity=velocity, scheme=scheme, dtype=dtype
+    )
+    leg_spec = NamedSharding(mesh, P(None, axis, *([None] * (d - 1))))
+    vec_spec = NamedSharding(mesh, P(axis, *([None] * (d - 1))))
+
+    def leg_cb(idx):
+        lo, hi, _ = idx[1].indices(grid[0])
+        return jnp.asarray(slab(0, grid, lo, hi))
+
+    def b_cb(idx):
+        lo, hi, _ = idx[0].indices(grid[0])
+        return jnp.asarray(
+            convection_diffusion_rhs_slab(grid, lo, hi, dtype=dtype, seed=seed)
+        )
+
+    def x0_cb(idx):
+        lo, hi, _ = idx[0].indices(grid[0])
+        return jnp.zeros((hi - lo,) + grid[1:], dtype=dtype)
+
+    legs = jax.make_array_from_callback((len(shifts),) + grid, leg_spec, leg_cb)
+    b = jax.make_array_from_callback(grid, vec_spec, b_cb)
+    x0 = jax.make_array_from_callback(grid, vec_spec, x0_cb)
+    return StencilMatrix(legs, shifts, grid), b, x0
+
+
+def make_rung5_mg_nonsym(policy, hierarchy, method: str = "bicgstab", restart: int = 32):
+    """Jitted sharded mg-preconditioned nonsym solve at rung-5 scale:
+    ``solve(b, x0) -> CGResult``; the fine operator IS
+    ``hierarchy.levels[0].A`` and the (rediscretized) hierarchy rides as a
+    pytree argument."""
+    from conjugategradient_tpu.ops.spmv import as_operator
+    from conjugategradient_tpu.precond.multigrid import v_cycle
+    from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+    from conjugategradient_tpu.solvers.gmres import fgmres_solve, gmres_solve
+
+    if method not in ("bicgstab", "gmres", "fgmres"):
+        raise ValueError(f"unknown method {method!r}")
+    if not hierarchy.levels:
+        raise ValueError(
+            "hierarchy has no levels (grid <= max_coarse — the dense "
+            "inverse IS the solve); lower max_coarse or solve directly"
+        )
+
+    @jax.jit
+    def _solve(h, b, x0):
+        op = as_operator(h.levels[0].A, roll=True)
+        M = lambda r: v_cycle(h, r, roll=True)
+        if method == "bicgstab":
+            return bicgstab_solve(op, b, x0, policy, M=M)
+        if method == "gmres":
+            return gmres_solve(op, b, x0, policy, M=M, restart=restart)
+        return fgmres_solve(op, b, x0, policy, M=M, restart=restart)
+
+    return lambda b, x0: _solve(hierarchy, b, x0)
+
+
 def make_rung5_cg(policy):
     """Jitted sharded plain CG: ``solve(A, b, x0) -> CGResult``, one GSPMD
     program, everything a pytree argument (never a closure constant —

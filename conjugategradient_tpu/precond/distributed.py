@@ -348,6 +348,111 @@ def build_hierarchy_probed(
     )
 
 
+def build_hierarchy_redisc(
+    grid: GridShape,
+    mesh,
+    slab_fn,
+    axes: Tuple[str, ...] = ("x",),
+    smoother: str = "jacobi",
+    pre: int = 2,
+    post: int = 2,
+    omega: float = 2.0 / 3.0,
+    max_coarse: int = 1025,
+    max_levels: int = 25,
+    power_iters: int = 30,
+    dtype=np.float32,
+) -> MgHierarchy:
+    """REDISCRETIZED mesh-sharded hierarchy: every level assembled directly
+    from a closed-form generator, slab by slab, into sharded device arrays
+    — no Galerkin product, no probing, no global host materialisation.
+
+    This is the rung-5 setup path for operators whose Galerkin coarsening
+    is UNSTABLE (convection-dominated transport — see
+    ``generators.convection_diffusion_coarse_operator``): the probed
+    builder would faithfully reproduce the divergent Galerkin coarse
+    operators, so rediscretization must replace the product, and for
+    geometric families it also makes setup trivially cheap (one generator
+    pass per level vs 3^d probe solves).
+
+    ``slab_fn(level, grid_l, lo0, hi0) -> (nlegs, hi0-lo0, *grid_l[1:])``
+    host legs for axis-0 planes [lo0, hi0) of level ``level`` — e.g.
+    ``generators.convection_diffusion_level_slab(eps)``, which bakes in the
+    calibrated per-level scaling.  Transfers are the geometric hybrid
+    fw/cc family (the rediscretization calibration holds for both — same
+    measured per-level factors); EVEN (2^k) grids both halve cleanly and
+    divide device meshes, so prefer them for genuinely sharded execution.
+    Leg order must be sorted unit shifts (``parallel.rung5.unit_shifts``).
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    if smoother not in ("jacobi", "chebyshev"):
+        raise ValueError(f"unsupported smoother {smoother!r}")
+    g = tuple(grid)
+    d = len(g)
+    shifts = _box_shifts(tuple([1] * d))  # sorted unit box = unit shifts
+    shifts = tuple(s for s in shifts if sum(abs(c) for c in s) <= 1)
+    center = shifts.index(tuple([0] * d))
+
+    def put_legs(level, gg):
+        dspec, _ = _specs_for(gg, mesh, axes)
+        shape = (len(shifts),) + gg
+
+        def cb(idx):
+            lo, hi, _ = idx[1].indices(gg[0])
+            return jnp.asarray(slab_fn(level, gg, lo, hi))
+
+        return jax.make_array_from_callback(shape, NamedSharding(mesh, dspec), cb)
+
+    levels = []
+    lvl_idx = 0
+    while (
+        int(np.prod(g)) > max_coarse
+        and transfer.can_hybrid(g)
+        # >= 5 matches the host builder's hyb gate (cell-centered Galerkin
+        # stencils have extent 2; tinier axes alias shifts)
+        and all(n >= 5 for n in transfer.hybrid_coarse_shape(g))
+        and len(levels) < max_levels - 1
+    ):
+        legs = put_legs(lvl_idx, g)
+        inv_diag, _q1, _q2, lam = jax.jit(
+            lambda legs_, s=shifts, gg=g, c=center: _level_pack(
+                legs_, s, gg, c, power_iters
+            )
+        )(legs)
+        lam_f = float(lam) * 1.1
+        _dspec, vspec = _specs_for(g, mesh, axes)
+        levels.append(
+            MgLevel(
+                A=StencilMatrix(legs, shifts, g),
+                inv_diag=jax.device_put(inv_diag, NamedSharding(mesh, vspec)),
+                grid=g,
+                cheb_bounds=(0.25 * lam_f, lam_f),
+                mask=None,
+                transfer="hyb",
+                weight=None,
+                sa_smooth=False,
+            )
+        )
+        g = transfer.hybrid_coarse_shape(g)
+        lvl_idx += 1
+
+    # coarsest: tiny — assemble on host, invert densely
+    legs_h = np.asarray(slab_fn(lvl_idx, g, 0, g[0]))
+    dense_c = _legs_to_dense(legs_h, shifts, g)
+    coarse_inv = jnp.asarray(
+        np.linalg.inv(dense_c.astype(np.float64)).astype(dtype)
+    )
+    return MgHierarchy(
+        levels=tuple(levels),
+        coarse_inv=jax.device_put(coarse_inv, NamedSharding(mesh, P())),
+        smoother=smoother,
+        pre=pre,
+        post=post,
+        omega=omega,
+    )
+
+
 def _legs_to_dense(legs_h: np.ndarray, shifts, g: GridShape) -> np.ndarray:
     """(nlegs, *g) stencil legs -> dense (n, n), exact grid-neighbour logic."""
     n = int(np.prod(g))
