@@ -47,6 +47,11 @@ here one function routes to the right solver:
 - ``method="chebyshev"`` — dot-free Chebyshev iteration for SPD systems
   (``bounds=(lo, hi)``, ``check_every=``); with ``mesh=``: ONE all-reduce
   per check_every iterations (``solvers.cheby``)
+- ``method="cacg"`` — s-step communication-avoiding CG (``s=`` through kw,
+  default 4): CG's own optimality at ONE fused Gram reduction per s
+  iterations — no spectral bounds needed, ~2x the SpMV work; with
+  ``mesh=`` the row-block-sharded form (= ``sharded_cg`` with
+  ``variant="cacg"``).  Unpreconditioned, l2/rel_l2 norms
 - ``method="auto"`` — probe the matrix (symmetry, definiteness) and pick:
   CG/MGCG for SPD, MINRES for symmetric indefinite, BiCGStab (mg_ with a
   grid) for nonsymmetric
@@ -178,10 +183,16 @@ def solve(
             prefix, base = p[:-1], method[len(p):]
             break
 
-    if base == "chebyshev" and prefix is not None:
+    if base in ("chebyshev", "cacg") and prefix is not None:
         raise ValueError(
-            "chebyshev takes no preconditioner prefix (fold scaling into "
-            "the operator and its bounds instead)"
+            f"{base} takes no preconditioner prefix (fold scaling into "
+            "the operator instead)"
+        )
+    if method == "cacg" and "mesh" in kw:
+        from conjugategradient_tpu.parallel.sharded_cg import sharded_cg_solve
+
+        return sharded_cg_solve(
+            A, b, x0, policy, dtype=dtype, variant="cacg", **kw
         )
     if base in ("bicgstab", "gmres", "fgmres", "minres", "chebyshev") and "mesh" in kw:
         # row-block-sharded nonsymmetric solve; only shard-equivariant
@@ -350,6 +361,10 @@ def solve(
                 iterations=int(kw.pop("inner_iterations", 8)), M=M,
             )
         return fgmres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
+    if method == "cacg":
+        from conjugategradient_tpu.solvers.cacg import cacg_solve
+
+        return cacg_solve(A_dev, b_dev, x0_dev, policy, **kw)
     if method == "chebyshev":
         from conjugategradient_tpu.solvers.cheby import chebyshev_solve
 

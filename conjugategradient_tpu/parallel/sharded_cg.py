@@ -85,6 +85,7 @@ def sharded_cg_loop(
     variant: str = "cg",
     project=None,
     project_r=None,
+    s: int = 4,
 ) -> CGResult:
     """The sharded CG recurrence, format-agnostic: ``op``/``M`` act on this
     shard's local slice (with whatever collectives they need inside), dots are
@@ -115,7 +116,27 @@ def sharded_cg_loop(
     - ``"pipelined"`` — Ghysels–Vanroose: like cg1, but the SpMV is made data
       -independent of the reduction so XLA's latency-hiding scheduler can run
       the allreduce UNDER the SpMV (async collectives) instead of before it.
+    - ``"cacg"`` — s-step communication-avoiding CG (``solvers.cacg``): ONE
+      fused (2s+1)^2 Gram psum per ``s`` iterations — the latency-bound
+      extreme of the axis WITHOUT Chebyshev's spectral-bounds requirement —
+      at ~2x the SpMV work (the basis costs 2s-1 matvecs per s steps).
+      Unpreconditioned and l2/rel_l2 only; ``s`` sets the step block.
     """
+    if variant == "cacg":
+        if project is not None or project_r is not None:
+            raise ValueError("deflation hooks require variant='cg'")
+        from conjugategradient_tpu.solvers.cacg import cacg_loop
+
+        pdot = lambda u, v: jax.lax.psum(
+            jnp.dot(u.ravel(), v.ravel(), preferred_element_type=u.dtype), axis
+        )
+        # HIGHEST precision on the local Gram block (cf. solvers.cacg)
+        pgram = lambda V: jax.lax.psum(
+            jnp.matmul(V, V.T, precision=jax.lax.Precision.HIGHEST), axis
+        )
+        return cacg_loop(
+            op, b, x0, policy, int(s), dot=pdot, gram=pgram, n_global=n_global
+        )
     if variant in ("cg1", "pipelined"):
         if project is not None or project_r is not None:
             raise ValueError(
@@ -127,7 +148,7 @@ def sharded_cg_loop(
             op, M, b, x0, policy, axis, n_global, pipelined=variant == "pipelined"
         )
     if variant != "cg":
-        raise ValueError(f"unknown CG variant {variant!r}; want cg|cg1|pipelined")
+        raise ValueError(f"unknown CG variant {variant!r}; want cg|cg1|pipelined|cacg")
     dtype = b.dtype
     tol = jnp.asarray(policy.tol, dtype)
     min_iter = policy.min_iteration
@@ -297,6 +318,7 @@ def make_sharded_cg(
     donate: bool = True,
     variant: str = "cg",
     deflation=None,
+    s: int = 4,
 ):
     """Build a jitted sharded solver.
 
@@ -333,6 +355,11 @@ def make_sharded_cg(
     n = A.n
     if n % num:
         raise ValueError(f"n={n} not divisible by {num} shards; pad_system first")
+    if variant == "cacg" and (M_local is not None or deflation is not None):
+        raise ValueError(
+            "variant='cacg' is unpreconditioned (fold diagonal scaling into "
+            "A) and takes no deflation; use variant='cg' for those"
+        )
     n_local = n // num
     halo = A.bandwidth
     offsets = A.offsets
@@ -350,7 +377,7 @@ def make_sharded_cg(
             return M_local(r, m_aux) if M_local is not None else r
 
         if defl is None:
-            return sharded_cg_loop(op, M, b, x0, policy, axis, n, variant=variant)
+            return sharded_cg_loop(op, M, b, x0, policy, axis, n, variant=variant, s=s)
         d = defl.with_axis(axis)
         res = sharded_cg_loop(
             op, M, b, d.galerkin_correct(x0, b - op(x0)), policy, axis, n,
@@ -405,6 +432,7 @@ def sharded_cg_solve(
     dtype=None,
     variant: str = "cg",
     deflation=None,
+    s: int = 4,
 ) -> CGResult:
     """One-call convenience: place the system on the mesh and solve.
 
@@ -423,7 +451,7 @@ def sharded_cg_solve(
         mesh = make_mesh(axis=axis)
     solve = make_sharded_cg(
         A, mesh, policy, axis=axis, M_local=M_local, donate=False,
-        variant=variant, deflation=deflation,
+        variant=variant, deflation=deflation, s=s,
     )
     dt = dtype or np.asarray(A.data).dtype
     row_sharding = NamedSharding(mesh, P(axis))
