@@ -86,6 +86,7 @@ def sharded_cg_loop(
     project=None,
     project_r=None,
     s: int = 4,
+    cacg_basis=None,
 ) -> CGResult:
     """The sharded CG recurrence, format-agnostic: ``op``/``M`` act on this
     shard's local slice (with whatever collectives they need inside), dots are
@@ -135,7 +136,8 @@ def sharded_cg_loop(
             jnp.matmul(V, V.T, precision=jax.lax.Precision.HIGHEST), axis
         )
         return cacg_loop(
-            op, b, x0, policy, int(s), dot=pdot, gram=pgram, n_global=n_global
+            op, b, x0, policy, int(s), dot=pdot, gram=pgram,
+            n_global=n_global, basis=cacg_basis,
         )
     if variant in ("cg1", "pipelined"):
         if project is not None or project_r is not None:
@@ -376,8 +378,27 @@ def make_sharded_cg(
         def M(r):
             return M_local(r, m_aux) if M_local is not None else r
 
+        basis = None
+        if variant == "cacg" and not use_allgather and 0 < s * halo <= n_local:
+            # MATRIX-POWERS KERNEL: neighbors' boundary ROWS are exchanged
+            # once per solve (the matrix is loop-invariant), then each outer
+            # step's whole 2s+1-column basis costs ONE fused widened halo
+            # exchange instead of 2s-1 per-SpMV exchanges
+            from conjugategradient_tpu.parallel.halo import (
+                dia_basis_powers,
+                extend_dia_data,
+            )
+
+            data_ext = extend_dia_data(data, s * halo, axis, num)
+            basis = lambda p_, r_: dia_basis_powers(
+                data_ext, offsets, p_, r_, s, halo, axis, num
+            )
+
         if defl is None:
-            return sharded_cg_loop(op, M, b, x0, policy, axis, n, variant=variant, s=s)
+            return sharded_cg_loop(
+                op, M, b, x0, policy, axis, n, variant=variant, s=s,
+                cacg_basis=basis,
+            )
         d = defl.with_axis(axis)
         res = sharded_cg_loop(
             op, M, b, d.galerkin_correct(x0, b - op(x0)), policy, axis, n,

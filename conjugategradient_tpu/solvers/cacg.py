@@ -70,11 +70,18 @@ def cacg_loop(
     dot: Callable,
     gram: Callable,
     n_global: Optional[int] = None,
+    basis: Optional[Callable] = None,
 ) -> CGResult:
     """The s-step recurrence with INJECTED reductions (``dot(u, v)`` global
     scalar product, ``gram(V) -> V V^T`` global (m, m) Gram — ONE collective
     per outer step when sharded).  ``op``/vectors may be grid-shaped; the
-    basis flattens internally."""
+    basis flattens internally.
+
+    ``basis``: optional override ``(p, r) -> (2s+1, nloc)`` replacing the
+    default 2s-1 op() applications — the MATRIX-POWERS KERNEL hook
+    (``parallel.halo.dia_basis_powers``: one fused widened halo exchange
+    per outer step instead of one per SpMV).
+    """
     dtype = b.dtype
     shape = b.shape
     nloc = b.size
@@ -98,17 +105,20 @@ def cacg_loop(
             "coordinate-space form — use norm='l2' or 'rel_l2'"
         )
 
-    def build_basis(p, r):
-        """(m, nloc) flat rows [p, Ap, ..., A^s p, r, Ar, ..., A^{s-1} r]."""
-        def powers(v, k):
-            def step(carry, _):
-                nxt = op(carry)
-                return nxt, nxt.reshape(-1)
-            _, rows = jax.lax.scan(step, v, None, length=k)
-            return rows
-        p_rows = jnp.concatenate([p.reshape(1, -1), powers(p, s)], axis=0)
-        r_rows = jnp.concatenate([r.reshape(1, -1), powers(r, s - 1)], axis=0)
-        return jnp.concatenate([p_rows, r_rows], axis=0)
+    if basis is not None:
+        build_basis = basis
+    else:
+        def build_basis(p, r):
+            """(m, nloc) rows [p, Ap, ..., A^s p, r, Ar, ..., A^{s-1} r]."""
+            def powers(v, k):
+                def step(carry, _):
+                    nxt = op(carry)
+                    return nxt, nxt.reshape(-1)
+                _, rows = jax.lax.scan(step, v, None, length=k)
+                return rows
+            p_rows = jnp.concatenate([p.reshape(1, -1), powers(p, s)], axis=0)
+            r_rows = jnp.concatenate([r.reshape(1, -1), powers(r, s - 1)], axis=0)
+            return jnp.concatenate([p_rows, r_rows], axis=0)
 
     e_p = jnp.zeros(m, dtype).at[0].set(1.0)
     e_r = jnp.zeros(m, dtype).at[s + 1].set(1.0)

@@ -141,6 +141,16 @@ def test_hlo_one_allreduce_per_s_iterations():
         if re.search(r"\ball-reduce(?:-start)?\(", line) and "/while/body" in line
     ]
     assert len(body) == 1, f"expected 1 all-reduce per {s}-step body, got {len(body)}"
+    # the MATRIX-POWERS kernel claim: the whole 2s+1-column basis costs ONE
+    # fused widened halo exchange = 2 collective-permutes per outer body
+    # (vs 2 per SpMV x (2s-1) SpMVs = 14 for the naive basis at s=4)
+    perms = [
+        line
+        for line in hlo.splitlines()
+        if re.search(r"\bcollective-permute(?:-start)?\(", line)
+        and "/while/body" in line
+    ]
+    assert len(perms) == 2, f"expected 2 permutes per body, got {len(perms)}"
 
     path = os.path.join(
         os.path.dirname(__file__), "..", "artifacts", "collectives_cacg.json"
@@ -150,7 +160,10 @@ def test_hlo_one_allreduce_per_s_iterations():
             "workload": "band-16 n=1024, 8-device virtual mesh",
             "s": s,
             "allreduce_per_outer_body": len(body),
+            "collective_permutes_per_outer_body": len(perms),
             "iterations_per_outer_body": s,
+            "note": "matrix-powers kernel: data rows pre-exchanged once; "
+                    "2 permutes/body vs 14 naive at s=4",
         },
         indent=1,
     )
