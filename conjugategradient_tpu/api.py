@@ -47,11 +47,14 @@ here one function routes to the right solver:
 - ``method="chebyshev"`` — dot-free Chebyshev iteration for SPD systems
   (``bounds=(lo, hi)``, ``check_every=``); with ``mesh=``: ONE all-reduce
   per check_every iterations (``solvers.cheby``)
-- ``method="cacg"`` — s-step communication-avoiding CG (``s=`` through kw,
-  default 4): CG's own optimality at ONE fused Gram reduction per s
-  iterations — no spectral bounds needed, ~2x the SpMV work; with
-  ``mesh=`` the row-block-sharded form (= ``sharded_cg`` with
-  ``variant="cacg"``).  Unpreconditioned, l2/rel_l2 norms
+- ``method="cacg"`` / ``"jacobi_cacg"`` — s-step communication-avoiding CG
+  (``s=`` through kw, default 4): CG's own optimality at ONE fused Gram
+  reduction per s iterations — no spectral bounds needed, ~2x the SpMV
+  work; with ``mesh=`` the row-block-sharded form (matrix-powers halo
+  kernel: 2 permutes + 1 psum per s iterations).  ``jacobi_`` = symmetric
+  diagonal scaling folded into the operator (the only preconditioning
+  form the s-step shift identity admits); l2/rel_l2 norms, monitored in
+  the scaled system when prefixed
 - ``method="auto"`` — probe the matrix (symmetry, definiteness) and pick:
   CG/MGCG for SPD, MINRES for symmetric indefinite, BiCGStab (mg_ with a
   grid) for nonsymmetric
@@ -183,17 +186,49 @@ def solve(
             prefix, base = p[:-1], method[len(p):]
             break
 
-    if base in ("chebyshev", "cacg") and prefix is not None:
+    if base == "chebyshev" and prefix is not None:
         raise ValueError(
-            f"{base} takes no preconditioner prefix (fold scaling into "
-            "the operator instead)"
+            "chebyshev takes no preconditioner prefix (fold scaling into "
+            "the operator and its bounds instead)"
         )
-    if method == "cacg" and "mesh" in kw:
-        from conjugategradient_tpu.parallel.sharded_cg import sharded_cg_solve
+    if base == "cacg":
+        if prefix not in (None, "jacobi"):
+            raise ValueError(
+                f"{method}: cacg supports only the jacobi_ prefix (symmetric "
+                "diagonal scaling — a general M breaks the s-step shift "
+                "identity; use cg/cg1 for those)"
+            )
+        import dataclasses
 
-        return sharded_cg_solve(
-            A, b, x0, policy, dtype=dtype, variant="cacg", **kw
-        )
+        A_c, dis, b_c, x0_c = A, None, b, x0
+        if prefix == "jacobi":
+            # D^{-1/2} A D^{-1/2} y = D^{-1/2} b; x = D^{-1/2} y — the
+            # residual/tolerance is monitored in the SCALED system
+            if not isinstance(A, DiaMatrix):
+                raise TypeError("jacobi_cacg requires a DiaMatrix")
+            A_c, dis = formats.jacobi_scaled_dia(A)
+            b_c = np.asarray(b) * dis
+            x0_c = None if x0 is None else np.asarray(x0) / dis
+        if "mesh" in kw:
+            from conjugategradient_tpu.parallel.sharded_cg import sharded_cg_solve
+
+            res = sharded_cg_solve(
+                A_c, b_c, x0_c, policy, dtype=dtype, variant="cacg", **kw
+            )
+        else:
+            from conjugategradient_tpu.solvers.cacg import cacg_solve
+
+            A_cd = A_c.device_put(dtype=dtype) if hasattr(A_c, "device_put") else A_c
+            res = cacg_solve(
+                A_cd, jnp.asarray(np.asarray(b_c), dtype=dtype),
+                None if x0_c is None else jnp.asarray(np.asarray(x0_c), dtype=dtype),
+                policy, **kw,
+            )
+        if dis is not None:
+            res = dataclasses.replace(
+                res, x=res.x * jnp.asarray(dis, res.x.dtype)
+            )
+        return res
     if base in ("bicgstab", "gmres", "fgmres", "minres", "chebyshev") and "mesh" in kw:
         # row-block-sharded nonsymmetric solve; only shard-equivariant
         # preconditioning is available (jacobi_ becomes the M_local form —
@@ -361,10 +396,6 @@ def solve(
                 iterations=int(kw.pop("inner_iterations", 8)), M=M,
             )
         return fgmres_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
-    if method == "cacg":
-        from conjugategradient_tpu.solvers.cacg import cacg_solve
-
-        return cacg_solve(A_dev, b_dev, x0_dev, policy, **kw)
     if method == "chebyshev":
         from conjugategradient_tpu.solvers.cheby import chebyshev_solve
 

@@ -777,6 +777,29 @@ def matrix_diagonal(A) -> np.ndarray:
     return d
 
 
+def jacobi_scaled_dia(A: DiaMatrix):
+    """Symmetric Jacobi scaling: ``(A', d_inv_sqrt)`` with
+    ``A' = D^{-1/2} A D^{-1/2}`` in the same DIA layout (host-side setup).
+
+    The preconditioning form that survives structure-rigid recurrences
+    (s-step CA-CG's shift-matrix identity, Chebyshev's polynomial): solve
+    ``A' y = d_inv_sqrt * b`` and recover ``x = d_inv_sqrt * y``.  A' has
+    unit diagonal; column scaling pads with the row-indexed values shifted
+    by each offset (structural zeros stay zero)."""
+    d = dia_diagonal(A)
+    if np.any(d <= 0):
+        raise ValueError("symmetric Jacobi scaling needs a positive diagonal")
+    dis = (1.0 / np.sqrt(d)).astype(np.asarray(A.data).dtype)
+    n = A.n
+    data = np.array(np.asarray(A.data), copy=True)
+    for k, off in enumerate(A.offsets):
+        col = np.zeros(n, dtype=dis.dtype)
+        lo, hi = max(0, -off), min(n, n - off)
+        col[lo:hi] = dis[lo + off : hi + off]
+        data[k] = data[k] * dis * col
+    return DiaMatrix(data, A.offsets, A.shape), dis
+
+
 def transpose(A):
     """A^T in the same storage family (host-side, setup work).
 

@@ -78,8 +78,42 @@ def test_facade_and_prefix_guard(poisson):
     res = solve(sys_.A, sys_.b, method="cacg", s=4, tol=1e-10, norm="rel_l2")
     assert bool(res.converged)
     assert _rel(res.x, x_true) < 1e-9
-    with pytest.raises(ValueError, match="no preconditioner prefix"):
-        solve(sys_.A, sys_.b, method="jacobi_cacg", tol=1e-8)
+    with pytest.raises(ValueError, match="only the jacobi_ prefix"):
+        solve(sys_.A, sys_.b, method="bjacobi_cacg", tol=1e-8)
+
+
+def test_jacobi_cacg_symmetric_scaling():
+    """jacobi_cacg = symmetric diagonal scaling folded into the operator:
+    on an ill-scaled SPD system it must cut iterations vs plain cacg and
+    still validate against the direct solve (solution in ORIGINAL scale)."""
+    rng = np.random.default_rng(3)
+    base = generators.banded_sin_system(512, 8)
+    scale = np.exp(rng.uniform(-3, 3, 512))
+    from conjugategradient_tpu.core.formats import DiaMatrix, dia_to_dense
+
+    # congruence scaling in DIA: data[k, i] *= scale[i] * scale[i + off]
+    n = 512
+    data = np.array(np.asarray(base.A.data), copy=True)
+    for k, off in enumerate(base.A.offsets):
+        col = np.zeros(n)
+        lo, hi = max(0, -off), min(n, n - off)
+        col[lo:hi] = scale[lo + off : hi + off]
+        data[k] = data[k] * scale * col
+    A_dia = DiaMatrix(data, base.A.offsets, base.A.shape)
+    dense = np.asarray(dia_to_dense(A_dia).data)
+    x_true = np.linalg.solve(dense.astype(np.float64), base.b)
+    pol_kw = dict(tol=1e-10, norm="rel_l2", max_iteration=20000)
+    plain = solve(A_dia, base.b, method="cacg", s=4, **pol_kw)
+    scaled = solve(A_dia, base.b, method="jacobi_cacg", s=4, **pol_kw)
+    assert bool(scaled.converged)
+    assert _rel(scaled.x, x_true) < 1e-7
+    assert int(scaled.iterations) < int(plain.iterations)
+    # mesh route too
+    scaled_sh = solve(
+        A_dia, base.b, method="jacobi_cacg", s=4, mesh=make_mesh(8), **pol_kw
+    )
+    assert bool(scaled_sh.converged)
+    assert _rel(scaled_sh.x, x_true) < 1e-7
 
 
 def test_sharded_matches_single_device():
