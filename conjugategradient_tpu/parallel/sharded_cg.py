@@ -117,11 +117,13 @@ def sharded_cg_loop(
     - ``"pipelined"`` — Ghysels–Vanroose: like cg1, but the SpMV is made data
       -independent of the reduction so XLA's latency-hiding scheduler can run
       the allreduce UNDER the SpMV (async collectives) instead of before it.
-    - ``"cacg"`` — s-step communication-avoiding CG (``solvers.cacg``): ONE
-      fused (2s+1)^2 Gram psum per ``s`` iterations — the latency-bound
-      extreme of the axis WITHOUT Chebyshev's spectral-bounds requirement —
-      at ~2x the SpMV work (the basis costs 2s-1 matvecs per s steps).
-      Unpreconditioned and l2/rel_l2 only; ``s`` sets the step block.
+    - ``"cacg"`` — s-step communication-avoiding CG (``solvers.cacg``): TWO
+      reductions per ``s`` iterations (one fused (2s+1)^2 Gram psum + one
+      block-boundary true-residual norm) — the latency-bound extreme of the
+      axis WITHOUT Chebyshev's spectral-bounds requirement — at ~2x the
+      SpMV work (2s matvecs per s steps incl. the replacement).
+      Unpreconditioned and l2/rel_l2 only; ``s`` sets the step block
+      (keep <= 4 in fp32).
     """
     if variant == "cacg":
         if project is not None or project_r is not None:

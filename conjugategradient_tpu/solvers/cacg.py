@@ -4,7 +4,10 @@ The communication axis so far: cg (2 allreduces/it) -> cg1 (1/it,
 Chronopoulos-Gear) -> chebyshev (1 per check_every its, but needs spectral
 bounds).  CA-CG (Van Rosendale 1983; Chronopoulos & Gear 1989; Hoemmen
 2010; Carson & Demmel 2014) completes it: CG's own optimality — no bounds
-required — at ONE fused Gram reduction per s iterations.
+required — at TWO reductions per s iterations (the fused Gram, plus one
+true-residual norm at the block boundary — see the residual-replacement
+note in ``cacg_loop``; without it fp32 at s>=6 MEASURABLY claims false
+convergence).
 
 How: per outer step, build the 2s+1-column Krylov basis
 
@@ -24,9 +27,12 @@ differentially).  Cost model, stated honestly: the basis costs 2s-1 SpMVs
 per s iterations (~2x plain CG's matrix work) — CA-CG buys latency, not
 flops; it wins where the allreduce dominates (small shards, multi-host
 wires), loses where SpMV dominates.  Numerics: the monomial basis
-conditions like kappa^s — keep s <= 4-6 in fp32 (default 4); the Gram and
-materialisation matmuls run at HIGHEST precision (the TPU default's bf16
-operand truncation is fatal to G — same class as solvers.lobpcg).
+conditions like kappa^s — keep s <= 4 in fp32 (default; s=6 converges
+honestly but slower, s=8's basis is too ill-conditioned to progress and the
+solver reports converged=False rather than lying — measured on 63^2
+Poisson).  The Gram and materialisation matmuls run at HIGHEST precision
+(the TPU default's bf16 operand truncation is fatal to G — same class as
+solvers.lobpcg).
 
 Reference parity note: the reference's multi-GPU CG places one scalar
 allreduce per dot (`Mgcg/cuBlas/Mgcg/ConjugateGradientParallelGpu.cs:
@@ -156,11 +162,20 @@ def cacg_loop(
         xc, rc, pc, rr2, it2 = jax.lax.fori_loop(
             0, s, inner, (jnp.zeros(m, dtype), e_r, e_p, rr, it)
         )
-        # materialise (three (m,) @ (m, n) matmuls, purely local)
+        # materialise (two (m,) @ (m, n) matmuls, purely local)
         x = x + jnp.matmul(xc, V, precision=_PH).reshape(shape)
-        r = jnp.matmul(rc, V, precision=_PH).reshape(shape)
         p = jnp.matmul(pc, V, precision=_PH).reshape(shape)
-        return x, r, p, rr2, it2
+        # RESIDUAL REPLACEMENT at the block boundary: the monomial basis
+        # conditions like kappa^s, and the coordinate-space rr drifts —
+        # MEASURED at s=6 fp32 on 63^2 Poisson: rr collapses and the solver
+        # claims convergence at 6 iterations with TRUE relative residual
+        # ~1e-2.  Recomputing r = b - A x (one extra SpMV + one reduction
+        # per s-step block) makes every convergence claim honest and stops
+        # drift compounding across blocks; total cost stays 2 reductions
+        # per s iterations.
+        r = b - op(x)
+        rr_true = dot(r, r)
+        return x, r, p, rr_true, it2
 
     def cond(state):
         _x, _r, _p, rr, it = state

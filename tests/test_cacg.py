@@ -151,8 +151,9 @@ def test_cacg_refuses_preconditioner_and_deflation():
 
 def test_hlo_one_allreduce_per_s_iterations():
     """The load-bearing claim in HLO: the cacg while-BODY (one body = s
-    iterations) carries exactly ONE all-reduce — vs 2 per single iteration
-    for textbook cg.  Recorded as a round artifact."""
+    iterations) carries exactly TWO all-reduces (Gram + true-residual
+    replacement) — vs 2 per single iteration for textbook cg.  Recorded as
+    a round artifact."""
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
@@ -174,17 +175,20 @@ def test_hlo_one_allreduce_per_s_iterations():
         for line in hlo.splitlines()
         if re.search(r"\ball-reduce(?:-start)?\(", line) and "/while/body" in line
     ]
-    assert len(body) == 1, f"expected 1 all-reduce per {s}-step body, got {len(body)}"
+    # 2 = the fused Gram psum + the block-boundary true-residual norm
+    # (the residual replacement that keeps fp32 convergence claims honest)
+    assert len(body) == 2, f"expected 2 all-reduces per {s}-step body, got {len(body)}"
     # the MATRIX-POWERS kernel claim: the whole 2s+1-column basis costs ONE
-    # fused widened halo exchange = 2 collective-permutes per outer body
-    # (vs 2 per SpMV x (2s-1) SpMVs = 14 for the naive basis at s=4)
+    # fused widened halo exchange (2 permutes) + the residual-replacement
+    # SpMV's one-hop exchange (2 more) = 4 collective-permutes per outer
+    # body (vs 2 per SpMV x 2s SpMVs = 16 for the naive form at s=4)
     perms = [
         line
         for line in hlo.splitlines()
         if re.search(r"\bcollective-permute(?:-start)?\(", line)
         and "/while/body" in line
     ]
-    assert len(perms) == 2, f"expected 2 permutes per body, got {len(perms)}"
+    assert len(perms) == 4, f"expected 4 permutes per body, got {len(perms)}"
 
     path = os.path.join(
         os.path.dirname(__file__), "..", "artifacts", "collectives_cacg.json"
@@ -194,10 +198,12 @@ def test_hlo_one_allreduce_per_s_iterations():
             "workload": "band-16 n=1024, 8-device virtual mesh",
             "s": s,
             "allreduce_per_outer_body": len(body),
+            "allreduce_roles": "fused Gram psum + block-boundary true-residual norm",
             "collective_permutes_per_outer_body": len(perms),
             "iterations_per_outer_body": s,
-            "note": "matrix-powers kernel: data rows pre-exchanged once; "
-                    "2 permutes/body vs 14 naive at s=4",
+            "note": "matrix-powers kernel (2 permutes/basis) + residual-"
+                    "replacement SpMV (2): 4 permutes + 2 all-reduces per "
+                    "s=4-iteration body vs 16 permutes + 8 all-reduces naive",
         },
         indent=1,
     )
