@@ -95,6 +95,16 @@ def solve(
     )
     if method == "auto":
         method = _auto_method(A, grid)
+    # mesh-aware aliasing: cg/jacobi_cg/mgcg with mesh= route to their
+    # distributed carriers (auto resolves to these names, and the
+    # single-device solvers take no mesh kw)
+    if "mesh" in kw:
+        if method == "cg":
+            method = "sharded_cg"
+        elif method == "jacobi_cg":
+            kw.setdefault("M_local", lambda r, aux: aux * r)
+            kw.setdefault("M_aux", 1.0 / _diagonal(A))
+            method = "sharded_cg"
     if np.asarray(b).ndim == 2:
         # (n, k) right-hand sides: route to the block solver (one matrix
         # pass serves k Krylov recurrences; see solvers.multi)
@@ -160,12 +170,24 @@ def solve(
             return sharded_cg_solve_general(A, b, x0, policy, dtype=dtype, **kw)
         raise TypeError("sharded_cg requires a DiaMatrix, CsrMatrix or EllMatrix")
     if method == "mgcg":
-        from conjugategradient_tpu.precond import mgcg_solve
-
         if grid is None:
             raise ValueError("mgcg requires grid=")
         if not isinstance(A, DiaMatrix):
             raise TypeError("mgcg requires a DiaMatrix")
+        if "mesh" in kw:
+            # distributed MGCG: the GSPMD carrier (handles the odd fw grids
+            # by replication; even grids partition — cf. gspmd_mg_nonsym)
+            from conjugategradient_tpu.core.generators import LinearSystem
+            from conjugategradient_tpu.parallel.gspmd import gspmd_mgcg_solve
+
+            n = A.n
+            x0_arr = np.zeros(n) if x0 is None else np.asarray(x0)
+            system = LinearSystem(A, np.asarray(b), x0_arr)
+            return gspmd_mgcg_solve(
+                system, grid, policy=policy, dtype=dtype, **kw
+            )
+        from conjugategradient_tpu.precond import mgcg_solve
+
         res, _ = mgcg_solve(A, b, grid, x0=x0, policy=policy, **kw)
         return res
 

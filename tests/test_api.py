@@ -160,3 +160,33 @@ def test_auto_handles_const_stencil_and_deep_indefinite():
     for mult in (1.5, 3.0):
         indef = generators.helmholtz_matrix((63, 63), shift=mult * lam1)
         assert _auto_method(indef, None) == "minres", mult
+
+
+def test_mesh_aliasing_for_cg_jacobi_cg_mgcg_auto():
+    """cg / jacobi_cg / mgcg / auto with mesh= must route to their
+    distributed carriers instead of TypeError-ing on the mesh kw (the
+    single-device solvers take no mesh; found via auto+mesh probing)."""
+    from conjugategradient_tpu import solve
+    from conjugategradient_tpu.core import oracle
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+
+    sb = banded_sin_system(512, 8)
+    xb = oracle.direct_solve(sb.A, sb.b)
+    for m in ("auto", "cg", "jacobi_cg"):
+        res = solve(sb.A, sb.b, method=m, mesh=make_mesh(8), tol=1e-9, norm="rel_l2")
+        assert bool(res.converged), m
+        err = np.linalg.norm(np.asarray(res.x, np.float64) - xb) / np.linalg.norm(xb)
+        assert err < 1e-6, m
+
+    sp = poisson_system((15, 15))
+    xp = oracle.direct_solve(sp.A, sp.b)
+    for m in ("mgcg", "auto"):
+        res = solve(
+            sp.A, sp.b, method=m, grid=(15, 15), mesh=make_mesh(8),
+            tol=1e-9, norm="rel_l2",
+        )
+        assert bool(res.converged), m
+        err = np.linalg.norm(
+            np.asarray(res.x, np.float64).ravel() - xp
+        ) / np.linalg.norm(xp)
+        assert err < 1e-6, m
