@@ -51,7 +51,8 @@ here one function routes to the right solver:
   (``s=`` through kw, default 4): CG's own optimality at ONE fused Gram
   reduction per s iterations — no spectral bounds needed, ~2x the SpMV
   work; with ``mesh=`` the row-block-sharded form (matrix-powers halo
-  kernel: 2 permutes + 1 psum per s iterations).  ``jacobi_`` = symmetric
+  kernel + block-boundary residual replacement: 2 all-reduces + 4
+  permutes per s iterations, HLO-audited).  ``jacobi_`` = symmetric
   diagonal scaling folded into the operator (the only preconditioning
   form the s-step shift identity admits); l2/rel_l2 norms, monitored in
   the scaled system when prefixed
@@ -195,9 +196,6 @@ def solve(
 
     from conjugategradient_tpu.solvers.cg import cg_solve
 
-    b_dev = jnp.asarray(np.asarray(b), dtype=dtype)
-    x0_dev = None if x0 is None else jnp.asarray(np.asarray(x0), dtype=dtype)
-
     # split a preconditioner prefix off the method name; M construction is
     # DEFERRED until the route is known (the sharded paths place the matrix
     # themselves, and must not pay for a hierarchy they cannot use)
@@ -232,6 +230,12 @@ def solve(
             b_c = np.asarray(b) * dis
             x0_c = None if x0 is None else np.asarray(x0) / dis
         if "mesh" in kw:
+            if not isinstance(A_c, DiaMatrix):
+                raise TypeError(
+                    "cacg with mesh= requires a DiaMatrix (the matrix-powers "
+                    "halo kernel is banded-DIA); convert or use "
+                    "method='sharded_cg'"
+                )
             from conjugategradient_tpu.parallel.sharded_cg import sharded_cg_solve
 
             res = sharded_cg_solve(
@@ -318,6 +322,12 @@ def solve(
         return sharded_nonsym_solve(
             A, b, x0, policy, method=base, dtype=dtype, **mkw, **kw
         )
+    # device placement happens only after every mesh-routed branch has
+    # had its chance to return (those place b themselves; a premature
+    # device_put is a wasted full-size H2D copy at rung-5 sizes)
+    b_dev = jnp.asarray(np.asarray(b), dtype=dtype)
+    x0_dev = None if x0 is None else jnp.asarray(np.asarray(x0), dtype=dtype)
+
     if method == "cgnr":
         from conjugategradient_tpu.solvers.cgnr import cgnr_solve
 
@@ -376,7 +386,7 @@ def solve(
             for k in ("theta", "near_null", "max_coarse", "max_levels")
             if k in kw
         }
-        if base in ("bicgstab", "gmres"):
+        if base in ("bicgstab", "gmres", "fgmres"):
             setup_kw.setdefault("smoother", "jacobi")
         h = build_amg_hierarchy(A, dtype=np.dtype(b_dev.dtype), **setup_kw)
         M = amg_preconditioner(h)

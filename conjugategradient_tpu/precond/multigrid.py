@@ -300,12 +300,16 @@ def build_hierarchy(
     keeps first-order stability at any Peclet) converges grid-independently
     (see ``generators.convection_diffusion_coarse_operator``; Trottenberg
     et al., *Multigrid*, §7.1-7.3 for the phenomenon).  Requires the
-    vertex-centered geometric path (``transfer_kind="fw"`` is forced;
-    raises if an axis cannot fw-coarsen).  The hook must bake in the
-    per-level scaling that matches the fw transfer convention: this
-    builder's measured factors are diffusion 1/4 and convection 1/2 per
-    level, i.e. coarse = 0.5 * A_gen(eps/2, v) for the unit-spacing
-    convection-diffusion family (calibrated by stencil moments in 1/2/3-D).
+    GEOMETRIC transfer conventions (vertex-centered fw on odd axes and/or
+    cell-centered hyb on even axes — measured to share one calibration;
+    ``transfer_kind="agg"`` is refused, and if auto coarsening would fall
+    back to aggregation the build STOPS and raises rather than mixing a
+    mis-scaled rediscretized operator or silently densifying a large
+    remainder).  The hook must bake in the per-level scaling matching that
+    convention: this builder's measured factors are diffusion 1/4 and
+    convection 1/2 per level, i.e. coarse = 0.5 * A_gen(eps/2, v) for the
+    unit-spacing convection-diffusion family (calibrated by stencil
+    moments in 1/2/3-D).
     """
     if layout not in ("stencil", "dia"):
         raise ValueError(f"unknown layout {layout!r}")
@@ -430,6 +434,16 @@ def build_hierarchy(
             )
         g = g_next
 
+    if coarse_operator is not None and A_h.n > 4 * max_coarse:
+        # the docstring's promise: never silently densify a large remainder
+        # (an early agg fallback or non-coarsenable axes would otherwise
+        # leave an O(n^2)-memory np.linalg.inv of the FULL operator here)
+        raise ValueError(
+            f"rediscretized coarsening stopped at n={A_h.n} > 4*max_coarse="
+            f"{4 * max_coarse} (grid {g}: axes not fw/hyb-coarsenable, or "
+            "the near-null probe forced aggregation); fix the grid sizes "
+            "(2^k or 2^k-1 axes) or raise max_coarse explicitly"
+        )
     dt = dtype or np.asarray(A_h.data).dtype
     dense = formats.dia_to_dense(A_h)
     coarse_inv = jnp.asarray(np.linalg.inv(np.asarray(dense.data, dtype=np.float64)).astype(dt))

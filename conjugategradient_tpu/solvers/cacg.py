@@ -136,8 +136,15 @@ def cacg_loop(
 
         def inner(j, carry):
             xc, rc, pc, rr_c, it_c = carry
+            # rr > 0 guard: a zero residual (b = 0, or an exact warm
+            # start) makes tol_sq = 0 under rel_l2 and `rr >= tol_sq` would
+            # spin the full budget — measured: 225 its + NaN residual where
+            # cg exits at 0 (cg's NaN-res comparison is False; match it)
             active = jnp.logical_and(
-                jnp.logical_or(it_c < min_iter, rr_c >= tol_sq),
+                jnp.logical_or(
+                    it_c < min_iter,
+                    jnp.logical_and(rr_c >= tol_sq, rr_c > 0),
+                ),
                 it_c < max_iter,
             )
             w = jnp.matmul(B, pc, precision=_PH)
@@ -179,7 +186,9 @@ def cacg_loop(
 
     def cond(state):
         _x, _r, _p, rr, it = state
-        unconverged = jnp.logical_or(it < min_iter, rr >= tol_sq)
+        unconverged = jnp.logical_or(
+            it < min_iter, jnp.logical_and(rr >= tol_sq, rr > 0)
+        )
         return jnp.logical_and(unconverged, it < max_iter)
 
     state = (x, r, r, rr0, jnp.int32(0))  # p_0 = r_0 seeds the first basis

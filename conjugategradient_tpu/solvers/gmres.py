@@ -419,6 +419,13 @@ def inner_solve_preconditioner(
     if method == "chebyshev":
         from conjugategradient_tpu.solvers.cheby import chebyshev_solve, estimate_bounds
 
+        if M is not None:
+            raise ValueError(
+                "inner method 'chebyshev' takes no M (the Chebyshev "
+                "iteration has no preconditioner slot — fold scaling into "
+                "the operator, or use inner='cg'/'bicgstab' for a "
+                "V-cycle-preconditioned inner solve)"
+            )
         if bounds is None:
             bounds = estimate_bounds(A)
         lo, hi = bounds

@@ -169,3 +169,20 @@ def test_amg_rejects_nonpositive_diagonal():
     A = sp.csr_matrix(np.array([[1.0, 0.0], [0.0, -1.0]]))
     with pytest.raises(ValueError, match="non-positive diagonal"):
         build_amg_hierarchy(A, max_coarse=1)
+
+
+def test_amg_fgmres_gets_jacobi_smoother():
+    """Review finding: amg_fgmres missed the nonsym jacobi-smoother default
+    and silently got the chebyshev smoother (which diverges on nonsym
+    spectra — measured rel err 1.7e-1 vs 7.3e-7).  Must converge like
+    amg_gmres now."""
+    grid = (63, 63)
+    sys_ = convection_diffusion_system(grid, eps=0.1)
+    A_csr = dia_to_csr(sys_.A)
+    res = solve(
+        A_csr, sys_.b, method="amg_fgmres", tol=1e-8, norm="rel_l2",
+        restart=20,
+    )
+    assert bool(res.converged)
+    x_ref = sp.linalg.spsolve(to_scipy(sys_.A).tocsc(), np.asarray(sys_.b))
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-4, atol=1e-6)

@@ -214,3 +214,14 @@ def test_hlo_one_allreduce_per_s_iterations():
     if current != payload:
         with open(path, "w") as f:
             f.write(payload)
+
+
+def test_zero_rhs_exits_immediately(poisson):
+    """Review finding: rel_l2 with rr0 = 0 made tol_sq = 0 and the loop
+    spun the full budget (225 its + NaN) — must exit at 0 like cg."""
+    sys_, _ = poisson
+    res = cacg_solve(
+        sys_.A.device_put(), jnp.zeros(sys_.n),
+        policy=ConvergencePolicy(tol=1e-8, norm="rel_l2"),
+    )
+    assert int(res.iterations) == 0

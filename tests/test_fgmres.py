@@ -206,3 +206,13 @@ def test_facade_fgmres_mesh_inner_rejected(convdiff):
             sys_.A, sys_.b, method="fgmres", inner="bicgstab",
             mesh=make_mesh(8), tol=1e-8,
         )
+
+
+def test_inner_chebyshev_refuses_M(convdiff):
+    """Review finding: the chebyshev inner silently DROPPED M (the V-cycle
+    in mg_fgmres+inner='chebyshev') — must refuse loudly."""
+    sys_, _ = convdiff
+    with pytest.raises(ValueError, match="takes no M"):
+        inner_solve_preconditioner(
+            sys_.A.device_put(), method="chebyshev", M=lambda r: r
+        )

@@ -188,3 +188,13 @@ def test_coarse_operator_shape_mismatch_raises():
     bad = lambda level, g: generators.poisson2d_matrix(3, 3)
     with pytest.raises(ValueError, match="coarse_operator returned"):
         build_hierarchy(sys_.A, (15, 15), coarse_operator=bad, max_coarse=8)
+
+
+def test_coarse_operator_refuses_silent_densify():
+    """Review finding: when the near-null probe forces aggregation at the
+    first level, rediscretized coarsening must RAISE (the old behavior
+    silently np.linalg.inv'd the full operator — O(n^2) memory)."""
+    sys_A = generators.tridiagonal_matrix(8192)  # (+1, 2, +1): alternating
+    cb = lambda level, g: generators.tridiagonal_matrix(g[0])
+    with pytest.raises(ValueError, match="rediscretized coarsening stopped"):
+        build_hierarchy(sys_A, (8192,), coarse_operator=cb)
