@@ -414,6 +414,32 @@ def main() -> int:
         f"plain GMRES it (rel err {ferr:.2e})"
     )
 
+    # 17. s-step communication-avoiding CG --------------------------------
+    print("17. CA-CG: one Gram reduction per s iterations, same Krylov sequence:")
+    csys = generators.banded_sin_system(1024, 16)
+    cx = oracle.direct_solve(csys.A, csys.b)
+    cpol_kw = dict(tol=1e-10, norm="rel_l2")
+    ref = solve(csys.A, csys.b, method="cg", **cpol_kw)
+    ca = solve(csys.A, csys.b, method="cacg", s=4, **cpol_kw)
+    cash = solve(
+        csys.A, csys.b, method="cacg", s=4,
+        mesh=__import__(
+            "conjugategradient_tpu.parallel.mesh", fromlist=["make_mesh"]
+        ).make_mesh(8), **cpol_kw,
+    )
+    cerr = np.linalg.norm(np.asarray(ca.x, np.float64) - cx) / np.linalg.norm(cx)
+    good = (
+        bool(ca.converged) and bool(cash.converged) and cerr < 1e-8
+        and int(ref.iterations) <= int(ca.iterations) < int(ref.iterations) + 4
+    )
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] cacg(s=4) {int(ca.iterations)} it vs cg "
+        f"{int(ref.iterations)} it (same sequence, block-rounded); sharded twin "
+        f"{int(cash.iterations)} it on the 8-mesh — 2 all-reduces + 4 halo "
+        f"permutes per 4 iterations (HLO-audited), rel err {cerr:.2e}"
+    )
+
     print("ALL OK" if ok else "MISMATCH")
     return 0 if ok else 1
 
