@@ -110,6 +110,39 @@ def test_hlo_one_allreduce_per_chunk(band):
         if re.search(r"\ball-reduce(?:-start)?\(", line) and "/while/body" in line
     )
     assert body_ar == 1, body_ar
+    # extended-region stepping (round 3): the whole check_every-iteration
+    # block also costs ONE fused halo pair — 2 collective-permutes per body
+    # (the old per-SpMV exchange paid 2 * check_every = 32)
+    body_cp = sum(
+        1
+        for line in hlo.splitlines()
+        if re.search(r"\bcollective-permute(?:-start)?\(", line)
+        and "/while/body" in line
+    )
+    assert body_cp == 2, body_cp
+
+
+def test_block_loop_matches_plain_loop(band):
+    """The extended-region block loop must follow the SAME trajectory as
+    the per-SpMV-exchange loop (identical recurrence, different data
+    motion): force the fallback with a tiny check_every*halo > n_local
+    comparison via check_every choices and compare solutions."""
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+    from conjugategradient_tpu.parallel.shard_nonsym import sharded_nonsym_solve
+
+    sys_, x_true = band
+    pol_kw = dict(
+        policy=ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=20000),
+        method="chebyshev", bounds=(0.01, 70.0), mesh=make_mesh(8),
+    )
+    # n_local = 128, halo = 16: check_every=4 -> H=64 (block path);
+    # check_every=16 -> H=256 > n_local (falls back to per-SpMV exchanges)
+    blocked = sharded_nonsym_solve(sys_.A, sys_.b, check_every=4, **pol_kw)
+    plain = sharded_nonsym_solve(sys_.A, sys_.b, check_every=16, **pol_kw)
+    assert bool(blocked.converged) and bool(plain.converged)
+    for r in (blocked, plain):
+        err = np.linalg.norm(np.asarray(r.x) - x_true) / np.linalg.norm(x_true)
+        assert err < 1e-8
 
 
 def test_facade_single_device(band):
