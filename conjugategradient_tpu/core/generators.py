@@ -641,6 +641,49 @@ def convection_diffusion_system(
     return LinearSystem(A, b.astype(dtype), np.zeros(n, dtype=dtype))
 
 
+def anisotropic_diffusion_matrix(
+    grid_shape: Tuple[int, ...], ratios, dtype=np.float64
+) -> DiaMatrix:
+    """Constant-coefficient ANISOTROPIC Laplacian ``-sum_ax a_ax d2u/dx_ax2``
+    (Dirichlet, unit spacing): the canonical semicoarsening workload — point
+    smoothers leave error smooth only along strongly-coupled axes, so fully
+    coarsened multigrid degrades as ``max(a)/min(a)`` grows (measured
+    6 -> 130 MGCG its at 127^2 for ratio 1e-3; auto-semicoarsening restores
+    5-6 — see ``precond.build_hierarchy(semicoarsen=)``).
+
+    ``ratios``: one coefficient per grid axis (same order as grid_shape).
+    """
+    grid_shape = tuple(grid_shape)
+    ratios = tuple(float(a) for a in ratios)
+    if len(ratios) != len(grid_shape):
+        raise ValueError(f"need {len(grid_shape)} ratios, got {len(ratios)}")
+    n = int(np.prod(grid_shape))
+    idx = np.indices(grid_shape).reshape(len(grid_shape), n)
+    strides = [int(np.prod(grid_shape[ax + 1:])) for ax in range(len(grid_shape))]
+    offsets, rows = [], []
+    for ax in range(len(grid_shape)):
+        offsets.append(-strides[ax])
+        rows.append(np.where(idx[ax] >= 1, -ratios[ax], 0.0))
+    offsets.append(0)
+    rows.append(np.full(n, 2.0 * sum(ratios)))
+    for ax in range(len(grid_shape) - 1, -1, -1):
+        offsets.append(strides[ax])
+        rows.append(np.where(idx[ax] <= grid_shape[ax] - 2, -ratios[ax], 0.0))
+    order = np.argsort(offsets)
+    data = np.stack([rows[k] for k in order]).astype(dtype)
+    return DiaMatrix(data, tuple(int(offsets[k]) for k in order), (n, n))
+
+
+def anisotropic_diffusion_system(
+    grid_shape: Tuple[int, ...], ratios, seed: int = 0, dtype=np.float64
+) -> LinearSystem:
+    A = anisotropic_diffusion_matrix(grid_shape, ratios, dtype=dtype)
+    n = A.n
+    i = np.arange(n, dtype=np.float64)
+    b = np.sin(0.37 * i + seed) + 0.25 * np.cos(1.3 * i)
+    return LinearSystem(A, b.astype(dtype), np.zeros(n, dtype=dtype))
+
+
 def helmholtz_matrix(
     grid_shape: Tuple[int, ...], shift: float, dtype=np.float64
 ) -> DiaMatrix:

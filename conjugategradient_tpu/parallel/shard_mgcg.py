@@ -206,6 +206,13 @@ def _prep_shard_hierarchy(
         A_dia, grid, smoother=smoother, pre=pre, post=post, dtype=dt,
         layout="stencil",
     )
+    if any(l.transfer.startswith("semi") for l in h.levels):
+        raise NotImplementedError(
+            "semicoarsened levels are not wired through the explicit "
+            "shard_map V-cycle (its per-kind halo transfers cover agg/hyb); "
+            "use the GSPMD path (parallel.gspmd), whose partitioner derives "
+            "the partial-axis transfers automatically"
+        )
     # the explicit shard_map path needs grid-shaped legs (its per-level data
     # arrays are row-sharded); expand constant-coefficient levels back
     import dataclasses as _dc

@@ -171,6 +171,22 @@ def _near_null(A_h: DiaMatrix, grid: GridShape) -> np.ndarray:
     return best
 
 
+def _axis_strengths(A_h: DiaMatrix, grid: GridShape) -> np.ndarray:
+    """Per-axis coupling strength: max |value| over the AXIS-ALIGNED
+    off-diagonal stencil legs (the classic semicoarsening detector —
+    anisotropic operators couple strongly along some axes only, and the
+    point smoother leaves error smooth only along those)."""
+    st = dia_to_stencil(A_h, grid)
+    d = len(grid)
+    out = np.zeros(d)
+    data = np.asarray(st.data)
+    for k, shift in enumerate(st.shifts):
+        nz = [ax for ax in range(d) if shift[ax] != 0]
+        if len(nz) == 1:
+            out[nz[0]] = max(out[nz[0]], float(np.max(np.abs(data[k]))))
+    return out
+
+
 def _const_near_null(A_h: DiaMatrix, grid: GridShape) -> bool:
     """True iff the constant (not the checkerboard) is the near-null
     candidate — the precondition for GEOMETRIC transfers (fw/cc linear
@@ -237,6 +253,13 @@ def galerkin_coarse(
         P = transfer.prolong_matrix(fine)
     elif kind == "hyb":
         P = transfer.prolong_hybrid_matrix(fine)
+    elif kind.startswith("semi"):
+        # SEMI-coarsening: identity on weakly-coupled axes; R scales by
+        # 1/2 per COARSENED axis only
+        mask = _semi_mask(kind)
+        P = transfer.prolong_partial_matrix(fine, mask)
+        R = (P.T * (0.5 ** sum(mask))).tocsr()
+        return _scipy_to_dia((R @ S @ P).tocsr())
     else:
         P = transfer.prolong_agg_matrix(fine)
         if weight is None:
@@ -267,6 +290,8 @@ def build_hierarchy(
     const_detect: bool = True,
     transfer_kind: str = "auto",
     coarse_operator=None,
+    semicoarsen: bool = True,
+    semi_theta: float = 0.25,
 ) -> MgHierarchy:
     """Build the static hierarchy from the fine operator.
 
@@ -372,6 +397,25 @@ def build_hierarchy(
         kind = _pick_kind(g, geom_ok=_const_near_null(A_h, g))
         if kind is None:
             break
+        if (
+            semicoarsen
+            and coarse_operator is None
+            and transfer_kind == "auto"
+            and kind in ("fw", "hyb")
+            and len(g) > 1
+        ):
+            # SEMI-coarsening: under strong anisotropy the point smoother
+            # leaves error smooth only along strongly-coupled axes, and
+            # full coarsening degrades (measured 6 -> 130 MGCG its at
+            # 127^2 as the cross-axis coefficient drops 1 -> 1e-3);
+            # coarsen only axes within semi_theta of the strongest
+            # coupling.  Isotropic operators select every axis and take
+            # the ordinary fw/hyb path unchanged.
+            s_ax = _axis_strengths(A_h, g)
+            if s_ax.max() > 0:
+                mask = tuple(bool(v >= semi_theta * s_ax.max()) for v in s_ax)
+                if not all(mask) and transfer.can_partial(g, mask):
+                    kind = "semi" + "".join("1" if m else "0" for m in mask)
         if coarse_operator is not None and kind == "agg":
             # no calibrated rediscretization scale for weighted aggregation
             # (see the transfer_kind check above): stop here — the dense
@@ -469,11 +513,18 @@ def _smooth(h: MgHierarchy, lvl: MgLevel, op, b, x, sweeps: int, post: bool = Fa
     return jacobi_smooth(op, lvl.inv_diag, b, x, sweeps, h.omega)
 
 
+def _semi_mask(kind: str):
+    """Decode "semi101..." -> per-axis coarsen mask."""
+    return tuple(c == "1" for c in kind[len("semi"):])
+
+
 def _coarse_shape_of(g: GridShape, kind: str) -> GridShape:
     if kind == "fw":
         return transfer.coarse_shape(g)
     if kind == "hyb":
         return transfer.hybrid_coarse_shape(g)
+    if kind.startswith("semi"):
+        return transfer.partial_coarse_shape(g, _semi_mask(kind))
     return transfer.agg_coarse_shape(g)
 
 
@@ -486,6 +537,12 @@ def _level_transfers(lvl: MgLevel, op):
     """
     if lvl.transfer == "hyb":
         return transfer.restrict_hybrid_grid, transfer.prolong_hybrid_grid
+    if lvl.transfer.startswith("semi"):
+        mask = _semi_mask(lvl.transfer)
+        return (
+            lambda r: transfer.restrict_partial_grid(r, mask),
+            lambda e, fine: transfer.prolong_partial_grid(e, fine, mask),
+        )
     if lvl.transfer != "agg":
         return transfer.restrict_grid, transfer.prolong_grid
     W = lvl.weight

@@ -289,3 +289,87 @@ def prolong_hybrid_matrix(fine: GridShape) -> sp.csr_matrix:
     for M in mats[1:]:
         P = sp.kron(P, M, format="csr")
     return P
+
+
+# ---------------------------------------------------------------------------
+# Partial (SEMI-)coarsening — coarsen only a chosen subset of axes.
+#
+# The anisotropic-diffusion fix: with a point smoother, error after
+# relaxation is smooth only along STRONGLY-coupled axes, so full coarsening
+# loses the approximation property as anisotropy grows — measured on
+# 127x127 at coefficient ratio 1:1/0.1/0.01/0.001 the MGCG iteration count
+# climbs 6 / 15 / 47 / 130.  Coarsening just the strong axes (classic
+# semicoarsening; Trottenberg et al. §5.1) restores O(1) iterations and is
+# TPU-trivial: the transfers are the SAME per-axis operators applied to a
+# subset of axes (identity on the rest), still one Kronecker product on the
+# host side.  Each coarsened axis picks fw (odd) or cc (even) by parity,
+# exactly like the hybrid transfers.
+# ---------------------------------------------------------------------------
+
+
+def partial_kinds(fine: GridShape, mask):
+    """Per-axis choice ("fw" | "cc" | "id"); None if some MASKED axis
+    cannot coarsen."""
+    kinds = []
+    for n, m in zip(fine, mask):
+        if not m:
+            kinds.append("id")
+        elif n % 2 == 1 and n >= 3:
+            kinds.append("fw")
+        elif n % 2 == 0 and n >= 2:
+            kinds.append("cc")
+        else:
+            return None
+    return tuple(kinds)
+
+
+def can_partial(fine: GridShape, mask) -> bool:
+    return any(mask) and partial_kinds(fine, mask) is not None
+
+
+def partial_coarse_shape(fine: GridShape, mask) -> GridShape:
+    kinds = partial_kinds(fine, mask)
+    if kinds is None:
+        raise ValueError(f"shape {fine} not partial-coarsenable on {mask}")
+    return tuple(
+        n if k == "id" else ((n - 1) // 2 if k == "fw" else n // 2)
+        for n, k in zip(fine, kinds)
+    )
+
+
+def restrict_partial_grid(v: jnp.ndarray, mask) -> jnp.ndarray:
+    kinds = partial_kinds(v.shape, mask)
+    for ax, k in enumerate(kinds):
+        if k == "id":
+            continue
+        fn = _restrict_axis if k == "fw" else _restrict_cc_axis
+        v = jnp.moveaxis(fn(jnp.moveaxis(v, ax, -1)), -1, ax)
+    return v
+
+
+def prolong_partial_grid(e: jnp.ndarray, fine: GridShape, mask) -> jnp.ndarray:
+    kinds = partial_kinds(fine, mask)
+    for ax, k in enumerate(kinds):
+        if k == "id":
+            continue
+        fn = _prolong_axis if k == "fw" else _prolong_cc_axis
+        e = jnp.moveaxis(fn(jnp.moveaxis(e, ax, -1), fine[ax]), -1, ax)
+    return e
+
+
+def prolong_partial_matrix(fine: GridShape, mask) -> sp.csr_matrix:
+    """Mixed per-axis P with identity on uncoarsened axes (host Galerkin
+    twin; R = P^T / 2^(#coarsened) keeps the V-cycle symmetric)."""
+    kinds = partial_kinds(fine, mask)
+    mats = []
+    for n, k in zip(fine, kinds):
+        if k == "id":
+            mats.append(sp.identity(n, format="csr"))
+        elif k == "fw":
+            mats.append(prolong_matrix_1d(n))
+        else:
+            mats.append(prolong_cc_matrix_1d(n))
+    P = mats[0]
+    for M in mats[1:]:
+        P = sp.kron(P, M, format="csr")
+    return P.tocsr()
