@@ -440,6 +440,38 @@ def main() -> int:
         f"permutes per 4 iterations (HLO-audited), rel err {cerr:.2e}"
     )
 
+    # 18. anisotropic diffusion: auto-semicoarsening ----------------------
+    print("18. anisotropy: full coarsening degrades, semicoarsening does not:")
+    agrid = (63, 63)
+    asys = generators.anisotropic_diffusion_system(agrid, (0.001, 1.0))
+    from conjugategradient_tpu.core.formats import dia_to_stencil as _d2s
+    from conjugategradient_tpu.precond import as_preconditioner as _asp
+    from conjugategradient_tpu.precond import build_hierarchy as _bh
+    from conjugategradient_tpu.solvers.cg import cg_solve as _cgs
+
+    aA = _d2s(asys.A, agrid).device_put()
+    ab = jnp.asarray(asys.b).reshape(agrid)
+    apol = ConvergencePolicy(tol=1e-9, norm="rel_l2", max_iteration=500)
+    full = _cgs(aA, ab, policy=apol, M=_asp(_bh(asys.A, agrid, semicoarsen=False)))
+    h_semi = _bh(asys.A, agrid)
+    semi = _cgs(aA, ab, policy=apol, M=_asp(h_semi))
+    ax_true = oracle.direct_solve(asys.A, asys.b)
+    aerr = np.linalg.norm(
+        np.asarray(semi.x, np.float64).ravel() - ax_true
+    ) / np.linalg.norm(ax_true)
+    good = (
+        bool(semi.converged) and aerr < 1e-6
+        and int(semi.iterations) * 3 < int(full.iterations)
+        and any(l.transfer.startswith("semi") for l in h_semi.levels)
+    )
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] 1000:1 anisotropy at 63x63: full "
+        f"coarsening {int(full.iterations)} it, auto-semicoarsened "
+        f"{int(semi.iterations)} it (strong axis only: "
+        f"{[l.grid for l in h_semi.levels[:3]]}), rel err {aerr:.2e}"
+    )
+
     print("ALL OK" if ok else "MISMATCH")
     return 0 if ok else 1
 
