@@ -36,7 +36,9 @@ here one function routes to the right solver:
   ``"amg_gmres"`` — ALGEBRAIC (smoothed-aggregation) multigrid, no grid
   required: the MGCG-strength preconditioner for Matrix Market / permuted /
   unstructured matrices (``theta=``/``near_null=`` through kw;
-  ``precond.amg``); nonsymmetric bases build it on the symmetric part
+  ``precond.amg``); nonsymmetric bases build it on the symmetric part.
+  ``mesh=`` routes to the distributed carrier (``parallel.shard_amg``:
+  row-sharded SA levels, exact-hop ring gathers, replicated coarse tail)
 - ``method="bjacobi_cg"`` / ``"bjacobi_bicgstab"`` / ``"bjacobi_gmres"`` —
   block-Jacobi preconditioning (``block_size=`` through kw; batched dense
   block inverses, one MXU matmul per application)
@@ -255,6 +257,20 @@ def solve(
                 res, x=res.x * jnp.asarray(dis, res.x.dtype)
             )
         return res
+    if prefix == "amg" and "mesh" in kw:
+        # distributed algebraic multigrid: row-sharded SA levels with exact
+        # -hop ring gathers (all-gather fallback), replicated coarse tail —
+        # the V-cycle rides the sharded Krylov loops as M inside one
+        # shard_map program (parallel.shard_amg)
+        if base not in ("cg", "bicgstab", "gmres", "fgmres", "minres"):
+            raise ValueError(f"{method} with mesh= is not supported")
+        from conjugategradient_tpu.parallel.shard_amg import sharded_amg_solve
+
+        res, _h = sharded_amg_solve(
+            A, b, x0, policy, method=base, mesh=kw.pop("mesh"),
+            dtype=dtype, **kw,
+        )
+        return res
     if base in ("bicgstab", "gmres", "fgmres", "minres", "chebyshev") and "mesh" in kw:
         # row-block-sharded nonsymmetric solve; only shard-equivariant
         # preconditioning is available (jacobi_ becomes the M_local form —
@@ -278,13 +294,6 @@ def solve(
                 A, b, grid, mesh=kw.pop("mesh"), policy=policy, method=base,
                 x0=x0, dtype=dtype,
                 coarse_operator=kw.pop("coarse_operator", None), **kw,
-            )
-        if prefix == "amg":
-            raise ValueError(
-                f"{method} with mesh= is not supported: the amg "
-                "preconditioner is not plumbed through the sharded solvers; "
-                "use the jacobi_/bjacobi_/mg_ prefixes or an explicit "
-                "M_local via parallel.shard_nonsym.sharded_nonsym_solve"
             )
         if base == "fgmres" and "inner" in kw:
             raise ValueError(

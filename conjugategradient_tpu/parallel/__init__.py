@@ -24,6 +24,10 @@ from conjugategradient_tpu.parallel.shard_multi import (  # noqa: F401
     make_shard_multi_mgcg,
     shard_multi_mgcg_solve,
 )
+from conjugategradient_tpu.parallel.shard_amg import (  # noqa: F401
+    build_sharded_amg,
+    sharded_amg_solve,
+)
 from conjugategradient_tpu.parallel.gspmd import (  # noqa: F401
     gspmd_mgcg_solve,
     make_gspmd_mgcg,
