@@ -9,8 +9,10 @@ This module distributes the V-cycle itself with explicit collectives:
   stencil SpMV exchanges a ``halo0``-wide slab with ring neighbors
   (``ppermute``) exactly like the CG-level SpMV — one pair of permutes per
   operator application, nothing else;
-- smoothers (Jacobi / Chebyshev) are pointwise + SpMV, so they inherit the
-  sharded operator unchanged;
+- smoothers (Jacobi / Chebyshev / red-black Gauss-Seidel) are pointwise +
+  SpMV, so they inherit the sharded operator unchanged — rbgs masks are
+  parity-of-global-index, so the row-sharded slice of the host mask IS each
+  shard's checkerboard, and each half-sweep pays the usual halo pair;
 - smoothed-aggregation transfers are *communication-free*: aggregates are
   index pairs along each axis, and a shard whose local extent is even never
   owns half an aggregate — restriction/prolongation stay local (the SA
@@ -53,7 +55,12 @@ from conjugategradient_tpu.core.generators import LinearSystem
 from conjugategradient_tpu.parallel.sharded_cg import sharded_cg_loop
 from conjugategradient_tpu.precond import transfer
 from conjugategradient_tpu.precond.multigrid import _SA_W, MgHierarchy, v_cycle
-from conjugategradient_tpu.precond.smoothers import chebyshev_smooth, jacobi_smooth
+from conjugategradient_tpu.precond.smoothers import (
+    chebyshev_smooth,
+    jacobi_smooth,
+    redblack_gs_smooth,
+    redblack_gs_smooth_reversed,
+)
 from conjugategradient_tpu.solvers.cg import CGResult
 from conjugategradient_tpu.solvers.policy import ConvergencePolicy
 
@@ -195,12 +202,10 @@ def _prep_shard_hierarchy(
     the hierarchy, expand constant-coefficient levels to grid legs, split it
     at the deepest shardable level, and pre-place every array on the mesh.
 
-    Returns ``(h, n_sharded, metas, datas, invds, weights, rep_h, put)``.
+    Returns ``(h, n_sharded, metas, datas, invds, weights, masks, rep_h, put)``.
     """
     from conjugategradient_tpu.precond import build_hierarchy
 
-    if smoother == "rbgs" or (hierarchy is not None and hierarchy.smoother == "rbgs"):
-        raise NotImplementedError("rbgs masks are not wired through the sharded V-cycle yet")
     grid = tuple(grid)
     h = hierarchy or build_hierarchy(
         A_dia, grid, smoother=smoother, pre=pre, post=post, dtype=dt,
@@ -266,6 +271,11 @@ def _prep_shard_hierarchy(
     weights = tuple(
         put(lvl.weight, P(axis)) if lvl.weight is not None else None for lvl in sh_levels
     )
+    # rbgs checkerboard masks: parity is a function of GLOBAL indices, so the
+    # row-sharded slice of the host-built mask is exactly each shard's colors
+    masks = tuple(
+        put(lvl.mask, P(axis)) if lvl.mask is not None else None for lvl in sh_levels
+    )
     rep_h = MgHierarchy(
         levels=tuple(h.levels[n_sharded:]),
         coarse_inv=h.coarse_inv,
@@ -275,7 +285,7 @@ def _prep_shard_hierarchy(
         omega=h.omega,
     )
     rep_h = jax.device_put(rep_h)  # replicated (single-sharding default)
-    return h, n_sharded, metas, datas, invds, weights, rep_h, put
+    return h, n_sharded, metas, datas, invds, weights, masks, rep_h, put
 
 
 def make_shard_mgcg(
@@ -304,7 +314,7 @@ def make_shard_mgcg(
     """
     grid = tuple(grid)
     dt = dtype or np.asarray(system.A.data).dtype
-    h, n_sharded, metas, datas, invds, weights, rep_h, put = _prep_shard_hierarchy(
+    h, n_sharded, metas, datas, invds, weights, masks, rep_h, put = _prep_shard_hierarchy(
         system.A, grid, mesh, axis, smoother, pre, post, dt, hierarchy
     )
     num = mesh.shape[axis]
@@ -313,15 +323,18 @@ def make_shard_mgcg(
     x0_dev = put(np.asarray(system.x0, dtype=dt).reshape(grid), P(axis))
     n = int(np.prod(grid))
 
-    def _smooth_local(op, invd_l, meta, b, x, sweeps):
+    def _smooth_local(op, invd_l, mask_l, meta, b, x, sweeps, post_sweep=False):
         if sweeps <= 0:
             return x
         if h.smoother == "chebyshev":
             lo, hi = meta["bounds"]
             return chebyshev_smooth(op, invd_l, b, x, sweeps, hi, lo)
+        if h.smoother == "rbgs":
+            fn = redblack_gs_smooth_reversed if post_sweep else redblack_gs_smooth
+            return fn(op, invd_l, b, x, sweeps, mask_l)
         return jacobi_smooth(op, invd_l, b, x, sweeps, h.omega)
 
-    def local_solve(datas_, invds_, weights_, rep_h_, b_l, x0_l):
+    def local_solve(datas_, invds_, weights_, masks_, rep_h_, b_l, x0_l):
         def make_op(level):
             m = metas[level]
             return lambda v: spmv_stencil_shard(
@@ -340,8 +353,9 @@ def make_shard_mgcg(
             m = metas[level]
             op = make_op(level)
             invd_l = invds_[level]
+            mask_l = masks_[level]
             x = jnp.zeros_like(r)
-            x = _smooth_local(op, invd_l, m, r, x, h.pre)
+            x = _smooth_local(op, invd_l, mask_l, m, r, x, h.pre)
             res = r - op(x)
             if m["kind"] == "agg" and m["sa_smooth"]:
                 c = _SA_W / m["bounds"][1]
@@ -368,7 +382,7 @@ def make_shard_mgcg(
                 rc = transfer.restrict_grid(res)
                 ec = v_local(level + 1, rc)
                 x = x + transfer.prolong_grid(ec, r.shape)
-            x = _smooth_local(op, invd_l, m, r, x, h.post)
+            x = _smooth_local(op, invd_l, mask_l, m, r, x, h.post, post_sweep=True)
             return x
 
         op0 = make_op(0)
@@ -387,6 +401,7 @@ def make_shard_mgcg(
         tuple(P(None, axis) for _ in datas),
         tuple(P(axis) for _ in invds),
         tuple(P(axis) if w is not None else None for w in weights),
+        tuple(P(axis) if mk is not None else None for mk in masks),
         rep_specs,
         P(axis),
         P(axis),
@@ -400,7 +415,7 @@ def make_shard_mgcg(
     jitted = jax.jit(shard_fn)
 
     def solve(b, x0):
-        res = jitted(datas, invds, weights, rep_h, b, x0)
+        res = jitted(datas, invds, weights, masks, rep_h, b, x0)
         return CGResult(
             x=res.x.reshape(-1),
             iterations=res.iterations,
@@ -408,7 +423,7 @@ def make_shard_mgcg(
             converged=res.converged,
         )
 
-    solve.lower_args = (datas, invds, weights, rep_h, b_dev, x0_dev)  # for HLO inspection
+    solve.lower_args = (datas, invds, weights, masks, rep_h, b_dev, x0_dev)  # for HLO inspection
     solve.jitted = jitted
     return solve, (b_dev, x0_dev)
 

@@ -124,7 +124,7 @@ def make_shard_multi_mgcg(
     n, k = B.shape
     if n != int(np.prod(grid)):
         raise ValueError(f"B rows {n} != prod(grid) {int(np.prod(grid))}")
-    h, n_sharded, metas, datas, invds, weights, rep_h, put = _prep_shard_hierarchy(
+    h, n_sharded, metas, datas, invds, weights, masks, rep_h, put = _prep_shard_hierarchy(
         system.A, grid, mesh, axis, smoother, pre, post, dt, hierarchy
     )
     num = mesh.shape[axis]
@@ -137,20 +137,29 @@ def make_shard_multi_mgcg(
     min_iter = jnp.int32(policy.min_iteration)
     max_iter = jnp.int32(policy.resolve_max(n))
 
-    def local_solve(datas_, invds_, weights_, rep_h_, B_l, X0_l):
+    def local_solve(datas_, invds_, weights_, masks_, rep_h_, B_l, X0_l):
         def make_op(level):
             m = metas[level]
             return lambda V: spmm_stencil_shard(
                 datas_[level], m["shifts"], V, m["halo0"], axis, num
             )
 
-        def smooth(op, invd_l, m, b, x, sweeps):
+        def smooth(op, invd_l, mask_l, m, b, x, sweeps, post_sweep=False):
             if sweeps <= 0:
                 return x
             iv = invd_l[..., None]
             if h.smoother == "chebyshev":
                 lo, hi = m["bounds"]
                 return chebyshev_smooth(op, iv, b, x, sweeps, hi, lo)
+            if h.smoother == "rbgs":
+                from conjugategradient_tpu.precond.smoothers import (
+                    redblack_gs_smooth,
+                    redblack_gs_smooth_reversed,
+                )
+
+                fn = redblack_gs_smooth_reversed if post_sweep else redblack_gs_smooth
+                # the (grid...) mask broadcasts over the trailing RHS axis
+                return fn(op, iv, b, x, sweeps, mask_l[..., None])
             return jacobi_smooth(op, iv, b, x, sweeps, h.omega)
 
         def v_local(level, r):
@@ -163,8 +172,9 @@ def make_shard_multi_mgcg(
             m = metas[level]
             op = make_op(level)
             invd_l = invds_[level]
+            mask_l = masks_[level]
             x = jnp.zeros_like(r)
-            x = smooth(op, invd_l, m, r, x, h.pre)
+            x = smooth(op, invd_l, mask_l, m, r, x, h.pre)
             res = r - op(x)
             if m["kind"] == "agg" and m["sa_smooth"]:
                 c = _SA_W / m["bounds"][1]
@@ -189,7 +199,7 @@ def make_shard_multi_mgcg(
                 rc = _restrict_fw_multi(res, d)
                 ec = v_local(level + 1, rc)
                 x = x + _prolong_fw_multi(ec, r.shape[:d], d)
-            x = smooth(op, invd_l, m, r, x, h.post)
+            x = smooth(op, invd_l, mask_l, m, r, x, h.post, post_sweep=True)
             return x
 
         op0 = make_op(0)
@@ -254,6 +264,7 @@ def make_shard_multi_mgcg(
         tuple(P(None, axis) for _ in datas),
         tuple(P(axis) for _ in invds),
         tuple(P(axis) if w is not None else None for w in weights),
+        tuple(P(axis) if mk is not None else None for mk in masks),
         rep_specs,
         P(axis),
         P(axis),
@@ -267,7 +278,7 @@ def make_shard_multi_mgcg(
     jitted = jax.jit(shard_fn)
 
     def solve(B_, X0_):
-        res = jitted(datas, invds, weights, rep_h, B_, X0_)
+        res = jitted(datas, invds, weights, masks, rep_h, B_, X0_)
         return MultiCGResult(
             x=res.x.reshape(n, k),
             iterations=res.iterations,
@@ -276,7 +287,7 @@ def make_shard_multi_mgcg(
         )
 
     solve.jitted = jitted
-    solve.lower_args = (datas, invds, weights, rep_h, B_dev, X0_dev)
+    solve.lower_args = (datas, invds, weights, masks, rep_h, B_dev, X0_dev)
     return solve, (B_dev, X0_dev)
 
 

@@ -263,11 +263,41 @@ def test_shard_mgcg_hybrid_shard_count_invariance(num):
     assert _true_rel(sys_, res) < 1e-9
 
 
-def test_shard_mgcg_rejects_rbgs_hierarchy():
-    from conjugategradient_tpu.precond import build_hierarchy
+def test_shard_mgcg_rbgs_matches_single_device():
+    """rbgs masks ride as row-sharded inputs: parity is a function of GLOBAL
+    indices, so each shard's slice of the host mask IS its checkerboard —
+    the sharded trajectory matches the single-device rbgs MGCG."""
+    import jax.numpy as jnp
 
-    grid = (32, 32)
+    from conjugategradient_tpu.precond import build_hierarchy
+    from conjugategradient_tpu.precond.multigrid import as_preconditioner
+    from conjugategradient_tpu.solvers.cg import cg_solve
+
+    grid = (64, 64)
     sys_ = poisson_system(grid)
+    pol = ConvergencePolicy(tol=1e-8, norm="rel_l2")
+    res = shard_mgcg_solve(sys_, grid, mesh=make_mesh(8), policy=pol, smoother="rbgs")
+    assert bool(res.converged)
+    assert _true_rel(sys_, res) < 1e-8
     h = build_hierarchy(sys_.A, grid, smoother="rbgs", layout="stencil")
-    with pytest.raises(NotImplementedError):
-        make_shard_mgcg(sys_, grid, make_mesh(8), ConvergencePolicy(), hierarchy=h)
+    res1 = cg_solve(
+        sys_.A.device_put(), jnp.asarray(sys_.b), None, pol, M=as_preconditioner(h)
+    )
+    assert int(res.iterations) == int(res1.iterations)
+
+
+def test_shard_multi_rbgs():
+    from conjugategradient_tpu.parallel.shard_multi import shard_multi_mgcg_solve
+
+    grid = (64, 64)
+    sys_ = poisson_system(grid)
+    B = np.random.default_rng(0).standard_normal((sys_.n, 3))
+    res = shard_multi_mgcg_solve(
+        sys_, B, grid, mesh=make_mesh(8),
+        policy=ConvergencePolicy(tol=1e-8, norm="rel_l2"), smoother="rbgs",
+    )
+    assert bool(np.asarray(res.converged).all())
+    X = np.asarray(res.x, np.float64)
+    for j in range(3):
+        r = B[:, j] - oracle.spmv(sys_.A, X[:, j])
+        assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-7
