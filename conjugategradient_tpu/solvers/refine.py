@@ -72,8 +72,9 @@ def refined_solve(
     nonsymmetric, so this gives NONSYMMETRIC systems (convection-diffusion)
     the same fp64-tolerance-on-fp32-hardware contract as the SPD path;
     with ``grid=`` the inner solve is V-cycle-right-preconditioned
-    (mg_bicgstab).  Not combinable with ``deflation`` (an SPD construction)
-    or ``device_residual`` (the dd outer loop currently drives CG inners).
+    (mg_bicgstab), and ``device_residual=True`` composes (the dd outer
+    pass is symmetry-agnostic).  Not combinable with ``deflation`` (an SPD
+    construction).
 
     ``deflation`` (a ``solvers.deflation.Deflation``, built once per matrix)
     deflates every INNER solve: Galerkin initial correction + the def-CG
@@ -136,10 +137,6 @@ def refined_solve(
     if inner == "bicgstab":
         if deflation is not None:
             raise ValueError("deflation requires inner='cg' (SPD construction)")
-        if device_residual:
-            raise NotImplementedError(
-                "device_residual currently drives CG inners; use inner='cg'"
-            )
         from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve as _inner_fn
     elif inner == "cg":
         _inner_fn = cg_solve
@@ -152,7 +149,7 @@ def refined_solve(
             max_outer=max_outer, device_dtype=device_dtype,
             hierarchy=hierarchy, smoother=smoother,
             raise_on_divergence=raise_on_divergence, use_pallas=use_pallas,
-            matrix_dtype=matrix_dtype, deflation=deflation,
+            matrix_dtype=matrix_dtype, deflation=deflation, inner=inner,
         )
 
     n = A.n
@@ -322,9 +319,12 @@ def _refined_solve_device(
     use_pallas: Optional[bool] = None,
     matrix_dtype=None,
     deflation=None,
+    inner: str = "cg",
 ) -> RefineResult:
     """Device-resident refinement: the outer loop's fp64 work (residual,
     norm, scaling, update) runs on chip in double-float arithmetic.
+    ``inner="bicgstab"`` drives nonsymmetric inner solves (the dd residual
+    pass is symmetry-agnostic; deflation stays CG-only).
 
     Two device programs per outer pass — ``resid`` (dd residual + norms +
     scaled fp32 residual, which never leaves the device) and ``update``
@@ -337,8 +337,14 @@ def _refined_solve_device(
     import jax.numpy as jnp
 
     from conjugategradient_tpu.ops import dd
+    from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
     from conjugategradient_tpu.solvers.cg import cg_solve
 
+    if inner not in ("cg", "bicgstab"):
+        raise ValueError(f"unknown inner {inner!r}; want cg|bicgstab")
+    if inner == "bicgstab" and deflation is not None:
+        raise ValueError("deflation requires inner='cg' (SPD construction)")
+    inner_solve = cg_solve if inner == "cg" else bicgstab_solve
     if np.dtype(device_dtype) != np.float32:
         raise ValueError("device_residual requires device_dtype=float32 "
                          "(dd pairs are fp32 hi/lo)")
@@ -398,8 +404,8 @@ def _refined_solve_device(
         @jax.jit
         def update(h_, A_, d_, x_dd, r32, s):
             if d_ is None:
-                d = cg_solve(A_, r32, policy=inner_policy, M=_as_p(h_),
-                             precise_dot=True)
+                d = inner_solve(A_, r32, policy=inner_policy, M=_as_p(h_),
+                                precise_dot=True)
             else:
                 d = deflated_cg_solve(A_, r32, policy=inner_policy,
                                       M=_as_p(h_), precise_dot=True,
@@ -419,8 +425,8 @@ def _refined_solve_device(
         @jax.jit
         def update(A_, d_, x_dd, r32, s):
             if d_ is None:
-                d = cg_solve(lambda v: cm_apply(A_, v), to_cm(r32, plan),
-                             policy=inner_policy, precise_dot=True)
+                d = inner_solve(lambda v: cm_apply(A_, v), to_cm(r32, plan),
+                                policy=inner_policy, precise_dot=True)
             else:
                 d_cm = d_.map_basis(lambda col: to_cm(col, plan).reshape(-1))
                 d = deflated_cg_solve(lambda v: cm_apply(A_, v),
@@ -435,7 +441,7 @@ def _refined_solve_device(
         @jax.jit
         def update(A_, d_, x_dd, r32, s):
             if d_ is None:
-                d = cg_solve(A_, r32, policy=inner_policy, precise_dot=True)
+                d = inner_solve(A_, r32, policy=inner_policy, precise_dot=True)
             else:
                 d = deflated_cg_solve(A_, r32, policy=inner_policy,
                                       precise_dot=True, deflation=d_)

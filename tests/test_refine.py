@@ -299,15 +299,42 @@ def test_refined_nonsymmetric_inner_bicgstab():
     assert resg.inner_iterations < res.inner_iterations
 
 
+def test_refined_nonsym_device_residual():
+    """device_residual=True with BiCGStab inners: the dd outer pass is
+    symmetry-agnostic, so the all-on-device refinement loop carries
+    nonsymmetric systems too (plain and grid/mg-preconditioned)."""
+    from conjugategradient_tpu.core.generators import (
+        convection_diffusion_system,
+        nonsymmetric_banded_system,
+    )
+
+    sys_ = nonsymmetric_banded_system(2048, 16)
+    res = refined_solve(
+        sys_.A, sys_.b, tol=1e-10, inner="bicgstab", device_residual=True,
+        use_pallas=False,
+    )
+    assert res.converged
+    r = sys_.b - oracle.spmv(sys_.A, res.x)
+    assert np.linalg.norm(r) < 1e-10
+    sysc = convection_diffusion_system((32, 32), eps=0.1)
+    resg = refined_solve(
+        sysc.A, sysc.b, tol=1e-10, grid=(32, 32), inner="bicgstab",
+        device_residual=True, smoother="jacobi",
+    )
+    assert resg.converged
+    rg = sysc.b - oracle.spmv(sysc.A, resg.x)
+    assert np.linalg.norm(rg) < 1e-10
+
+
 def test_refined_inner_bicgstab_guards():
     from conjugategradient_tpu.core.generators import convection_diffusion_system
 
     sys_ = convection_diffusion_system((8, 8), eps=0.5)
-    try:
-        refined_solve(sys_.A, sys_.b, inner="bicgstab", device_residual=True)
-        raise AssertionError("expected NotImplementedError")
-    except NotImplementedError:
-        pass
+    with pytest.raises(ValueError, match="deflation requires"):
+        refined_solve(
+            sys_.A, sys_.b, inner="bicgstab", device_residual=True,
+            deflation=object(),
+        )
     try:
         refined_solve(sys_.A, sys_.b, inner="qmr")
         raise AssertionError("expected ValueError")
