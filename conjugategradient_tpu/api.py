@@ -451,8 +451,9 @@ def solve(
 
 
 def _solve_multi(A, B, X0, method, policy, grid, dtype, **kw):
-    """Multi-RHS facade routing: cg / jacobi_cg / mgcg / refined over
-    (n, k) blocks."""
+    """Multi-RHS facade routing: cg / jacobi_cg / bjacobi_cg / mgcg /
+    amg_cg / refined and the bicgstab family (plain / jacobi_ / bjacobi_ /
+    mg_ / amg_) over (n, k) blocks."""
     import jax.numpy as jnp
 
     from conjugategradient_tpu.solvers.multi import (
@@ -504,6 +505,53 @@ def _solve_multi(A, B, X0, method, policy, grid, dtype, **kw):
         h = build_amg_hierarchy(A, dtype=np.dtype(B_dev.dtype), **setup_kw)
         M = amg_preconditioner(h)  # (n, k)-aware (vmapped cycle)
         method = "cg"
+    elif method in (
+        "bicgstab", "jacobi_bicgstab", "bjacobi_bicgstab", "mg_bicgstab",
+        "amg_bicgstab",
+    ):
+        # multi-RHS NONSYMMETRIC: per-column BiCGStab recurrences sharing
+        # one SpMM pass per half-step (solvers.multi.bicgstab_solve_multi);
+        # prefixes build the same right preconditioners as the single-RHS
+        # routes, applied blockwise
+        from conjugategradient_tpu.solvers.multi import bicgstab_solve_multi
+
+        if method == "jacobi_bicgstab":
+            inv = jnp.asarray(1.0 / _diagonal(A), dtype=B_dev.dtype)
+            M = lambda R: inv[:, None] * R
+        elif method == "bjacobi_bicgstab":
+            from conjugategradient_tpu.precond import block_jacobi_preconditioner
+
+            M = block_jacobi_preconditioner(
+                A, int(kw.pop("block_size", 8)), dtype=B_dev.dtype
+            )
+        elif method == "mg_bicgstab":
+            from conjugategradient_tpu.precond import build_hierarchy
+
+            if grid is None:
+                raise ValueError("mg_bicgstab requires grid=")
+            if not isinstance(A, DiaMatrix):
+                raise TypeError("mg_bicgstab requires a DiaMatrix")
+            h = build_hierarchy(
+                A, grid, smoother=kw.pop("smoother", "jacobi"),
+                dtype=np.dtype(B_dev.dtype),
+                coarse_operator=kw.pop("coarse_operator", None),
+            )
+            M = as_multi_preconditioner(h)
+        elif method == "amg_bicgstab":
+            from conjugategradient_tpu.precond import (
+                amg_preconditioner,
+                build_amg_hierarchy,
+            )
+
+            setup_kw = {
+                k: kw.pop(k)
+                for k in ("theta", "near_null", "max_coarse", "max_levels")
+                if k in kw
+            }
+            setup_kw.setdefault("smoother", "jacobi")
+            h = build_amg_hierarchy(A, dtype=np.dtype(B_dev.dtype), **setup_kw)
+            M = amg_preconditioner(h)
+        return bicgstab_solve_multi(A_dev, B_dev, X0_dev, policy, M=M, **kw)
     elif method != "cg":
         raise ValueError(f"method {method!r} does not support (n, k) right-hand sides")
     return cg_solve_multi(A_dev, B_dev, X0_dev, policy, M=M, **kw)

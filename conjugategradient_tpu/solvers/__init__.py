@@ -26,7 +26,11 @@ from conjugategradient_tpu.solvers.gmres import (  # noqa: F401
     inner_solve_preconditioner,
 )
 from conjugategradient_tpu.solvers.lobpcg import LobpcgResult, lobpcg  # noqa: F401
-from conjugategradient_tpu.solvers.multi import MultiCGResult, cg_solve_multi  # noqa: F401
+from conjugategradient_tpu.solvers.multi import (  # noqa: F401
+    MultiCGResult,
+    bicgstab_solve_multi,
+    cg_solve_multi,
+)
 from conjugategradient_tpu.solvers.refine import (  # noqa: F401
     RefineMultiResult,
     RefineResult,

@@ -174,3 +174,96 @@ def test_multi_rhs_mgcg_sharded_gspmd():
     for j in range(k):
         r = B[:, j].astype(np.float64) - oracle.spmv(system.A, X[:, j])
         assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-4
+
+
+# --- multi-RHS BiCGStab (nonsymmetric) --------------------------------------
+
+
+def test_multi_bicgstab_matches_single_rhs_counts():
+    """Per-column block BiCGStab: each column's masked recurrence tracks the
+    single-RHS trajectory (iteration counts within noise), all columns
+    validate against the direct solve."""
+    from conjugategradient_tpu.core.generators import convection_diffusion_system
+    from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+    from conjugategradient_tpu.solvers.multi import bicgstab_solve_multi
+
+    grid = (31, 31)
+    sys_ = convection_diffusion_system(grid, eps=0.1)
+    k = 3
+    B = np.random.default_rng(0).standard_normal((sys_.A.n, k))
+    pol = ConvergencePolicy(tol=1e-8, norm="rel_l2")
+    res = bicgstab_solve_multi(sys_.A.device_put(), jnp.asarray(B), policy=pol)
+    assert bool(np.asarray(res.converged).all())
+    X = np.asarray(res.x, np.float64)
+    for j in range(k):
+        x_ref = oracle.direct_solve(sys_.A, B[:, j])
+        rel = np.linalg.norm(X[:, j] - x_ref) / np.linalg.norm(x_ref)
+        assert rel < 1e-6
+        single = bicgstab_solve(
+            sys_.A.device_put(), jnp.asarray(B[:, j]), policy=pol
+        )
+        assert abs(int(res.iterations[j]) - int(single.iterations)) <= max(
+            10, int(0.1 * int(single.iterations))
+        )
+
+
+def test_multi_bicgstab_facade_mg_prefix():
+    """(n, k) b + method='mg_bicgstab' routes to the block solver with the
+    V-cycle right preconditioner (rediscretized coarse operator rides
+    through)."""
+    from conjugategradient_tpu import solve
+    from conjugategradient_tpu.core.generators import (
+        convection_diffusion_coarse_operator,
+        convection_diffusion_system,
+    )
+
+    grid = (31, 31)
+    sys_ = convection_diffusion_system(grid, eps=0.1)
+    B = np.random.default_rng(1).standard_normal((sys_.A.n, 3))
+    res = solve(
+        sys_.A, B, method="mg_bicgstab", grid=grid, tol=1e-8, norm="rel_l2",
+        coarse_operator=convection_diffusion_coarse_operator(eps=0.1),
+    )
+    assert bool(np.asarray(res.converged).all())
+    assert int(np.asarray(res.iterations).max()) < 40
+    X = np.asarray(res.x, np.float64)
+    for j in range(3):
+        r = B[:, j] - oracle.spmv(sys_.A, X[:, j])
+        assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-6
+
+
+def test_multi_bicgstab_mixed_convergence_freezes():
+    """Columns at different difficulty: the easy column (RHS = dominant
+    eigenvector of the symmetric part) freezes earlier; all validate."""
+    from conjugategradient_tpu.core.generators import convection_diffusion_system
+    from conjugategradient_tpu.solvers.multi import bicgstab_solve_multi
+
+    sys_ = convection_diffusion_system((15, 15), eps=0.5)
+    dense = formats.dia_to_dense(sys_.A)
+    w, V = np.linalg.eigh(0.5 * (np.asarray(dense.data) + np.asarray(dense.data).T))
+    B = np.stack([V[:, -1], np.asarray(sys_.b)], axis=1)
+    res = bicgstab_solve_multi(
+        sys_.A.device_put(), jnp.asarray(B),
+        policy=ConvergencePolicy(tol=1e-10, norm="rel_l2"),
+    )
+    assert bool(np.asarray(res.converged).all())
+    its = np.asarray(res.iterations)
+    assert its[0] <= its[1]
+    X = np.asarray(res.x, np.float64)
+    for j in range(2):
+        r = B[:, j] - oracle.spmv(sys_.A, X[:, j])
+        assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-9
+
+
+def test_multi_bicgstab_nonconvergence_flags_per_column():
+    from conjugategradient_tpu.core.generators import nonsymmetric_banded_system
+    from conjugategradient_tpu.solvers.multi import bicgstab_solve_multi
+
+    sys_ = nonsymmetric_banded_system(128, 6)
+    B = np.stack([np.asarray(sys_.b)] * 2, axis=1)
+    res = bicgstab_solve_multi(
+        sys_.A.device_put(), jnp.asarray(B),
+        policy=ConvergencePolicy(tol=1e-30, max_iteration=5),
+    )
+    assert not bool(np.asarray(res.converged).any())
+    np.testing.assert_array_equal(np.asarray(res.iterations), [5, 5])
