@@ -17,7 +17,10 @@ from conjugategradient_tpu.solvers.bicgstab import (  # noqa: F401
 from conjugategradient_tpu.solvers.cgnr import cgnr_solve  # noqa: F401
 from conjugategradient_tpu.solvers.cacg import cacg_solve  # noqa: F401
 from conjugategradient_tpu.solvers.cheby import chebyshev_solve  # noqa: F401
-from conjugategradient_tpu.solvers.diff import cg_solve_implicit  # noqa: F401
+from conjugategradient_tpu.solvers.diff import (  # noqa: F401
+    bicgstab_solve_implicit,
+    cg_solve_implicit,
+)
 from conjugategradient_tpu.solvers.minres import minres_solve  # noqa: F401
 from conjugategradient_tpu.solvers.gmres import (  # noqa: F401
     fgmres_solve,

@@ -129,3 +129,62 @@ def test_vmap_batched_solves():
         assert np.linalg.norm(r) < 1e-9
     # different systems genuinely took different iteration counts
     assert len(set(np.asarray(res.iterations).tolist())) >= 1
+
+
+# --- nonsymmetric implicit adjoint ------------------------------------------
+
+
+def test_nonsym_grad_matches_finite_difference():
+    """bicgstab_solve_implicit: the adjoint solves the TRANSPOSED system —
+    gradients w.r.t. data and b match central differences on a
+    convection-diffusion operator."""
+    import jax
+
+    from conjugategradient_tpu.core.generators import convection_diffusion_system
+    from conjugategradient_tpu.solvers.diff import bicgstab_solve_implicit
+
+    sys_ = convection_diffusion_system((8, 8), eps=0.3)
+    A = sys_.A
+    data = jnp.asarray(np.asarray(A.data))
+    b = jnp.asarray(np.asarray(sys_.b))
+    pol = ConvergencePolicy(tol=1e-12, norm="rel_l2", max_iteration=4000)
+
+    def loss(data, b):
+        x = bicgstab_solve_implicit(data, b, A.offsets, A.shape, pol)
+        return jnp.sum(jnp.sin(x))
+
+    g_data, g_b = jax.grad(loss, argnums=(0, 1))(data, b)
+    eps = 1e-6
+    rng = np.random.default_rng(0)
+    checked = 0
+    while checked < 3:
+        k = int(rng.integers(0, data.shape[0]))
+        i = int(rng.integers(0, data.shape[1]))
+        if float(np.abs(np.asarray(data)[k, i])) == 0.0:
+            continue
+        dp = np.asarray(data).copy(); dp[k, i] += eps
+        dm = np.asarray(data).copy(); dm[k, i] -= eps
+        fd = (float(loss(jnp.asarray(dp), b)) - float(loss(jnp.asarray(dm), b))) / (2 * eps)
+        np.testing.assert_allclose(float(g_data[k, i]), fd, rtol=1e-5, atol=1e-8)
+        checked += 1
+    bp = np.asarray(b).copy(); bp[5] += eps
+    bm = np.asarray(b).copy(); bm[5] -= eps
+    fd = (float(loss(data, jnp.asarray(bp))) - float(loss(data, jnp.asarray(bm)))) / (2 * eps)
+    np.testing.assert_allclose(float(g_b[5]), fd, rtol=1e-5, atol=1e-8)
+
+
+def test_dia_transpose_traced_matches_host_transpose():
+    from conjugategradient_tpu.core import formats
+    from conjugategradient_tpu.core.generators import convection_diffusion_matrix
+    from conjugategradient_tpu.solvers.diff import dia_transpose_traced
+
+    A = convection_diffusion_matrix((6, 6), eps=0.2)
+    dataT = np.asarray(dia_transpose_traced(jnp.asarray(np.asarray(A.data)), A.offsets, A.n))
+    AT_host = formats.transpose(A)
+    dense_traced = formats.dia_to_dense(
+        formats.DiaMatrix(dataT, tuple(-o for o in A.offsets), A.shape)
+    )
+    dense_host = formats.dia_to_dense(AT_host)
+    np.testing.assert_allclose(
+        np.asarray(dense_traced.data), np.asarray(dense_host.data), atol=1e-14
+    )
