@@ -61,3 +61,56 @@ def maybe_resume(path: Optional[str]) -> Optional[CGState]:
     if path and os.path.exists(path):
         return load_state(path)
     return None
+
+
+# --- pytree (hierarchy) persistence ------------------------------------------
+#
+# Multigrid setup is the expensive phase (measured: 45 s device-probed /
+# 190 s host at 255^3, artifacts/probed_setup_onechip_r02.json), while the
+# hierarchy itself is just a registered pytree of arrays + static metadata.
+# Persisting it turns every later process's setup into a file read — the
+# production serving pattern (build once, solve many, across restarts).
+
+
+def save_pytree(path: str, tree) -> None:
+    """Persist any registered pytree (``MgHierarchy``, ``AmgHierarchy``,
+    ``Deflation``, a matrix container, ...) atomically to ``path``.
+
+    Array leaves are stored as an ``.npz`` payload; the tree STRUCTURE
+    (container types + static metadata: grids, offsets, smoother config)
+    rides as a pickled treedef inside the same file.  Load with
+    ``load_pytree`` — from TRUSTED files only (the structure channel is
+    pickle).
+    """
+    import pickle
+
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    payload = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    payload["__treedef__"] = np.frombuffer(
+        pickle.dumps(treedef), dtype=np.uint8
+    )
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp if tmp.endswith(".npz") else tmp, **payload)
+    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(actual_tmp, path)
+
+
+def load_pytree(path: str, device: bool = True):
+    """Load a pytree saved by ``save_pytree``.  ``device=True`` places array
+    leaves on the default device (``jnp.asarray``); ``device=False`` returns
+    numpy leaves (e.g. to re-place onto a mesh yourself).  Only open files
+    you trust (see ``save_pytree``)."""
+    import pickle
+
+    import jax
+
+    with np.load(path, allow_pickle=False) as z:
+        treedef = pickle.loads(z["__treedef__"].tobytes())
+        leaves = [z[f"leaf_{i}"] for i in range(treedef.num_leaves)]
+    if device:
+        import jax.numpy as jnp
+
+        leaves = [jnp.asarray(l) for l in leaves]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -187,3 +187,45 @@ def test_chunked_preconditioner_state_as_argument(tmp_path):
     assert bool(res.converged)
     r = sys_.b - oracle.spmv(sys_.A, np.asarray(res.x))
     assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-8
+
+
+def test_save_load_pytree_hierarchies(tmp_path):
+    """Hierarchies round-trip through save_pytree/load_pytree: identical
+    preconditioned trajectories and bitwise-equal solutions (geometric and
+    algebraic; the AMG one carries mixed DIA/CSR level containers)."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.core.generators import poisson_system
+    from conjugategradient_tpu.core.io import from_scipy, to_scipy
+    from conjugategradient_tpu.precond import as_preconditioner, build_hierarchy
+    from conjugategradient_tpu.precond.amg import amg_cg_solve, build_amg_hierarchy
+    from conjugategradient_tpu.solvers.cg import cg_solve
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+    from conjugategradient_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    grid = (64, 64)
+    sys_ = poisson_system(grid)
+    pol = ConvergencePolicy(tol=1e-8, norm="rel_l2")
+
+    h = build_hierarchy(sys_.A, grid)
+    p = str(tmp_path / "h.npz")
+    save_pytree(p, h)
+    h2 = load_pytree(p)
+    assert h2.smoother == h.smoother and len(h2.levels) == len(h.levels)
+    assert h2.levels[0].grid == h.levels[0].grid
+    r1 = cg_solve(sys_.A.device_put(), jnp.asarray(sys_.b), None, pol,
+                  M=as_preconditioner(h))
+    r2 = cg_solve(sys_.A.device_put(), jnp.asarray(sys_.b), None, pol,
+                  M=as_preconditioner(h2))
+    assert int(r1.iterations) == int(r2.iterations)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+    A_csr = from_scipy(to_scipy(sys_.A).tocsr())
+    ha = build_amg_hierarchy(A_csr, dtype=np.float64)
+    p2 = str(tmp_path / "ha.npz")
+    save_pytree(p2, ha)
+    ha2 = load_pytree(p2)
+    ra1, _ = amg_cg_solve(A_csr, sys_.b, policy=pol, hierarchy=ha)
+    ra2, _ = amg_cg_solve(A_csr, sys_.b, policy=pol, hierarchy=ha2)
+    assert int(ra1.iterations) == int(ra2.iterations)
+    np.testing.assert_array_equal(np.asarray(ra1.x), np.asarray(ra2.x))
