@@ -47,7 +47,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from conjugategradient_tpu.core.formats import CsrMatrix
-from conjugategradient_tpu.ops.spmv import spmv_csr
+from conjugategradient_tpu.ops.spmv import spmv, spmv_csr
 from conjugategradient_tpu.precond.smoothers import chebyshev_smooth, jacobi_smooth
 
 #: smoothed-aggregation prolongator damping: c = _SA_W / lam_max(D^{-1}A)
@@ -63,7 +63,7 @@ _SA_W = 4.0 / 3.0
 class AmgLevel:
     """One algebraic level: operator, transfers, smoother data."""
 
-    A: CsrMatrix  # (n, n) this level's operator
+    A: object  # (n, n) this level's operator: DiaMatrix when bandable, else CsrMatrix
     P: CsrMatrix  # (n, nc) smoothed prolongator
     R: CsrMatrix  # (nc, n) restriction = P^T (SPD-preserving Galerkin)
     inv_diag: jnp.ndarray  # (n,) 1/diag(A)
@@ -195,6 +195,36 @@ def _to_device_csr(S: sp.csr_matrix, dtype) -> CsrMatrix:
     return from_scipy(S.tocsr()).device_put(dtype=dtype)
 
 
+def _to_device_level_op(S: sp.csr_matrix, dtype, layout: str, max_blowup: float):
+    """Square level operator -> device container, DIA when the diagonal
+    storage blowup allows (``load_matrix_market``'s auto rule).
+
+    MEASURED MOTIVATION (artifacts/r3s2_onchip.json): gather-form CSR
+    segment-sum SpMVs cost the 511^2 Poisson-as-CSR AMG solve 1311 ms on
+    chip where the geometric path does 0.316 ms — TPU gathers are the
+    whole gap.  Aggregation preserves bandedness (aggregates group
+    neighbouring rows), so mesh-like matrices relayout every level onto
+    its diagonal set and ride the DIA fast paths; genuinely irregular
+    matrices (random permutations) keep CSR honestly.  Transfers stay CSR
+    (2 applications per level per cycle vs the smoothers' 2*(pre+post)+1
+    operator applications — not the dominant term).
+    """
+    if layout == "auto":
+        from conjugategradient_tpu.core.formats import csr_to_dia
+
+        csr_host = S.tocsr()
+        diags = np.unique(csr_host.tocoo().col.astype(np.int64) - csr_host.tocoo().row)
+        n = csr_host.shape[0]
+        if len(diags) * n <= max_blowup * max(csr_host.nnz, 1):
+            from conjugategradient_tpu.core.io import from_scipy
+
+            dia = csr_to_dia(
+                from_scipy(csr_host), offsets=tuple(int(o) for o in diags)
+            )
+            return dia.device_put(dtype=dtype)
+    return _to_device_csr(S, dtype)
+
+
 def build_amg_hierarchy(
     A,
     theta: float = 0.0,
@@ -208,6 +238,8 @@ def build_amg_hierarchy(
     min_coarsen: float = 0.9,
     smooth_prolongator: bool = True,
     dtype=None,
+    layout: str = "auto",
+    max_blowup: float = 3.0,
 ) -> AmgHierarchy:
     """Set up a smoothed-aggregation hierarchy from ANY sparse container.
 
@@ -257,7 +289,7 @@ def build_amg_hierarchy(
             P = P0.tocsr()
         levels.append(
             AmgLevel(
-                A=_to_device_csr(A_h, dt),
+                A=_to_device_level_op(A_h, dt, layout, max_blowup),
                 P=_to_device_csr(P, dt),
                 R=_to_device_csr(P.T, dt),
                 inv_diag=jnp.asarray((1.0 / diag).astype(dt)),
@@ -306,7 +338,7 @@ def amg_vcycle(
     if level == len(h.levels):
         return jnp.dot(h.coarse_inv, b, preferred_element_type=b.dtype)
     lvl = h.levels[level]
-    op = partial(spmv_csr, lvl.A)
+    op = partial(spmv, lvl.A)
     x = _smooth(h, lvl, op, b, jnp.zeros_like(b), h.pre)
     reps = gamma if level > 0 else 1
     for _ in range(reps):

@@ -186,3 +186,31 @@ def test_amg_fgmres_gets_jacobi_smoother():
     assert bool(res.converged)
     x_ref = sp.linalg.spsolve(to_scipy(sys_.A).tocsc(), np.asarray(sys_.b))
     np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_amg_level_operator_relayout():
+    """layout='auto' puts banded-structure levels in DIA (the measured 6.6x
+    on-chip cycle win, artifacts/r3s2_onchip.json) and keeps genuinely
+    irregular (permuted) levels in CSR; layout='csr' forces CSR."""
+    import scipy.sparse as sp
+
+    from conjugategradient_tpu.core.formats import CsrMatrix, DiaMatrix
+    from conjugategradient_tpu.core.generators import poisson_system
+    from conjugategradient_tpu.core.io import from_scipy, to_scipy
+
+    sys_ = poisson_system((31, 31))
+    A_csr = from_scipy(to_scipy(sys_.A).tocsr())
+    h = build_amg_hierarchy(A_csr, dtype=np.float64)
+    assert isinstance(h.levels[0].A, DiaMatrix)
+    h_csr = build_amg_hierarchy(A_csr, dtype=np.float64, layout="csr")
+    assert all(isinstance(l.A, CsrMatrix) for l in h_csr.levels)
+    # identical trajectories either way (same arithmetic, different layout)
+    r1, _ = amg_cg_solve(A_csr, sys_.b, hierarchy=h)
+    r2, _ = amg_cg_solve(A_csr, sys_.b, hierarchy=h_csr)
+    assert int(r1.iterations) == int(r2.iterations)
+
+    S = to_scipy(sys_.A).tocsr()
+    perm = np.random.default_rng(3).permutation(S.shape[0])
+    Pm = sp.csr_matrix((np.ones(len(perm)), (np.arange(len(perm)), perm)), shape=S.shape)
+    hp = build_amg_hierarchy((Pm @ S @ Pm.T).tocsr(), dtype=np.float64)
+    assert isinstance(hp.levels[0].A, CsrMatrix)  # no bandable structure
