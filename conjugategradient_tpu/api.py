@@ -44,6 +44,9 @@ here one function routes to the right solver:
   block inverses, one MXU matmul per application)
 - ``method="minres"`` / ``"jacobi_minres"`` — symmetric INDEFINITE systems
   (Helmholtz); constant memory, monotone ``||r||`` (``solvers.minres``)
+- ``method="lsmr"`` — least squares ``min ||A x - b||`` for RECTANGULAR
+  (over/underdetermined) A, with optional Tikhonov ``damp=`` (ridge);
+  Golub-Kahan + double QR, monotone ``||A^T r||`` (``solvers.lsmr``)
 - ``method="cgnr"`` — CG on the normal equations (any nonsingular A;
   constant memory, kappa squared — the nonsymmetric fallback)
 - ``method="chebyshev"`` — dot-free Chebyshev iteration for SPD systems
@@ -341,6 +344,10 @@ def solve(
         from conjugategradient_tpu.solvers.cgnr import cgnr_solve
 
         return cgnr_solve(A, b_dev, x0_dev, policy, **kw)
+    if method == "lsmr":
+        from conjugategradient_tpu.solvers.lsmr import lsmr_solve
+
+        return lsmr_solve(A, b_dev, x0_dev, policy, **kw)
 
     A_dev = A.device_put(dtype=dtype) if hasattr(A, "device_put") else A
     M = None
