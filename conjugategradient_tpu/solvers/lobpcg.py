@@ -85,7 +85,7 @@ def _colsq(S):
     return jnp.einsum("nj,nj->j", S, S, precision=_PH)
 
 
-def _spectral_orth(S, delta):
+def _spectral_orth(S, delta, BS=None):
     """Whitened basis Q with near-null directions hard-zeroed.
 
     Columns are normalised FIRST (a vanished residual/P column must read as
@@ -94,17 +94,27 @@ def _spectral_orth(S, delta):
     pure cancellation noise into a garbage basis vector; observed as
     late-stage corruption of converged eigenpairs).  Then ``G = S^T S =
     E diag(w) E^T``; directions with ``w <= delta * max(w)`` are dropped
-    (zero columns).  Returns ``(Q, good)`` with Q exactly orthonormal on
-    the kept directions.
+    (zero columns).  Returns ``(Q, BQ, good)`` with Q exactly orthonormal
+    on the kept directions.
+
+    ``BS`` switches to the B-INNER-PRODUCT form for the generalized
+    problem: ``G = S^T (B S)``, Q is B-orthonormal, and ``BQ = (B S)``
+    whitened by the same combination — so the caller gets B Q without a
+    second B pass.
     """
-    norms = jnp.sqrt(_colsq(S))
-    S = S / jnp.where(norms > 0, norms, 1.0)[None, :]
-    G = _dotc(S.T, S)
+    BS_ = S if BS is None else BS
+    norms = jnp.sqrt(jnp.einsum("nj,nj->j", S, BS_, precision=_PH))
+    scale = jnp.where(norms > 0, norms, 1.0)[None, :]
+    S = S / scale
+    BS_ = BS_ / scale
+    G = _dotc(S.T, BS_)
+    G = 0.5 * (G + G.T)
     w, E = jnp.linalg.eigh(G)
     good = w > delta * jnp.max(w)
     inv_sqrt = jnp.where(good, 1.0 / jnp.sqrt(jnp.where(good, w, 1.0)), 0.0)
     Q = _dotc(S, E * inv_sqrt[None, :])
-    return Q, good
+    BQ = Q if BS is None else _dotc(BS_, E * inv_sqrt[None, :])
+    return Q, BQ, good
 
 
 def lobpcg(
@@ -117,6 +127,7 @@ def lobpcg(
     seed: int = 0,
     dtype=jnp.float32,
     largest: bool = False,
+    B=None,
 ) -> LobpcgResult:
     """k extreme eigenpairs of sparse SPD ``A`` (smallest by default).
 
@@ -127,6 +138,14 @@ def lobpcg(
     ``lambda R: inv_diag[:, None] * R`` for Jacobi.  ``largest=True`` flips
     the Ritz selection to the top of the spectrum.
 
+    ``B`` (SPD, same container/operator forms as A) switches to the
+    GENERALIZED problem ``A x = lambda B x`` (FEM mass matrices, weighted
+    graphs): the basis is kept B-orthonormal (the spectral-orth whitening
+    runs in the B inner product and hands back ``B Q`` for free, so the
+    iteration costs ONE A pass + ONE B pass, both width 3k), Rayleigh-Ritz
+    is the standard projected ``Q^T A Q`` (B-orthonormality makes the
+    projected B the identity), and the residual is ``A X - (B X) diag(lam)``.
+
     Traceable end to end; returns a ``LobpcgResult``.
     """
     if callable(A) and not hasattr(A, "shape"):
@@ -136,6 +155,14 @@ def lobpcg(
     else:
         op = _as_multi_operator(A.device_put(dtype=dtype) if hasattr(A, "device_put") else A)
         n = A.shape[0]
+    if B is None:
+        opB = None
+    elif callable(B) and not hasattr(B, "shape"):
+        opB = B
+    else:
+        opB = _as_multi_operator(
+            B.device_put(dtype=dtype) if hasattr(B, "device_put") else B
+        )
     if X0 is None:
         key = jax.random.PRNGKey(seed)
         X0 = jax.random.normal(key, (n, k), dtype)
@@ -149,15 +176,18 @@ def lobpcg(
     tol = jnp.asarray(tol, dtype)
     sign = -1.0 if largest else 1.0
 
-    X, _ = _spectral_orth(X0, delta)
+    X, BX, _ = _spectral_orth(X0, delta, BS=None if opB is None else opB(X0))
     P0 = jax.random.normal(jax.random.PRNGKey(seed + 1), (n, k), dtype)
 
     def body(state):
-        X, AX, P, lam, res, it = state
-        R = AX - X * lam[None, :]
+        X, AX, BX, P, lam, res, it = state
+        R = AX - BX * lam[None, :]
         W = R if M is None else M(R)
-        Q, good = _spectral_orth(jnp.concatenate([X, W, P], axis=1), delta)
-        AQ = op(Q)  # the ONE matrix pass of the iteration (width 3k)
+        S = jnp.concatenate([X, W, P], axis=1)
+        Q, BQ, good = _spectral_orth(
+            S, delta, BS=None if opB is None else opB(S)
+        )
+        AQ = op(Q)  # the ONE A pass of the iteration (width 3k)
         H = _dotc(Q.T, AQ)
         H = 0.5 * (H + H.T)
         # park dropped directions above every true Ritz value
@@ -169,24 +199,26 @@ def lobpcg(
         C1 = C[:, :k]  # ascending; sign flip selects the wanted end
         X_new = _dotc(Q, C1)
         AXn = _dotc(AQ, C1)  # A(Q C1) without a second matrix pass
+        BXn = X_new if opB is None else _dotc(BQ, C1)  # likewise for B
         # P = the component of the update outside span(X) (projector form —
-        # correct even though the whitened basis mixes the X/W/P blocks)
-        P_new = X_new - _dotc(X, _dotc(X.T, X_new))
+        # correct even though the whitened basis mixes the X/W/P blocks;
+        # B-inner projector when generalized: X is B-orthonormal)
+        P_new = X_new - _dotc(X, _dotc(BX.T, X_new))
         lam_new = jnp.einsum("nk,nk->k", X_new, AXn, precision=_PH)
-        Rn = AXn - X_new * lam_new[None, :]
+        Rn = AXn - BXn * lam_new[None, :]
         res = jnp.sqrt(_colsq(Rn)) / (jnp.abs(lam_new) + 1.0)
-        return X_new, AXn, P_new, lam_new, res, it + 1
+        return X_new, AXn, BXn, P_new, lam_new, res, it + 1
 
     def cond(state):
-        _X, _AX, _P, _lam, res, it = state
+        _X, _AX, _BX, _P, _lam, res, it = state
         return jnp.logical_and(jnp.max(res) >= tol, it < jnp.int32(max_iterations))
 
     AX0 = op(X)
     lam0 = jnp.einsum("nk,nk->k", X, AX0, precision=_PH)
-    R0 = AX0 - X * lam0[None, :]
+    R0 = AX0 - BX * lam0[None, :]
     res0 = jnp.sqrt(_colsq(R0)) / (jnp.abs(lam0) + 1.0)
-    X, _AX, P, lam, res, it = jax.lax.while_loop(
-        cond, body, (X, AX0, P0, lam0, res0, jnp.int32(0))
+    X, _AX, _BX, P, lam, res, it = jax.lax.while_loop(
+        cond, body, (X, AX0, BX, P0, lam0, res0, jnp.int32(0))
     )
     order = jnp.argsort(lam)
     return LobpcgResult(
