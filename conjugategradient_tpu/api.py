@@ -100,7 +100,12 @@ def solve(
         tol=tol, norm=norm, min_iteration=min_iteration, max_iteration=max_iteration
     )
     if method == "auto":
-        method = _auto_method(A, grid)
+        shape = getattr(A, "shape", None)
+        if shape is not None and shape[0] != shape[1]:
+            # rectangular: the only well-posed ask is least squares
+            method = "lsmr"
+        else:
+            method = _auto_method(A, grid)
     # mesh-aware aliasing: cg/jacobi_cg/mgcg with mesh= route to their
     # distributed carriers (auto resolves to these names, and the
     # single-device solvers take no mesh kw)

@@ -42,6 +42,8 @@ as executable documentation):
  19. distributed ALGEBRAIC multigrid (amg_cg + mesh= on a matrix with no
      grid), multi-RHS block BiCGStab, and jax.grad through a NONSYMMETRIC
      solve (transposed-operator adjoint)
+ 20. rectangular least squares (LSMR, method='auto' routing) and the
+     generalized eigenproblem A x = lam B x (B-inner-product LOBPCG)
 
 Run:  python examples/features_tour.py            (8 virtual devices, CPU)
 """
@@ -543,6 +545,51 @@ def main() -> int:
         f"  [{'OK ' if good else 'BAD'}] grad through a NONSYM solve "
         f"(adjoint = one transposed-operator BiCGStab): d/db[3] ad "
         f"{float(g_b[3]):+.6f} vs fd {fd:+.6f} (rel {gerr:.1e})"
+    )
+
+    # 20. least squares + generalized eigenproblem ------------------------
+    print("20. rectangular least squares (LSMR); generalized LOBPCG:")
+    import scipy.linalg as _sla
+    import scipy.sparse as _sp
+    import scipy.sparse.linalg as _spla
+
+    from conjugategradient_tpu.core.io import from_scipy as _fs
+
+    _S = _sp.random(400, 150, density=0.05, random_state=0, format="csr")
+    _S = (_S + _sp.vstack([_sp.eye(150), _sp.csr_matrix((250, 150))])).tocsr()
+    _lb = np.random.default_rng(2).standard_normal(400)
+    lres = solve(_fs(_S), _lb, method="auto", tol=1e-10, norm="rel_l2")
+    _x_ref = _spla.lsmr(_S, _lb, atol=1e-14, btol=1e-14)[0]
+    lerr = np.linalg.norm(np.asarray(lres.x) - _x_ref) / np.linalg.norm(_x_ref)
+    _r = _lb - _S @ np.asarray(lres.x)
+    good = bool(lres.converged) and lerr < 1e-7
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] 400x150 overdetermined, "
+        f"method='auto' routes rectangular to LSMR: {int(lres.iterations)} it, "
+        f"||A^T r|| {float(np.linalg.norm(_S.T @ _r)):.2e} "
+        f"(||r|| {float(np.linalg.norm(_r)):.2f} — inconsistent system), "
+        f"rel err vs scipy {lerr:.2e}"
+    )
+
+    from conjugategradient_tpu.core.generators import tridiagonal_matrix
+    from conjugategradient_tpu.solvers.lobpcg import lobpcg as _lobpcg
+
+    _Ag = generators.poisson2d_matrix(20, 20)
+    _Bg = tridiagonal_matrix(_Ag.n, diag=4.0 / 6.0, off=1.0 / 6.0)
+    gres = _lobpcg(_Ag, 3, B=_Bg, tol=1e-8, dtype=jnp.float64, max_iterations=500)
+    from conjugategradient_tpu.core.formats import dia_to_dense as _d2d
+
+    _wg = _sla.eigh(
+        np.asarray(_d2d(_Ag).data), np.asarray(_d2d(_Bg).data), eigvals_only=True
+    )[:3]
+    gerr2 = float(np.abs(np.asarray(gres.eigenvalues) - _wg).max() / _wg[0])
+    good = bool(gres.converged) and gerr2 < 1e-8
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] A x = lam B x (mass-matrix B): "
+        f"{int(gres.iterations)} it, eigenvalues match dense eigh(A, B) to "
+        f"{gerr2:.1e}"
     )
 
     print("ALL OK" if ok else "MISMATCH")
