@@ -61,13 +61,28 @@ _SA_W = 4.0 / 3.0
 
 @dataclasses.dataclass(frozen=True)
 class AmgLevel:
-    """One algebraic level: operator, transfers, smoother data."""
+    """One algebraic level: operator, transfers, smoother data.
+
+    ``agg``/``w``/``nc``/``sa_c`` (when set) carry the COMPOSITION form of
+    the transfers: ``P = (I - sa_c D^{-1}A) P0`` with ``(P0 e)[i] =
+    w[i] * e[agg[i]]`` — one entry per row.  Applying P/R through that
+    factorization replaces the explicit CSR transfer's ~stencil-width
+    gathers per row with ONE small-vector gather (P) / one segment-sum
+    (R) plus a reuse of the (relayouted, fast) level operator — the
+    measured TPU win (see ``amg_vcycle``).  Only stored when exact:
+    unsmoothed P, or smoothed P over a (host-verified) symmetric A, since
+    ``R = P^T`` needs ``A^T = A`` to reuse the forward operator.
+    """
 
     A: object  # (n, n) this level's operator: DiaMatrix when bandable, else CsrMatrix
     P: CsrMatrix  # (n, nc) smoothed prolongator
     R: CsrMatrix  # (nc, n) restriction = P^T (SPD-preserving Galerkin)
     inv_diag: jnp.ndarray  # (n,) 1/diag(A)
     cheb_bounds: Tuple[float, float]  # smoothing interval on spec(D^{-1}A)
+    agg: Optional[jnp.ndarray] = None  # (n,) int32 aggregate id per row
+    w: Optional[jnp.ndarray] = None  # (n,) tentative-prolongator weights
+    nc: int = 0  # next level's size (static; segment count for R)
+    sa_c: float = 0.0  # smoothing coefficient _SA_W / lam_max (0 = plain P0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,8 +104,8 @@ class AmgHierarchy:
 
 jax.tree_util.register_dataclass(
     AmgLevel,
-    data_fields=["A", "P", "R", "inv_diag"],
-    meta_fields=["cheb_bounds"],
+    data_fields=["A", "P", "R", "inv_diag", "agg", "w"],
+    meta_fields=["cheb_bounds", "nc", "sa_c"],
 )
 jax.tree_util.register_dataclass(
     AmgHierarchy,
@@ -287,6 +302,14 @@ def build_amg_hierarchy(
             P = (P0 - (_SA_W / lam_max) * (Dinv @ (A_h @ P0))).tocsr()
         else:
             P = P0.tocsr()
+        # composition-form transfers (exactness gate: see AmgLevel)
+        d = (A_h - A_h.T).tocoo()
+        sym = (
+            not smooth_prolongator
+            or np.abs(d.data).max(initial=0.0)
+            <= 1e-12 * np.abs(A_h.data).max(initial=1.0)
+        )
+        w_tent = np.asarray(P0[np.arange(A_h.shape[0]), agg]).ravel()
         levels.append(
             AmgLevel(
                 A=_to_device_level_op(A_h, dt, layout, max_blowup),
@@ -294,6 +317,10 @@ def build_amg_hierarchy(
                 R=_to_device_csr(P.T, dt),
                 inv_diag=jnp.asarray((1.0 / diag).astype(dt)),
                 cheb_bounds=(0.25 * lam_max, lam_max),
+                agg=jnp.asarray(agg, jnp.int32) if sym else None,
+                w=jnp.asarray(w_tent.astype(dt)) if sym else None,
+                nc=int(n_agg),
+                sa_c=float(_SA_W / lam_max) if smooth_prolongator else 0.0,
             )
         )
         # Galerkin coarse operator and the candidate's coarse image
@@ -339,12 +366,30 @@ def amg_vcycle(
         return jnp.dot(h.coarse_inv, b, preferred_element_type=b.dtype)
     lvl = h.levels[level]
     op = partial(spmv, lvl.A)
+    if lvl.agg is not None:
+        # composition form: ONE entry per row.  R v = P0^T (v - c A D^{-1} v)
+        # and P e = t - c D^{-1} A t with t = w * e[agg] — reuses the
+        # (relayouted) level operator instead of gather-heavy CSR transfers
+        def restrict(v):
+            if lvl.sa_c:
+                v = v - lvl.sa_c * op(lvl.inv_diag * v)
+            return jax.ops.segment_sum(lvl.w * v, lvl.agg, num_segments=lvl.nc)
+
+        def prolong(e):
+            t = lvl.w * e[lvl.agg]
+            if lvl.sa_c:
+                t = t - lvl.sa_c * (lvl.inv_diag * op(t))
+            return t
+
+    else:
+        restrict = partial(spmv_csr, lvl.R)
+        prolong = partial(spmv_csr, lvl.P)
     x = _smooth(h, lvl, op, b, jnp.zeros_like(b), h.pre)
     reps = gamma if level > 0 else 1
     for _ in range(reps):
-        rc = spmv_csr(lvl.R, b - op(x))
+        rc = restrict(b - op(x))
         ec = amg_vcycle(h, rc, level + 1, gamma)
-        x = x + spmv_csr(lvl.P, ec)
+        x = x + prolong(ec)
     return _smooth(h, lvl, op, b, x, h.post)
 
 

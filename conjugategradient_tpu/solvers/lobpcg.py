@@ -238,6 +238,7 @@ def gspmd_lobpcg(
     M: Optional[Callable] = None,
     dtype=jnp.float32,
     seed: int = 0,
+    B=None,
     **kw,
 ) -> LobpcgResult:
     """Mesh-distributed LOBPCG via GSPMD sharding annotations.
@@ -272,4 +273,13 @@ def gspmd_lobpcg(
     from conjugategradient_tpu.solvers.multi import _as_multi_operator
 
     op = _as_multi_operator(A_sharded)
-    return lobpcg(op, k, X0=X0, M=M, dtype=dtype, seed=seed, **kw)
+    opB = None
+    if B is not None:
+        if not isinstance(B, DiaMatrix):
+            raise TypeError("gspmd_lobpcg requires a DiaMatrix B")
+        dataB = jax.device_put(
+            jnp.asarray(np.asarray(B.data), dtype=dtype),
+            NamedSharding(mesh, P(None, axis)),
+        )
+        opB = _as_multi_operator(DiaMatrix(dataB, B.offsets, B.shape))
+    return lobpcg(op, k, X0=X0, M=M, dtype=dtype, seed=seed, B=opB, **kw)

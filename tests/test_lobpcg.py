@@ -177,3 +177,25 @@ def test_lobpcg_generalized_with_multigrid_m():
     Bd = np.asarray(formats.dia_to_dense(B).data)
     w = sla.eigh(Ad, Bd, eigvals_only=True)[:3]
     assert np.abs(np.asarray(res.eigenvalues) - w).max() / w[0] < 1e-6
+
+
+def test_gspmd_lobpcg_generalized():
+    """B rides the GSPMD wrapper too: sharded generalized eigensolve
+    matches dense eigh(A, B)."""
+    import scipy.linalg as sla
+
+    from conjugategradient_tpu.core.generators import tridiagonal_matrix
+    from conjugategradient_tpu.parallel import make_mesh
+    from conjugategradient_tpu.solvers.lobpcg import gspmd_lobpcg
+
+    A = generators.poisson2d_matrix(16, 16)
+    B = tridiagonal_matrix(A.n, diag=4.0 / 6.0, off=1.0 / 6.0)
+    res = gspmd_lobpcg(
+        A, 3, make_mesh(8), B=B, tol=1e-8, dtype=jnp.float64,
+        max_iterations=600,
+    )
+    assert bool(res.converged)
+    Ad = np.asarray(formats.dia_to_dense(A).data)
+    Bd = np.asarray(formats.dia_to_dense(B).data)
+    w = sla.eigh(Ad, Bd, eigvals_only=True)[:3]
+    assert np.abs(np.asarray(res.eigenvalues) - w).max() / w[0] < 1e-8
