@@ -37,7 +37,10 @@ Sharding constraint: the fine grid's leading axis must divide the mesh with
 an *even* local extent (smoothed aggregation halves axes, so power-of-two
 extents shard cleanly: 128 -> 64 -> 32 ...).  Odd (2^k - 1) full-weighting
 grids do not divide evenly — use ``parallel.gspmd`` there (XLA reshards and
-replicates as needed).
+replicates as needed).  SEMICOARSENED levels ("semiXX", auto-selected on
+anisotropic operators) shard whenever axis 0 is not among the coarsened
+axes (its transfer is then the identity — fully shard-local); levels that
+coarsen axis 0 fall to the replicated tail.
 """
 
 from __future__ import annotations
@@ -174,7 +177,12 @@ def _shardable(lvl, num: int) -> bool:
     local extent (aggregates/cc pairs must not straddle shards), its stencil
     halo fits in one neighbor hop, and its transfers are aggregation or
     hybrid (vertex-centered full weighting needs odd axes, which never
-    divide an even mesh)."""
+    divide an even mesh) — or SEMICOARSENING that leaves axis 0 alone
+    (mask[0] False: the axis-0 transfer is the identity, so restriction/
+    prolongation are fully shard-local and the even-local-extent pairing
+    requirement does not apply).  Axis-0-coarsening semi levels fall to the
+    replicated tail (reorder axes so the strong/coarsened axes trail, or
+    use the GSPMD carrier)."""
     g0 = lvl.grid[0]
     if g0 % num:
         return False
@@ -182,6 +190,10 @@ def _shardable(lvl, num: int) -> bool:
     halo0 = max((abs(s[0]) for s in lvl.A.shifts), default=0)
     if halo0 > n_local:
         return False
+    if lvl.transfer.startswith("semi"):
+        from conjugategradient_tpu.precond.multigrid import _semi_mask
+
+        return num == 1 or not _semi_mask(lvl.transfer)[0]
     if num > 1 and lvl.transfer not in ("agg", "hyb"):
         return False
     return num == 1 or n_local % 2 == 0
@@ -211,13 +223,6 @@ def _prep_shard_hierarchy(
         A_dia, grid, smoother=smoother, pre=pre, post=post, dtype=dt,
         layout="stencil",
     )
-    if any(l.transfer.startswith("semi") for l in h.levels):
-        raise NotImplementedError(
-            "semicoarsened levels are not wired through the explicit "
-            "shard_map V-cycle (its per-kind halo transfers cover agg/hyb); "
-            "use the GSPMD path (parallel.gspmd), whose partitioner derives "
-            "the partial-axis transfers automatically"
-        )
     # the explicit shard_map path needs grid-shaped legs (its per-level data
     # arrays are row-sharded); expand constant-coefficient levels back
     import dataclasses as _dc
@@ -247,7 +252,9 @@ def _prep_shard_hierarchy(
     if n_sharded == 0:
         raise ValueError(
             f"fine grid {grid} axis 0 does not shard over {num} devices "
-            "(need even local extents and agg/hyb transfers); use parallel.gspmd"
+            "(need even local extents and agg/hyb transfers, or "
+            "semicoarsening that leaves axis 0 alone — reorder axes so the "
+            "coarsened/strong axes trail); use parallel.gspmd"
         )
 
     def put(a, spec):
@@ -378,6 +385,16 @@ def make_shard_mgcg(
                 rc = restrict_hybrid_shard(res, m["grid"], axis, num)
                 ec = v_local(level + 1, rc)
                 x = x + prolong_hybrid_shard(ec, m["grid"], axis, num)
+            elif m["kind"].startswith("semi"):
+                # semicoarsening with axis 0 unmasked (the _shardable gate):
+                # the axis-0 transfer is the identity, so the partial
+                # per-axis operators are fully shard-local on local blocks
+                from conjugategradient_tpu.precond.multigrid import _semi_mask
+
+                smask = _semi_mask(m["kind"])
+                rc = transfer.restrict_partial_grid(res, smask)
+                ec = v_local(level + 1, rc)
+                x = x + transfer.prolong_partial_grid(ec, r.shape, smask)
             else:  # num == 1 fallback: plain full weighting, fully local
                 rc = transfer.restrict_grid(res)
                 ec = v_local(level + 1, rc)

@@ -195,6 +195,16 @@ def make_shard_multi_mgcg(
                 rc = restrict_hybrid_shard(res, m["grid"], axis, num)
                 ec = v_local(level + 1, rc)
                 x = x + prolong_hybrid_shard(ec, m["grid"], axis, num)
+            elif m["kind"].startswith("semi"):
+                # axis 0 unmasked (_shardable): partial per-axis transfers
+                # are shard-local; the trailing column axis rides through
+                # (partial_kinds zips the d-entry mask, ignoring axis d)
+                from conjugategradient_tpu.precond.multigrid import _semi_mask
+
+                smask = _semi_mask(m["kind"])
+                rc = transfer.restrict_partial_grid(res, smask)
+                ec = v_local(level + 1, rc)
+                x = x + transfer.prolong_partial_grid(ec, res.shape[:d] , smask)
             else:  # num == 1 fallback: plain full weighting, fully local
                 rc = _restrict_fw_multi(res, d)
                 ec = v_local(level + 1, rc)

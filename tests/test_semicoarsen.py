@@ -105,11 +105,9 @@ def test_facade_and_3d():
 
 def test_gspmd_mgcg_with_semicoarsened_hierarchy():
     """GSPMD carries semicoarsened levels (the partitioner derives the
-    partial-axis transfer collectives); explicit shard_map refuses."""
-    from conjugategradient_tpu.core.generators import LinearSystem
+    partial-axis transfer collectives)."""
     from conjugategradient_tpu.parallel.gspmd import gspmd_mgcg_solve
     from conjugategradient_tpu.parallel.mesh import make_mesh
-    from conjugategradient_tpu.parallel.shard_mgcg import shard_mgcg_solve
 
     grid = (32, 32)
     sys_ = generators.anisotropic_diffusion_system(grid, (0.001, 1.0))
@@ -122,8 +120,41 @@ def test_gspmd_mgcg_with_semicoarsened_hierarchy():
     x_true = oracle.direct_solve(sys_.A, sys_.b)
     assert _rel(res.x, x_true) < 1e-6
 
-    big = generators.anisotropic_diffusion_system((64, 64), (0.001, 1.0))
-    with pytest.raises(NotImplementedError, match="semicoarsened"):
+
+def test_shard_mgcg_semicoarsened_axis0_unmasked():
+    """Explicit shard_map MGCG carries semicoarsened levels whenever the
+    sharded leading axis is NOT among the coarsened axes (its transfer is
+    the identity — shard-local); iteration parity with single-device."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+    from conjugategradient_tpu.parallel.shard_mgcg import shard_mgcg_solve
+    from conjugategradient_tpu.precond import as_preconditioner, build_hierarchy
+    from conjugategradient_tpu.solvers.cg import cg_solve
+
+    grid = (64, 64)
+    # strong axis LAST: semicoarsening coarsens axis 1 only -> axis 0 shards
+    sys_ = generators.anisotropic_diffusion_system(grid, (0.001, 1.0))
+    pol = ConvergencePolicy(tol=1e-9, norm="rel_l2", max_iteration=500)
+    h = build_hierarchy(sys_.A, grid, layout="stencil")
+    assert all(l.transfer == "semi01" for l in h.levels)
+    res = shard_mgcg_solve(sys_, grid, mesh=make_mesh(8), policy=pol, hierarchy=h)
+    assert bool(res.converged)
+    x_true = oracle.direct_solve(sys_.A, sys_.b)
+    assert _rel(res.x, x_true) < 1e-8
+    r1 = cg_solve(sys_.A.device_put(), jnp.asarray(sys_.b), None, pol,
+                  M=as_preconditioner(h))
+    assert int(res.iterations) == int(r1.iterations)
+
+
+def test_shard_mgcg_semicoarsened_axis0_masked_refuses():
+    """Levels that coarsen axis 0 cannot shard on axis 0 — the error tells
+    the user to reorder axes or use GSPMD."""
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+    from conjugategradient_tpu.parallel.shard_mgcg import shard_mgcg_solve
+
+    big = generators.anisotropic_diffusion_system((64, 64), (1.0, 0.001))
+    with pytest.raises(ValueError, match="reorder axes"):
         shard_mgcg_solve(
             big, (64, 64), mesh=make_mesh(8),
             policy=ConvergencePolicy(tol=1e-8, norm="rel_l2"),
