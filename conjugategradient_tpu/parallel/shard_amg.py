@@ -317,7 +317,10 @@ def _make_local_vcycle(
         def cyc(l, b):
             if l == len(metas):
                 b_full = jax.lax.all_gather(b, axis, tiled=True)
-                e_full = amg_vcycle(tail, b_full, gamma=1)
+                # the tail TOP's repetition is the sharded caller's loop;
+                # gamma must still ride into the tail's own sub-levels so
+                # W-cycles match the single-device amg_vcycle exactly
+                e_full = amg_vcycle(tail, b_full, gamma=gamma)
                 i = jax.lax.axis_index(axis)
                 return jax.lax.dynamic_slice_in_dim(
                     e_full, i * b.shape[0], b.shape[0]
@@ -404,7 +407,7 @@ def sharded_amg_solve(
     if metas:
         meta0 = metas[0]
 
-        def fine_op_of(mats_t):
+        def fine_op_of(mats_t, tail_t):
             mA = mats_t[0:3]
             return lambda p: _spmv_local(
                 mA, _gathered(p, meta0.hops_A, meta0.ag_A, axis, num), meta0.n_local
@@ -418,10 +421,12 @@ def sharded_amg_solve(
             )
         from conjugategradient_tpu.ops.spmv import spmv_csr
 
-        def fine_op_of(mats_t):
+        def fine_op_of(mats_t, tail_t):
             def op(p):
                 p_full = jax.lax.all_gather(p, axis, tiled=True)
-                y = spmv_csr(tail.levels[0].A, p_full)
+                # matrix from the PASSED pytree, never a closure constant
+                # (CLAUDE.md: closure constants ship in the compile payload)
+                y = spmv_csr(tail_t.levels[0].A, p_full)
                 i = jax.lax.axis_index(axis)
                 return jax.lax.dynamic_slice_in_dim(y, i * p.shape[0], p.shape[0])
 
@@ -431,7 +436,7 @@ def sharded_amg_solve(
 
     def local_solve(mats_and_tail, b_l, x0_l):
         mats_t, tail_t = mats_and_tail
-        op = fine_op_of(mats_t)
+        op = fine_op_of(mats_t, tail_t)
         M = lambda r: vcycle(mats_t, tail_t, r)
         if method == "cg":
             return sharded_cg_loop(op, M, b_l, x0_l, policy, axis, n)

@@ -228,7 +228,8 @@ def _to_device_level_op(S: sp.csr_matrix, dtype, layout: str, max_blowup: float)
         from conjugategradient_tpu.core.formats import csr_to_dia
 
         csr_host = S.tocsr()
-        diags = np.unique(csr_host.tocoo().col.astype(np.int64) - csr_host.tocoo().row)
+        coo = csr_host.tocoo()
+        diags = np.unique(coo.col.astype(np.int64) - coo.row)
         n = csr_host.shape[0]
         if len(diags) * n <= max_blowup * max(csr_host.nnz, 1):
             from conjugategradient_tpu.core.io import from_scipy
@@ -307,7 +308,7 @@ def build_amg_hierarchy(
         sym = (
             not smooth_prolongator
             or np.abs(d.data).max(initial=0.0)
-            <= 1e-12 * np.abs(A_h.data).max(initial=1.0)
+            <= 1e-12 * np.abs(A_h.data).max(initial=0.0)
         )
         w_tent = np.asarray(P0[np.arange(A_h.shape[0]), agg]).ravel()
         levels.append(

@@ -20,7 +20,10 @@ BiCGStab/GMRES (fewer matrix passes per digit).
 
 ``damp`` solves the regularized problem ``min ||A x - b||^2 + damp^2
 ||x||^2`` (ridge/Tikhonov) by the standard LSMR damping recurrence — the
-damped rotations are exact, not a perturbation.
+damped rotations are exact, not a perturbation; the monitored (and
+returned) optimality residual is then ``||A^T r - damp^2 x||``, the
+damped problem's own stationarity condition.  With ``x0`` the damping
+regularizes the CORRECTION ``x - x0`` (the standard shifted form).
 
 Convergence: the loop monitors the normal-equation residual —
 ``norm="rel_l2"`` (default sense) stops at ``||A^T r|| / ||A^T b|| < tol``,
@@ -69,8 +72,7 @@ def lsmr_solve(
     At_dev = A_t.device_put(dtype=dtype) if hasattr(A_t, "device_put") else A_t
     op = as_operator(A_dev)
     opT = as_operator(At_dev)
-    m = b.shape[0]
-    n = opT(b).shape[0]
+    m, n = A.shape
     tol = jnp.asarray(policy.tol, dtype)
     min_iter = jnp.int32(policy.min_iteration)
     max_iter = jnp.int32(policy.resolve_max(max(m, n)))
@@ -156,12 +158,16 @@ def lsmr_solve(
     state = jax.lax.while_loop(cond, body, state)
     x = state[0]
     it, zetabar_f = state[12], state[11]
+    # true optimality residual of the (possibly damped, possibly shifted)
+    # problem the loop actually solved, outside the loop (the recurrence
+    # estimate drifts at high iteration counts; report ground truth):
+    # min ||A dx - b_eff||^2 + damp^2 ||dx||^2  has optimality
+    # A^T (b_eff - A dx) - damp^2 dx = 0 — which is what |zetabar| tracks
+    ar_true = _norm(opT(b_eff - op(x)) - (dampj * dampj) * x)
     if x0 is not None:
+        # damp regularizes the CORRECTION dx when warm-started (the
+        # standard shift); the returned x is x0 + dx
         x = x + x0.astype(dtype)
-
-    # true normal-equation residual, outside the loop (the recurrence
-    # estimate drifts at high iteration counts; report ground truth)
-    ar_true = _norm(opT(b - op(x)))
     if policy.norm == "rel_l2":
         res = ar_true / jnp.where(normar0 == 0, 1.0, normar0)
     else:

@@ -36,17 +36,15 @@ class CGState:
 
 def save_state(path: str, state: CGState) -> None:
     tmp = path + ".tmp"
-    np.savez(
-        tmp if tmp.endswith(".npz") else tmp,
+    _atomic_savez(
+        path,
+        compressed=False,
         x=np.asarray(state.x),
         r=np.asarray(state.r),
         p=np.asarray(state.p),
         scalars=np.asarray([state.rz, state.rr, state.rr0], dtype=np.float64),
         iteration=np.asarray(state.iteration, dtype=np.int64),
     )
-    # numpy appends .npz to the tmp name
-    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
-    os.replace(actual_tmp, path)
 
 
 def load_state(path: str) -> CGState:
@@ -72,6 +70,14 @@ def maybe_resume(path: Optional[str]) -> Optional[CGState]:
 # production serving pattern (build once, solve many, across restarts).
 
 
+def _atomic_savez(path: str, compressed: bool, **payload) -> None:
+    """savez to a tmp name (numpy appends .npz) + atomic rename — one copy
+    of the dance for both the CG-state and pytree savers."""
+    tmp = path + ".tmp"
+    (np.savez_compressed if compressed else np.savez)(tmp, **payload)
+    os.replace(tmp + ".npz", path)
+
+
 def save_pytree(path: str, tree) -> None:
     """Persist any registered pytree (``MgHierarchy``, ``AmgHierarchy``,
     ``Deflation``, a matrix container, ...) atomically to ``path``.
@@ -91,10 +97,7 @@ def save_pytree(path: str, tree) -> None:
     payload["__treedef__"] = np.frombuffer(
         pickle.dumps(treedef), dtype=np.uint8
     )
-    tmp = path + ".tmp"
-    np.savez_compressed(tmp if tmp.endswith(".npz") else tmp, **payload)
-    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
-    os.replace(actual_tmp, path)
+    _atomic_savez(path, compressed=True, **payload)
 
 
 def load_pytree(path: str, device: bool = True):

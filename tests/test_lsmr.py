@@ -86,3 +86,16 @@ def test_lsmr_refuses_linf():
             from_scipy(S), jnp.asarray(b),
             policy=ConvergencePolicy(tol=1e-6, norm="linf"),
         )
+
+
+def test_lsmr_damped_residual_is_damped_optimality():
+    """Review regression: with damp>0 the returned residual must be the
+    DAMPED problem's optimality residual ||A^T r - damp^2 x|| (which the
+    loop drives to tol), not the undamped ||A^T r|| (which stays O(1))."""
+    S, b = _overdetermined(seed=5)
+    res = lsmr_solve(from_scipy(S), jnp.asarray(b), policy=POL, damp=0.5)
+    assert bool(res.converged)
+    assert float(res.residual) < POL.tol * 10  # consistent with converged
+    x = np.asarray(res.x)
+    opt = S.T @ (b - S @ x) - 0.25 * x
+    assert np.linalg.norm(opt) < 1e-8 * np.linalg.norm(S.T @ b)

@@ -145,3 +145,19 @@ def test_sharded_amg_hierarchy_reuse_and_tiny_refusal():
     tiny = generators.poisson_system((8, 8))  # n=64 <= max_coarse
     with pytest.raises(ValueError, match="too small"):
         sharded_amg_solve(_as_csr(tiny.A), tiny.b, policy=POL, mesh=make_mesh())
+
+
+def test_sharded_amg_wcycle_matches_single_device():
+    """Review regression: gamma=2 must ride into the replicated tail's
+    sub-levels too — trajectory parity with single-device amg_vcycle at
+    gamma=2 (forced-deep hierarchy so several levels replicate)."""
+    sys_ = generators.poisson_system((31, 31))
+    A = _as_csr(sys_.A)
+    h = build_amg_hierarchy(A, dtype=np.float64, max_coarse=20)
+    res_s, _ = sharded_amg_solve(
+        A, sys_.b, policy=POL, mesh=make_mesh(), hierarchy=h, gamma=2,
+        min_local=64,
+    )
+    res_1, _ = amg_cg_solve(A, sys_.b, policy=POL, hierarchy=h, gamma=2)
+    assert int(res_s.iterations) == int(res_1.iterations)
+    _validate(sys_.A, sys_.b, res_s)
