@@ -90,6 +90,10 @@ def _load():
         ]
         lib.csrkit_banded_sin_dia.restype = None
         lib.csrkit_banded_sin_dia.argtypes = [ctypes.c_int64, ctypes.c_int64, c_f64p]
+        lib.csrkit_aggregate.restype = ctypes.c_int64
+        lib.csrkit_aggregate.argtypes = [
+            ctypes.c_int64, c_i32p, c_i32p, c_f64p, c_i64p,
+        ]
         lib.csrkit_cg.restype = ctypes.c_int64
         lib.csrkit_cg.argtypes = [
             ctypes.c_int64, c_i32p, c_i32p, c_f64p, c_f64p, c_f64p,
@@ -252,6 +256,28 @@ def cg(csr, b, x0=None, tol: float = 1e-8, norm: str = "l2",
             )
         return oracle.OracleResult(x, -it - 1, res.value, False, [])
     return oracle.OracleResult(x, it, res.value, True, [])
+
+
+def aggregate(indptr: np.ndarray, indices: np.ndarray, absdata: np.ndarray):
+    """Greedy SA aggregation over a strength-graph CSR (|data| precomputed).
+
+    Returns ``(agg, n_agg)`` — bit-identical to ``precond.amg._aggregate``'s
+    Python loop (differential-tested), at C speed: the loop is the dominant
+    AMG setup cost at scale (measured 10.5 s Python at n=261k).  ``None``
+    when the native kit is unavailable (callers fall back to Python)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(indptr) - 1
+    out = np.empty(n, dtype=np.int64)
+    n_agg = lib.csrkit_aggregate(
+        n,
+        np.ascontiguousarray(indptr, np.int32),
+        np.ascontiguousarray(indices, np.int32),
+        np.ascontiguousarray(absdata, np.float64),
+        out,
+    )
+    return out, int(n_agg)
 
 
 def banded_sin_dia(n: int, band: int):

@@ -263,4 +263,55 @@ int64_t csrkit_cg(int64_t n, const int32_t* indptr, const int32_t* indices,
 
 int32_t csrkit_version() { return 3; }
 
+// Greedy smoothed-aggregation clustering over a strength-graph CSR —
+// the native twin of precond.amg._aggregate (Vaněk's three passes), kept
+// bit-for-bit order-identical to the Python reference so hierarchies built
+// either way are the same objects.  Sequential by construction (pass 1's
+// seeding is order-dependent).  |data| must be precomputed by the caller.
+// Returns the number of aggregates; out_agg must be sized n.
+int64_t csrkit_aggregate(int64_t n, const int32_t* indptr,
+                         const int32_t* indices, const double* absdata,
+                         int64_t* out_agg) {
+  std::fill(out_agg, out_agg + n, int64_t{-1});
+  int64_t n_agg = 0;
+  for (int64_t i = 0; i < n; ++i) {  // pass 1: seed untouched neighborhoods
+    if (out_agg[i] != -1) continue;
+    bool clean = true;
+    for (int32_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int32_t j = indices[k];
+      if (j != i && out_agg[j] != -1) { clean = false; break; }
+    }
+    if (!clean) continue;
+    out_agg[i] = n_agg;
+    for (int32_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int32_t j = indices[k];
+      if (j != i) out_agg[j] = n_agg;
+    }
+    ++n_agg;
+  }
+  for (int64_t i = 0; i < n; ++i) {  // pass 2: attach to strongest neighbor
+    if (out_agg[i] != -1) continue;
+    double best = -1.0;
+    int64_t best_agg = -1;
+    for (int32_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int32_t j = indices[k];
+      if (j == i || out_agg[j] == -1) continue;
+      // strict > keeps numpy argmax's first-max tie-breaking (CSR column
+      // order is ascending, matching the Python slice order)
+      if (absdata[k] > best) { best = absdata[k]; best_agg = out_agg[j]; }
+    }
+    if (best_agg != -1) out_agg[i] = best_agg;
+  }
+  for (int64_t i = 0; i < n; ++i) {  // pass 3: isolated pockets
+    if (out_agg[i] != -1) continue;
+    out_agg[i] = n_agg;
+    for (int32_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int32_t j = indices[k];
+      if (out_agg[j] == -1) out_agg[j] = n_agg;
+    }
+    ++n_agg;
+  }
+  return n_agg;
+}
+
 }  // extern "C"

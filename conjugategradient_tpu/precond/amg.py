@@ -146,6 +146,11 @@ def _aggregate(S: sp.csr_matrix) -> Tuple[np.ndarray, int]:
     """
     n = S.shape[0]
     indptr, indices, data = S.indptr, S.indices, np.abs(S.data)
+    from conjugategradient_tpu import native
+
+    fast = native.aggregate(indptr, indices, data)
+    if fast is not None:
+        return fast
     agg = np.full(n, -1, dtype=np.int64)
     n_agg = 0
     for i in range(n):  # pass 1
