@@ -44,6 +44,11 @@ here one function routes to the right solver:
   block inverses, one MXU matmul per application)
 - ``method="minres"`` / ``"jacobi_minres"`` — symmetric INDEFINITE systems
   (Helmholtz); constant memory, monotone ``||r||`` (``solvers.minres``)
+- ``method="idr"`` — IDR(s) for nonsymmetric systems (``s=`` through kw,
+  default 4): finite-termination Sonneveld-subspace recurrence between
+  BiCGStab (memory) and GMRES (robustness); prefixes compose
+  (``jacobi_``/``bjacobi_``/``mg_``/``amg_``); ``mesh=`` routes to the
+  row-sharded form (``solvers.idr``, ``parallel.shard_nonsym``)
 - ``method="lsmr"`` — least squares ``min ||A x - b||`` for RECTANGULAR
   (over/underdetermined) A, with optional Tikhonov ``damp=`` (ridge);
   Golub-Kahan + double QR, monotone ``||A^T r||`` (``solvers.lsmr``)
@@ -279,7 +284,7 @@ def solve(
             dtype=dtype, **kw,
         )
         return res
-    if base in ("bicgstab", "gmres", "fgmres", "minres", "chebyshev") and "mesh" in kw:
+    if base in ("bicgstab", "gmres", "fgmres", "minres", "chebyshev", "idr") and "mesh" in kw:
         # row-block-sharded nonsymmetric solve; only shard-equivariant
         # preconditioning is available (jacobi_ becomes the M_local form —
         # mg_/bjacobi_ would be silently replaced, so they are refused)
@@ -292,6 +297,7 @@ def solve(
             # the odd fw grids rediscretized hierarchies live on
             if base not in ("bicgstab", "gmres", "fgmres"):
                 raise ValueError(f"{method} with mesh= is not supported")
+
             if grid is None:
                 raise ValueError(f"{method} requires grid=")
             if not isinstance(A, DiaMatrix):
@@ -425,6 +431,10 @@ def solve(
         from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
 
         return bicgstab_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
+    if method == "idr":
+        from conjugategradient_tpu.solvers.idr import idr_solve
+
+        return idr_solve(A_dev, b_dev, x0_dev, policy, M=M, **kw)
     if method == "minres":
         from conjugategradient_tpu.solvers.minres import minres_solve
 

@@ -144,6 +144,33 @@ def sharded_gmres_loop(
     )
 
 
+def sharded_idr_loop(
+    op, M, b, x0, policy: ConvergencePolicy, axis: str, n_global: int,
+    s: int = 4, seed: int = 0,
+) -> CGResult:
+    """``solvers.idr.idr_loop`` with psum-injected reductions: the shadow
+    Gram products become one (s,)-psum each, the shadow matrix is drawn
+    GLOBALLY (same key on every shard) and row-sliced locally, so the
+    sharded trajectory is the single-device one up to reduction order."""
+    from conjugategradient_tpu.solvers.idr import idr_loop
+
+    pdot = lambda u, v: jax.lax.psum(
+        jnp.vdot(u, v, preferred_element_type=u.dtype), axis
+    )
+
+    def matdot(Pt, w):
+        return jax.lax.psum(
+            jnp.matmul(Pt, w, precision=jax.lax.Precision.HIGHEST), axis
+        )
+
+    matdot.shard_axis = axis
+    pmax_abs = lambda r: jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
+    return idr_loop(
+        op, M, b, x0, policy, s=s, seed=seed, dot=pdot, matdot=matdot,
+        pmax_abs=pmax_abs, n_global=n_global, shadow_key_shape=(n_global,),
+    )
+
+
 def sharded_minres_loop(
     op, M, b, x0, policy: ConvergencePolicy, axis: str, n_global: int
 ) -> CGResult:
@@ -307,6 +334,7 @@ def make_sharded_nonsym(
     check_every: int = 16,
     m_aux_spec=None,
     donate: bool = True,
+    s: int = 4,
 ):
     """Build a jitted row-block-sharded solver (DIA storage, halo-ppermute
     SpMV; all-gather fallback for bandwidth > n_local — the same operator
@@ -319,9 +347,10 @@ def make_sharded_nonsym(
     be NONLINEAR (a fixed-budget inner solve) — the other methods require a
     linear shard-local M.
     """
-    if method not in ("bicgstab", "gmres", "fgmres", "minres", "chebyshev"):
+    if method not in ("bicgstab", "gmres", "fgmres", "minres", "chebyshev", "idr"):
         raise ValueError(
-            f"unknown method {method!r}; want bicgstab|gmres|fgmres|minres|chebyshev"
+            f"unknown method {method!r}; want "
+            "bicgstab|gmres|fgmres|minres|chebyshev|idr"
         )
     if method == "chebyshev" and bounds is None:
         raise ValueError("chebyshev requires bounds=(lo, hi)")
@@ -356,6 +385,8 @@ def make_sharded_nonsym(
             M = (lambda r: M_local(r, m_aux)) if M_local is not None else (lambda r: r)
             return sharded_bicgstab_loop(op, M, b, x0, policy, axis, n)
         M = (lambda r: M_local(r, m_aux)) if M_local is not None else None
+        if method == "idr":
+            return sharded_idr_loop(op, M, b, x0, policy, axis, n, s=s)
         if method == "minres":
             return sharded_minres_loop(op, M, b, x0, policy, axis, n)
         return sharded_gmres_loop(
@@ -394,6 +425,7 @@ def sharded_nonsym_solve(
     bounds=None,
     check_every: int = 16,
     dtype=None,
+    s: int = 4,
 ) -> CGResult:
     """One-call convenience: place the system row-block-sharded and solve."""
     import numpy as np
@@ -409,7 +441,7 @@ def sharded_nonsym_solve(
     solve = make_sharded_nonsym(
         A, mesh, policy, method=method, axis=axis, M_local=M_local,
         restart=restart, bounds=bounds, check_every=check_every,
-        m_aux_spec=m_aux_spec, donate=False,
+        m_aux_spec=m_aux_spec, donate=False, s=s,
     )
     dt = dtype or np.asarray(A.data).dtype
     row = NamedSharding(mesh, P(axis))
