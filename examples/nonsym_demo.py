@@ -62,10 +62,12 @@ def main() -> int:
     ladder = [
         ("bicgstab", {}),
         ("gmres", {"restart": args.restart, "max_iteration": 50000}),
+        ("idr", {"s": 4, "max_iteration": 50000}),
         ("jacobi_bicgstab", {}),
         ("bjacobi_bicgstab", {"block_size": args.side}),
         ("mg_bicgstab", {"grid": grid}),
         ("mg_gmres", {"grid": grid, "restart": args.restart}),
+        ("mg_idr", {"grid": grid}),
     ]
     ok = True
     for method, kw in ladder:
