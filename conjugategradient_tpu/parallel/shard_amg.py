@@ -349,32 +349,22 @@ def _make_local_vcycle(
 # ---------------------------------------------------------------------------
 
 
-def sharded_amg_solve(
-    A,
-    b,
-    x0=None,
+def make_sharded_amg(
+    h: AmgHierarchy,
+    n: int,
+    mesh: Mesh,
     policy: ConvergencePolicy = ConvergencePolicy(),
     method: str = "cg",
-    mesh: Optional[Mesh] = None,
     axis: str = "x",
-    hierarchy: Optional[AmgHierarchy] = None,
     gamma: int = 1,
     min_local: int = 32,
     restart: int = 32,
-    dtype=None,
-    **setup_kw,
-) -> Tuple[CGResult, AmgHierarchy]:
-    """Row-block-sharded AMG-preconditioned solve — ``amg_cg`` /
-    ``amg_bicgstab`` / ``amg_gmres`` / ``amg_fgmres`` / ``amg_minres`` over
-    a device mesh.
-
-    ``A``: any ``core.formats`` matrix or scipy sparse (no grid needed).
-    The hierarchy (host SA setup, ``precond.amg.build_amg_hierarchy``) is
-    built here unless passed in; it is returned for reuse across solves.
-    The fine system is identity-padded to shard divisibility internally and
-    the solution sliced back — callers never pad.
-    """
-    from conjugategradient_tpu.core.io import to_scipy
+):
+    """Build the jitted sharded AMG-preconditioned solver for an ``n``-row
+    system: returns ``(solve, mats_and_tail, n_pad)`` with
+    ``solve(mats_and_tail, b_pad, x0_pad) -> CGResult`` on row-sharded
+    padded vectors.  ``solve.lower_args`` is attached for HLO inspection
+    (the ``make_shard_mgcg`` convention)."""
     from conjugategradient_tpu.parallel.shard_nonsym import (
         sharded_bicgstab_loop,
         sharded_gmres_loop,
@@ -383,24 +373,10 @@ def sharded_amg_solve(
 
     if method not in ("cg", "bicgstab", "gmres", "fgmres", "minres"):
         raise ValueError(f"unknown method {method!r}")
-    if mesh is None:
-        from conjugategradient_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(axis=axis)
     num = mesh.shape[axis]
-
-    b_h = np.asarray(b)
-    dt = np.dtype(dtype) if dtype is not None else b_h.dtype
-    if hierarchy is None:
-        if method in ("bicgstab", "gmres", "fgmres"):
-            setup_kw.setdefault("smoother", "jacobi")
-        hierarchy = build_amg_hierarchy(A, dtype=dt, **setup_kw)
-    h = hierarchy
-
     mats, specs, metas, tail, n_pad = build_sharded_amg(
         h, mesh, axis=axis, min_local=min_local
     )
-    n = b_h.shape[0]
 
     # fine operator from level 0's shard arrays (or the tail A if the whole
     # hierarchy replicated — degenerate but legal on tiny systems)
@@ -458,7 +434,51 @@ def sharded_amg_solve(
         out_specs=CGResult(x=row_spec, iterations=P(), residual=P(), converged=P()),
     )
     solve = jax.jit(shard_fn)
+    solve.mesh_axis = axis
+    return solve, (mats, tail), n_pad
 
+
+def sharded_amg_solve(
+    A,
+    b,
+    x0=None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    method: str = "cg",
+    mesh: Optional[Mesh] = None,
+    axis: str = "x",
+    hierarchy: Optional[AmgHierarchy] = None,
+    gamma: int = 1,
+    min_local: int = 32,
+    restart: int = 32,
+    dtype=None,
+    **setup_kw,
+) -> Tuple[CGResult, AmgHierarchy]:
+    """Row-block-sharded AMG-preconditioned solve — ``amg_cg`` /
+    ``amg_bicgstab`` / ``amg_gmres`` / ``amg_fgmres`` / ``amg_minres`` over
+    a device mesh.
+
+    ``A``: any ``core.formats`` matrix or scipy sparse (no grid needed).
+    The hierarchy (host SA setup, ``precond.amg.build_amg_hierarchy``) is
+    built here unless passed in; it is returned for reuse across solves.
+    The fine system is identity-padded to shard divisibility internally and
+    the solution sliced back — callers never pad.
+    """
+    if mesh is None:
+        from conjugategradient_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis=axis)
+    b_h = np.asarray(b)
+    dt = np.dtype(dtype) if dtype is not None else b_h.dtype
+    if hierarchy is None:
+        if method in ("bicgstab", "gmres", "fgmres"):
+            setup_kw.setdefault("smoother", "jacobi")
+        hierarchy = build_amg_hierarchy(A, dtype=dt, **setup_kw)
+    h = hierarchy
+    n = b_h.shape[0]
+    solve, mats_and_tail, n_pad = make_sharded_amg(
+        h, n, mesh, policy, method=method, axis=axis, gamma=gamma,
+        min_local=min_local, restart=restart,
+    )
     row = NamedSharding(mesh, P(axis))
     b_pad = np.zeros(n_pad, dtype=dt)
     b_pad[:n] = b_h.astype(dt)
@@ -467,7 +487,7 @@ def sharded_amg_solve(
         x0_pad[:n] = np.asarray(x0, dtype=dt)
     b_dev = jax.device_put(jnp.asarray(b_pad), row)
     x0_dev = jax.device_put(jnp.asarray(x0_pad), row)
-    res = solve((mats, tail), b_dev, x0_dev)
+    res = solve(mats_and_tail, b_dev, x0_dev)
     if n_pad != n:
         res = dataclasses.replace(res, x=res.x[:n])
     return res, h

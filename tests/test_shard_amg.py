@@ -161,3 +161,61 @@ def test_sharded_amg_wcycle_matches_single_device():
     res_1, _ = amg_cg_solve(A, sys_.b, policy=POL, hierarchy=h, gamma=2)
     assert int(res_s.iterations) == int(res_1.iterations)
     _validate(sys_.A, sys_.b, res_s)
+
+
+def test_sharded_amg_collective_audit():
+    """HLO audit: the sharded AMG program's collective schedule is fixed —
+    ring ppermutes (exact hops) + all-reduce dots + one all-gather at the
+    replicated-tail boundary per cycle.  Recorded to
+    artifacts/collectives_amg.json (house convention)."""
+    import json
+    import os
+    import re
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from conjugategradient_tpu.parallel.shard_amg import make_sharded_amg
+
+    COLLECTIVES = ("all-reduce", "all-gather", "collective-permute", "all-to-all")
+
+    sys_ = generators.poisson_system((32, 32))
+    A = _as_csr(sys_.A)
+    h = build_amg_hierarchy(A, dtype=np.float64)
+    import jax
+
+    mesh = make_mesh(8)
+    solve, mats_and_tail, n_pad = make_sharded_amg(
+        h, sys_.A.n, mesh, POL, method="cg", min_local=16
+    )
+    row = NamedSharding(mesh, P("x"))
+    b_pad = np.zeros(n_pad)
+    b_pad[: sys_.A.n] = np.asarray(sys_.b)
+    b_dev = jax.device_put(jnp.asarray(b_pad), row)
+    x0_dev = jax.device_put(jnp.zeros(n_pad), row)
+    hlo = solve.lower(mats_and_tail, b_dev, x0_dev).compile().as_text()
+    counts = {
+        c: len(re.findall(rf"\b{c}(?:-start)?\(", hlo)) for c in COLLECTIVES
+    }
+    # fixed schedule: dots psum, at least one ring permute pair (the exact
+    # -hop windows), one gather at the sharded/replicated boundary
+    assert counts["all-reduce"] >= 1
+    assert counts["collective-permute"] >= 2
+    assert counts["all-gather"] >= 1
+    assert counts["all-to-all"] == 0
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "artifacts", "collectives_amg.json"
+    )
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "workload": "poisson 32x32 as CSR, amg_cg, 8-device virtual mesh",
+                "note": "per-program totals (while-body shared across iterations); "
+                        "ring permutes = exact-hop windows per level SpMV/transfer, "
+                        "one all-gather per V-cycle at the replicated tail",
+                "shard_map_explicit": counts,
+            },
+            f,
+            indent=1,
+        )
