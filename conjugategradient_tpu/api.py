@@ -492,6 +492,41 @@ def _solve_multi(A, B, X0, method, policy, grid, dtype, **kw):
             A, B, X0, tol=policy.tol, norm=policy.norm, grid=grid, **kw
         )
 
+    if "mesh" in kw:
+        # distributed (n, k) blocks: flat-band sharded block CG/BiCGStab
+        # (one ppermute pair + one (k,)-psum per dot regardless of k) and
+        # the explicit shard_map multi-RHS MGCG
+        mesh = kw.pop("mesh")
+        if method in ("sharded_cg", "cg", "bicgstab"):
+            from conjugategradient_tpu.parallel.shard_multi import (
+                sharded_cg_multi_solve,
+            )
+
+            return sharded_cg_multi_solve(
+                A, B, X0, policy, mesh=mesh, dtype=dtype,
+                method="bicgstab" if method == "bicgstab" else "cg", **kw,
+            )
+        if method == "mgcg":
+            from conjugategradient_tpu.core.generators import LinearSystem
+            from conjugategradient_tpu.parallel.shard_multi import (
+                shard_multi_mgcg_solve,
+            )
+
+            if grid is None:
+                raise ValueError("mgcg requires grid=")
+            if not isinstance(A, DiaMatrix):
+                raise TypeError("mgcg requires a DiaMatrix")
+            system = LinearSystem(A, np.zeros(A.n), np.zeros(A.n))
+            return shard_multi_mgcg_solve(
+                system, np.asarray(B), grid, mesh=mesh, policy=policy,
+                dtype=dtype, **kw,
+            )
+        raise ValueError(
+            f"method {method!r} with mesh= does not support (n, k) "
+            "right-hand sides; use cg/bicgstab/mgcg or solve columns "
+            "separately"
+        )
+
     A_dev = A.device_put(dtype=dtype) if hasattr(A, "device_put") else A
     B_dev = jnp.asarray(np.asarray(B), dtype=dtype)
     X0_dev = None if X0 is None else jnp.asarray(np.asarray(X0), dtype=dtype)

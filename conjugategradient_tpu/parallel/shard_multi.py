@@ -326,6 +326,7 @@ def sharded_cg_multi_solve(
     mesh: Optional[Mesh] = None,
     axis: str = "x",
     dtype=None,
+    method: str = "cg",
 ) -> MultiCGResult:
     """Row-block-sharded block CG for a flat DIA matrix, k right-hand sides.
 
@@ -335,6 +336,8 @@ def sharded_cg_multi_solve(
     count is independent of k — and the recurrence is ``cg_solve_multi``
     itself running inside ``shard_map`` with ONE (k,)-psum per dot
     (``psum_axis``; no third copy of the block recurrence).
+    ``method="bicgstab"`` swaps in ``bicgstab_solve_multi`` — the NONSYM
+    block recurrence over the same vmapped halo SpMV and (k,)-psum dots.
     """
     from jax.sharding import NamedSharding
 
@@ -367,6 +370,12 @@ def sharded_cg_multi_solve(
         else:
             base = lambda p: spmv_dia_local_overlap(data, offsets, p, halo, axis, num)
         op = lambda P: jax.vmap(base, in_axes=1, out_axes=1)(P)
+        if method == "bicgstab":
+            from conjugategradient_tpu.solvers.multi import bicgstab_solve_multi
+
+            return bicgstab_solve_multi(
+                op, B_l, X0_l, policy, psum_axis=axis, n_global=n
+            )
         return cg_solve_multi(op, B_l, X0_l, policy, psum_axis=axis, n_global=n)
 
     row2d = P(axis, None)

@@ -267,3 +267,35 @@ def test_multi_bicgstab_nonconvergence_flags_per_column():
     )
     assert not bool(np.asarray(res.converged).any())
     np.testing.assert_array_equal(np.asarray(res.iterations), [5, 5])
+
+
+def test_multi_mesh_facade_routing():
+    """(n, k) b + mesh=: cg/bicgstab route to the flat-band sharded block
+    solver (one ppermute pair + one (k,)-psum per dot), mgcg to the
+    explicit shard_map multi-RHS MGCG; other combinations refuse loudly."""
+    from conjugategradient_tpu import solve
+    from conjugategradient_tpu.core.generators import (
+        nonsymmetric_banded_system,
+        poisson_system,
+    )
+    from conjugategradient_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    sysn = nonsymmetric_banded_system(512, 8)
+    B = np.random.default_rng(0).standard_normal((512, 2))
+    res = solve(sysn.A, B, method="bicgstab", mesh=mesh, tol=1e-8, norm="rel_l2")
+    assert bool(np.asarray(res.converged).all())
+    X = np.asarray(res.x, np.float64)
+    for j in range(2):
+        xr = oracle.direct_solve(sysn.A, B[:, j])
+        assert np.linalg.norm(X[:, j] - xr) / np.linalg.norm(xr) < 1e-6
+
+    grid = (64, 64)
+    sysg = poisson_system(grid)
+    Bg = np.random.default_rng(1).standard_normal((sysg.n, 2))
+    resg = solve(sysg.A, Bg, method="mgcg", grid=grid, mesh=mesh, tol=1e-8,
+                 norm="rel_l2")
+    assert bool(np.asarray(resg.converged).all())
+
+    with pytest.raises(ValueError, match="does not support"):
+        solve(sysn.A, B, method="jacobi_bicgstab", mesh=mesh, tol=1e-6)
