@@ -111,6 +111,13 @@ def solve(
             method = "lsmr"
         else:
             method = _auto_method(A, grid)
+    if np.asarray(b).ndim == 2:
+        # (n, k) right-hand sides: route to the block solver (one matrix
+        # pass serves k Krylov recurrences; see solvers.multi).  BEFORE the
+        # 1-D mesh aliasing below — _solve_multi has its own mesh routing
+        # and the alias would smuggle M_local/M_aux kwargs the block
+        # carriers do not take (review finding)
+        return _solve_multi(A, b, x0, method, policy, grid, dtype, **kw)
     # mesh-aware aliasing: cg/jacobi_cg/mgcg with mesh= route to their
     # distributed carriers (auto resolves to these names, and the
     # single-device solvers take no mesh kw)
@@ -121,10 +128,6 @@ def solve(
             kw.setdefault("M_local", lambda r, aux: aux * r)
             kw.setdefault("M_aux", 1.0 / _diagonal(A))
             method = "sharded_cg"
-    if np.asarray(b).ndim == 2:
-        # (n, k) right-hand sides: route to the block solver (one matrix
-        # pass serves k Krylov recurrences; see solvers.multi)
-        return _solve_multi(A, b, x0, method, policy, grid, dtype, **kw)
     if method == "oracle":
         return oracle.cg(
             A, b, x0, tol=tol, norm=norm, min_iteration=min_iteration,
@@ -413,7 +416,7 @@ def solve(
             for k in ("theta", "near_null", "max_coarse", "max_levels")
             if k in kw
         }
-        if base in ("bicgstab", "gmres", "fgmres"):
+        if base in ("bicgstab", "gmres", "fgmres", "idr"):
             setup_kw.setdefault("smoother", "jacobi")
         h = build_amg_hierarchy(A, dtype=np.dtype(b_dev.dtype), **setup_kw)
         M = amg_preconditioner(h)
@@ -519,7 +522,7 @@ def _solve_multi(A, B, X0, method, policy, grid, dtype, **kw):
             system = LinearSystem(A, np.zeros(A.n), np.zeros(A.n))
             return shard_multi_mgcg_solve(
                 system, np.asarray(B), grid, mesh=mesh, policy=policy,
-                dtype=dtype, **kw,
+                dtype=dtype, X0=X0, **kw,
             )
         raise ValueError(
             f"method {method!r} with mesh= does not support (n, k) "

@@ -363,8 +363,9 @@ def make_sharded_amg(
     """Build the jitted sharded AMG-preconditioned solver for an ``n``-row
     system: returns ``(solve, mats_and_tail, n_pad)`` with
     ``solve(mats_and_tail, b_pad, x0_pad) -> CGResult`` on row-sharded
-    padded vectors.  ``solve.lower_args`` is attached for HLO inspection
-    (the ``make_shard_mgcg`` convention)."""
+    padded vectors (a plain jitted function — ``solve.lower(mats_and_tail,
+    b_pad, x0_pad)`` for HLO inspection; ``solve.mesh_axis`` records the
+    mesh axis)."""
     from conjugategradient_tpu.parallel.shard_nonsym import (
         sharded_bicgstab_loop,
         sharded_gmres_loop,

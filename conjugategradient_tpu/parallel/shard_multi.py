@@ -307,14 +307,23 @@ def shard_multi_mgcg_solve(
     grid,
     mesh: Optional[Mesh] = None,
     policy: ConvergencePolicy = ConvergencePolicy(),
+    X0=None,
     **kw,
 ) -> MultiCGResult:
     """One-call convenience: build, place, solve A X = B for all columns."""
+    import jax
+    from jax.sharding import NamedSharding
+
     if mesh is None:
         from conjugategradient_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
     solve, (B_dev, X0_dev) = make_shard_multi_mgcg(system, B, grid, mesh, policy, **kw)
+    if X0 is not None:
+        X0_dev = jax.device_put(
+            jnp.asarray(np.asarray(X0, dtype=B_dev.dtype)).reshape(B_dev.shape),
+            NamedSharding(mesh, P("x")),
+        )
     return solve(B_dev, X0_dev)
 
 

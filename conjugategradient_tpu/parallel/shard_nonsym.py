@@ -146,7 +146,7 @@ def sharded_gmres_loop(
 
 def sharded_idr_loop(
     op, M, b, x0, policy: ConvergencePolicy, axis: str, n_global: int,
-    s: int = 4, seed: int = 0,
+    s: int = 4, seed: int = 0, angle: float = 0.7,
 ) -> CGResult:
     """``solvers.idr.idr_loop`` with psum-injected reductions: the shadow
     Gram products become one (s,)-psum each, the shadow matrix is drawn
@@ -166,8 +166,9 @@ def sharded_idr_loop(
     matdot.shard_axis = axis
     pmax_abs = lambda r: jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
     return idr_loop(
-        op, M, b, x0, policy, s=s, seed=seed, dot=pdot, matdot=matdot,
-        pmax_abs=pmax_abs, n_global=n_global, shadow_key_shape=(n_global,),
+        op, M, b, x0, policy, s=s, seed=seed, angle=angle, dot=pdot,
+        matdot=matdot, pmax_abs=pmax_abs, n_global=n_global,
+        shadow_key_shape=(n_global,),
     )
 
 
@@ -335,6 +336,8 @@ def make_sharded_nonsym(
     m_aux_spec=None,
     donate: bool = True,
     s: int = 4,
+    seed: int = 0,
+    angle: float = 0.7,
 ):
     """Build a jitted row-block-sharded solver (DIA storage, halo-ppermute
     SpMV; all-gather fallback for bandwidth > n_local — the same operator
@@ -386,7 +389,7 @@ def make_sharded_nonsym(
             return sharded_bicgstab_loop(op, M, b, x0, policy, axis, n)
         M = (lambda r: M_local(r, m_aux)) if M_local is not None else None
         if method == "idr":
-            return sharded_idr_loop(op, M, b, x0, policy, axis, n, s=s)
+            return sharded_idr_loop(op, M, b, x0, policy, axis, n, s=s, seed=seed, angle=angle)
         if method == "minres":
             return sharded_minres_loop(op, M, b, x0, policy, axis, n)
         return sharded_gmres_loop(
@@ -426,6 +429,8 @@ def sharded_nonsym_solve(
     check_every: int = 16,
     dtype=None,
     s: int = 4,
+    seed: int = 0,
+    angle: float = 0.7,
 ) -> CGResult:
     """One-call convenience: place the system row-block-sharded and solve."""
     import numpy as np
@@ -441,7 +446,7 @@ def sharded_nonsym_solve(
     solve = make_sharded_nonsym(
         A, mesh, policy, method=method, axis=axis, M_local=M_local,
         restart=restart, bounds=bounds, check_every=check_every,
-        m_aux_spec=m_aux_spec, donate=False, s=s,
+        m_aux_spec=m_aux_spec, donate=False, s=s, seed=seed, angle=angle,
     )
     dt = dtype or np.asarray(A.data).dtype
     row = NamedSharding(mesh, P(axis))

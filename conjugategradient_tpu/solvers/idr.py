@@ -81,22 +81,25 @@ def idr_loop(
     r = b - op(x)
     rr0 = dot(r, r)
 
-    # shadow space: s orthonormalized random vectors, rows of Pt (s, n) —
-    # the (s, n) @ (n,) products are the MXU form.  Sharded callers draw
-    # the same global matrix everywhere and keep their own row block.
+    # shadow space: s column-normalized random vectors, rows of Pt (s, n) —
+    # the (s, n) @ (n,) products are the MXU form.  Column normalization
+    # (not QR): IDR's theory needs only a full-rank random P, random
+    # Gaussian columns are near-orthogonal at scale anyway, and dropping
+    # the QR removes an O(n s^2) replicated factorization from the sharded
+    # setup (review finding).  Sharded callers draw the same global matrix
+    # everywhere and keep their own row block (an O(n_global s) TRANSIENT
+    # per shard at trace time — RNG only, no factorization; exact matvec
+    # parity with single-device in exchange).
     key = jax.random.PRNGKey(seed)
     if shadow_key_shape is None:
         Pm = jax.random.normal(key, (b.size, s), dtype)
-        Q, _ = jnp.linalg.qr(Pm)
-        Pt = Q.T  # (s, n)
+        Pt = (Pm / jnp.linalg.norm(Pm, axis=0, keepdims=True)).T  # (s, n)
     else:
         ng = int(np.prod(shadow_key_shape))
         Pm = jax.random.normal(key, (ng, s), dtype)
-        Q, _ = jnp.linalg.qr(Pm)
+        Pm = Pm / jnp.linalg.norm(Pm, axis=0, keepdims=True)
         i = jax.lax.axis_index(_shard_axis_of(matdot))
-        Pt = jax.lax.dynamic_slice_in_dim(
-            Q.T, i * b.size, b.size, axis=1
-        )
+        Pt = jax.lax.dynamic_slice_in_dim(Pm.T, i * b.size, b.size, axis=1)
 
     if matdot is None:
         pdot = lambda v: jnp.matmul(Pt, v.reshape(-1), precision=_PH)  # (s,)
@@ -131,13 +134,17 @@ def idr_loop(
             c = jax.scipy.linalg.solve_triangular(
                 Ms[k:, k:], f[k:], lower=True
             )
-            v = r - jnp.tensordot(c, G[k:], axes=1)
+            # HIGHEST precision: these combines feed the shadow Gram and
+            # the triangular solves (the repo-wide TPU matmul rule)
+            v = r - jnp.tensordot(c, G[k:], axes=1, precision=_PH)
             v_hat = _apply_M(M, v)
-            u_k = jnp.tensordot(c, U[k:], axes=1) + om * v_hat
+            u_k = jnp.tensordot(c, U[k:], axes=1, precision=_PH) + om * v_hat
             g_k = op(u_k)
             # biorthogonalize g_k against the already-updated p_0..p_{k-1}
+            # (single-row shadow dots — a full pdot here would waste an
+            # (s, n) matmul per inner index, review finding)
             for i in range(k):
-                alpha = _safe_div(pdot(g_k)[i], Ms[i, i])
+                alpha = _safe_div(dot(Pt[i], g_k.reshape(-1)), Ms[i, i])
                 g_k = g_k - alpha * G[i]
                 u_k = u_k - alpha * U[i]
             U = U.at[k].set(u_k)

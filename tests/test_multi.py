@@ -299,3 +299,16 @@ def test_multi_mesh_facade_routing():
 
     with pytest.raises(ValueError, match="does not support"):
         solve(sysn.A, B, method="jacobi_bicgstab", mesh=mesh, tol=1e-6)
+
+
+def test_multi_jacobi_cg_mesh_refuses_loudly():
+    """Review regression: (n, k) + jacobi_cg + mesh= must refuse with the
+    block-carrier ValueError, not crash on smuggled M_local kwargs (the
+    1-D mesh aliasing now runs AFTER the multi dispatch)."""
+    from conjugategradient_tpu import solve
+    from conjugategradient_tpu.parallel import make_mesh
+
+    A = banded_sin_matrix(256, 8)
+    B = _rhs(256, 2)
+    with pytest.raises(ValueError, match="does not support"):
+        solve(A, B, method="jacobi_cg", mesh=make_mesh(8), tol=1e-6)
