@@ -298,7 +298,7 @@ def solve(
             # carrier (V-cycle + Krylov loop partitioned as one program) —
             # the explicit shard_map path's even-extent constraint excludes
             # the odd fw grids rediscretized hierarchies live on
-            if base not in ("bicgstab", "gmres", "fgmres"):
+            if base not in ("bicgstab", "gmres", "fgmres", "idr"):
                 raise ValueError(f"{method} with mesh= is not supported")
 
             if grid is None:

@@ -247,9 +247,12 @@ def make_gspmd_mg_nonsym(
     from conjugategradient_tpu.precond.multigrid import v_cycle
     from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
     from conjugategradient_tpu.solvers.gmres import fgmres_solve, gmres_solve
+    from conjugategradient_tpu.solvers.idr import idr_solve
 
-    if method not in ("bicgstab", "gmres", "fgmres"):
-        raise ValueError(f"unknown method {method!r}; want bicgstab|gmres|fgmres")
+    if method not in ("bicgstab", "gmres", "fgmres", "idr"):
+        raise ValueError(
+            f"unknown method {method!r}; want bicgstab|gmres|fgmres|idr"
+        )
     axes = tuple(axes)
     dt = dtype or np.asarray(A.data).dtype
     h = hierarchy or build_hierarchy(
@@ -272,6 +275,8 @@ def make_gspmd_mg_nonsym(
         M = lambda r: v_cycle(h_, r, roll=True)
         if method == "bicgstab":
             res = bicgstab_solve(op, b_, x0_, policy, M=M)
+        elif method == "idr":
+            res = idr_solve(op, b_, x0_, policy, M=M)
         elif method == "gmres":
             res = gmres_solve(op, b_, x0_, policy, M=M, restart=restart)
         else:

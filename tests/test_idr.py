@@ -95,3 +95,17 @@ def test_idr_s1_short_recurrence_sanity():
     assert bool(res.converged)
     rel = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
     assert rel < 1e-5
+
+
+def test_idr_gspmd_mg_mesh():
+    """mg_idr + mesh=: the V-cycle + IDR(s) loop as one GSPMD program
+    (rediscretized coarse ops riding through)."""
+    sys_, x_true = _convdiff((32, 32))
+    res = solve(
+        sys_.A, sys_.b, method="mg_idr", grid=(32, 32), mesh=make_mesh(8),
+        tol=1e-8, norm="rel_l2",
+        coarse_operator=generators.convection_diffusion_coarse_operator(eps=0.1),
+    )
+    assert bool(res.converged)
+    rel = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
+    assert rel < 1e-8
