@@ -15,7 +15,7 @@ from conjugategradient_tpu.solvers.bicgstab import (  # noqa: F401
     bicgstab_solve_traced,
 )
 from conjugategradient_tpu.solvers.cgnr import cgnr_solve  # noqa: F401
-from conjugategradient_tpu.solvers.idr import idr_solve  # noqa: F401
+from conjugategradient_tpu.solvers.idr import idr_solve, idr_solve_traced  # noqa: F401
 from conjugategradient_tpu.solvers.lsmr import lsmr_solve  # noqa: F401
 from conjugategradient_tpu.solvers.cacg import cacg_solve  # noqa: F401
 from conjugategradient_tpu.solvers.cheby import chebyshev_solve  # noqa: F401

@@ -59,12 +59,19 @@ def idr_loop(
     pmax_abs=None,
     n_global: Optional[int] = None,
     shadow_key_shape: Optional[tuple] = None,
+    trace_cycles: Optional[int] = None,
 ) -> CGResult:
     """The IDR(s) recurrence with injectable reductions — the sharded form
     passes psum-wrapped ``dot``/``matdot``/``pmax_abs`` and a shard-local
     ``op`` (the ``gmres_loop`` convention).  ``shadow_key_shape`` fixes the
     GLOBAL shadow-vector shape so every shard draws the same random P and
     slices its own rows (sharded determinism).
+
+    ``trace_cycles``: run a FIXED-length ``lax.scan`` of that many cycles
+    instead of the while_loop (converged cycles freeze — the
+    ``bicgstab_solve_traced`` convention) and return
+    ``(CGResult, residual_history)`` with one entry per CYCLE (= s+1
+    matvecs); entries past convergence repeat the final residual.
     """
     n = b.size if n_global is None else n_global
     dtype = b.dtype
@@ -178,10 +185,23 @@ def idr_loop(
         return (x, r, U, G, Ms, om_new, it + jnp.int32(s + 1))
 
     state = (x, r, U, G, Ms, om, jnp.int32(0))
-    x, r, U, G, Ms, om, it = jax.lax.while_loop(cond, body, state)
+    if trace_cycles is None:
+        x, r, U, G, Ms, om, it = jax.lax.while_loop(cond, body, state)
+        res = res_of(r)
+        converged = jnp.logical_and(res < tol, it >= min_iter)
+        return CGResult(x=x, iterations=it, residual=res, converged=converged)
+
+    def scan_step(st, _):
+        active = cond(st)
+        new = body(st)
+        st = jax.tree.map(lambda a, b_: jnp.where(active, b_, a), st, new)
+        return st, res_of(st[1])
+
+    state, hist = jax.lax.scan(scan_step, state, None, length=int(trace_cycles))
+    x, r, U, G, Ms, om, it = state
     res = res_of(r)
     converged = jnp.logical_and(res < tol, it >= min_iter)
-    return CGResult(x=x, iterations=it, residual=res, converged=converged)
+    return CGResult(x=x, iterations=it, residual=res, converged=converged), hist
 
 
 def _shard_axis_of(matdot):
@@ -212,4 +232,26 @@ def idr_solve(
     """
     return idr_loop(
         as_operator(A), M, b, x0, policy, s=s, seed=seed, angle=angle
+    )
+
+
+def idr_solve_traced(
+    A,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    s: int = 4,
+    M: Optional[Callable] = None,
+    num_cycles: int = 100,
+    seed: int = 0,
+    angle: float = 0.7,
+):
+    """Fixed-length IDR(s) recording the residual after every CYCLE (= s+1
+    matvecs) — the diagnostics twin of ``bicgstab_solve_traced`` /
+    ``cg_solve_traced``.  Returns ``(CGResult, history)``; entries past
+    convergence repeat the final residual (truncate at
+    ``iterations // (s + 1)``)."""
+    return idr_loop(
+        as_operator(A), M, b, x0, policy, s=s, seed=seed, angle=angle,
+        trace_cycles=num_cycles,
     )

@@ -109,3 +109,22 @@ def test_idr_gspmd_mg_mesh():
     assert bool(res.converged)
     rel = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
     assert rel < 1e-8
+
+
+def test_idr_traced_matches_plain():
+    """The traced (fixed-scan) form lands on the same solution and its
+    history is monotone-ish to the final residual; frozen entries repeat."""
+    from conjugategradient_tpu.solvers.idr import idr_solve_traced
+
+    sys_, x_true = _convdiff((24, 24), eps=0.2)
+    A = sys_.A.device_put()
+    b = jnp.asarray(sys_.b)
+    res_p = idr_solve(A, b, policy=POL, s=4)
+    res_t, hist = idr_solve_traced(A, b, policy=POL, s=4, num_cycles=400)
+    assert bool(res_t.converged)
+    assert int(res_t.iterations) == int(res_p.iterations)
+    np.testing.assert_allclose(np.asarray(res_t.x), np.asarray(res_p.x))
+    h = np.asarray(hist)
+    cycles = int(res_t.iterations) // 5
+    assert h[cycles - 1] < POL.tol  # converged inside the trace
+    np.testing.assert_allclose(h[cycles:], h[-1])  # frozen tail repeats
