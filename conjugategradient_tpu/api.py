@@ -66,9 +66,9 @@ here one function routes to the right solver:
   diagonal scaling folded into the operator (the only preconditioning
   form the s-step shift identity admits); l2/rel_l2 norms, monitored in
   the scaled system when prefixed
-- ``method="auto"`` — probe the matrix (symmetry, definiteness) and pick:
-  CG/MGCG for SPD, MINRES for symmetric indefinite, BiCGStab (mg_ with a
-  grid) for nonsymmetric
+- ``method="auto"`` — probe the matrix (shape, symmetry, definiteness)
+  and pick: LSMR for rectangular, CG/MGCG for SPD, MINRES for symmetric
+  indefinite, BiCGStab (mg_ with a grid) for nonsymmetric
 - ``method="oracle"`` — fp64 numpy CPU oracle
 - ``method="native"`` — C++ OpenMP CPU solver
 
