@@ -506,6 +506,18 @@ def coo_to_csr(coo: CooMatrix, sum_duplicates: bool = True) -> CsrMatrix:
     )
 
 
+def csr_to_coo(csr: CsrMatrix) -> CooMatrix:
+    """CSR -> COO triplets (the inverse of ``coo_to_csr``; ``row_ids``
+    already carries the expanded row index per nonzero, so this is a
+    relabelling, not a computation)."""
+    return CooMatrix(
+        data=np.asarray(csr.data),
+        rows=np.asarray(csr.row_ids, dtype=np.int32),
+        cols=np.asarray(csr.indices, dtype=np.int32),
+        shape=csr.shape,
+    )
+
+
 def csr_from_parts(data, indices, indptr, shape: Shape) -> CsrMatrix:
     indptr = np.asarray(indptr, dtype=np.int32)
     n = shape[0]

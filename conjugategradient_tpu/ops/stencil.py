@@ -23,12 +23,36 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from conjugategradient_tpu.core.formats import ConstStencilMatrix, StencilMatrix
 
 
+def _as_grid(x: jnp.ndarray, grid):
+    """Accept a FLAT (n,) vector (or (n, k) block) where a grid-shaped array
+    is the native layout: reshape in, and hand back the inverse reshape.
+    A reshape is metadata-only under jit (row-major flat order == grid
+    order), so the convenience costs nothing; grid-shaped input passes
+    through untouched.  Keeps the solver stack's shape-agnostic contract
+    (CLAUDE.md) true for stencil operators driven with flat Krylov state.
+    """
+    nd = len(grid)
+    if x.ndim == nd + 1 and x.shape[:nd] == tuple(grid):
+        return x, (lambda y: y)  # (*grid, k) block
+    if x.ndim == nd and x.shape == tuple(grid):
+        return x, (lambda y: y)
+    if x.ndim == 1 and x.size == int(np.prod(grid)):
+        return x.reshape(grid), (lambda y: y.reshape(-1))
+    if x.ndim == 2 and nd > 1 and x.shape[0] == int(np.prod(grid)):
+        k = x.shape[1]
+        return x.reshape(tuple(grid) + (k,)), (lambda y: y.reshape(-1, k))
+    raise ValueError(f"array of shape {x.shape} is not compatible with grid {grid}")
+
+
 def spmv_stencil(A: StencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
-    """y = A x on grid-shaped ``x`` via zero-pad + static slices."""
+    """y = A x on grid-shaped ``x`` via zero-pad + static slices.
+    Flat (n,) input is reshaped in/out for free (``_as_grid``)."""
+    x, back = _as_grid(x, A.grid)
     halo = A.halo
     xp = jnp.pad(x, [(h, h) for h in halo])
     y = None
@@ -38,13 +62,14 @@ def spmv_stencil(A: StencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
         )
         term = A.data[k] * xp[sl]
         y = term if y is None else y + term
-    return y
+    return back(y)
 
 
 def spmv_stencil_roll(A: StencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """Same product with cyclic rolls per axis — the GSPMD-friendly variant
     (rolls partition into neighbor collective-permutes; wraparound lands on
     the legs' structural zeros, as in ``ops.spmv.spmv_dia_roll``)."""
+    x, back = _as_grid(x, A.grid)
     y = None
     for k, shift in enumerate(A.shifts):
         xs = x
@@ -53,7 +78,7 @@ def spmv_stencil_roll(A: StencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
                 xs = jnp.roll(xs, -s, axis=ax)
         term = A.data[k] * xs
         y = term if y is None else y + term
-    return y
+    return back(y)
 
 
 def spmv_const_stencil(A: ConstStencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
@@ -61,6 +86,7 @@ def spmv_const_stencil(A: ConstStencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
     statically shifted windows (boundary behaviour = the zero padding).
     2n bytes per SpMV vs (nlegs + 2) n for the variable-coefficient form —
     the fine-level Laplacian runs ~3x faster on chip."""
+    x, back = _as_grid(x, A.grid)
     halo = A.halo
     xp = jnp.pad(x, [(h, h) for h in halo])
     y = None
@@ -68,7 +94,7 @@ def spmv_const_stencil(A: ConstStencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
         sl = tuple(slice(h + s, h + s + g) for h, s, g in zip(halo, shift, A.grid))
         term = A.coeffs[k] * xp[sl]
         y = term if y is None else y + term
-    return y
+    return back(y)
 
 
 def spmv_const_stencil_roll(A: ConstStencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
@@ -77,6 +103,7 @@ def spmv_const_stencil_roll(A: ConstStencilMatrix, x: jnp.ndarray) -> jnp.ndarra
     holding structural zeros), so edge-crossing legs zero the wrapped slab
     explicitly via a positional mask (an iota compare per sharded axis —
     negligible next to the SpMV itself)."""
+    x, back = _as_grid(x, A.grid)
     y = None
     for k, shift in enumerate(A.shifts):
         xs = x
@@ -89,11 +116,13 @@ def spmv_const_stencil_roll(A: ConstStencilMatrix, x: jnp.ndarray) -> jnp.ndarra
                 xs = jnp.where(ok, xs, 0)
         term = A.coeffs[k] * xs
         y = term if y is None else y + term
-    return y
+    return back(y)
 
 
 def spmm_const_stencil(A: ConstStencilMatrix, B: jnp.ndarray) -> jnp.ndarray:
-    """A @ B for B of shape (*grid, k), constant-coefficient legs."""
+    """A @ B for B of shape (*grid, k), constant-coefficient legs.
+    Flat (n, k) input is reshaped in/out for free (``_as_grid``)."""
+    B, back = _as_grid(B, A.grid)
     halo = A.halo
     pad = [(h, h) for h in halo] + [(0, 0)]
     Bp = jnp.pad(B, pad)
@@ -104,11 +133,13 @@ def spmm_const_stencil(A: ConstStencilMatrix, B: jnp.ndarray) -> jnp.ndarray:
         ) + (slice(None),)
         term = A.coeffs[k] * Bp[sl]
         y = term if y is None else y + term
-    return y
+    return back(y)
 
 
 def spmm_stencil(A: StencilMatrix, B: jnp.ndarray) -> jnp.ndarray:
-    """A @ B for B of shape (*grid, k) — k right-hand sides at once."""
+    """A @ B for B of shape (*grid, k) — k right-hand sides at once.
+    Flat (n, k) input is reshaped in/out for free (``_as_grid``)."""
+    B, back = _as_grid(B, A.grid)
     halo = A.halo
     pad = [(h, h) for h in halo] + [(0, 0)]
     Bp = jnp.pad(B, pad)
@@ -119,4 +150,4 @@ def spmm_stencil(A: StencilMatrix, B: jnp.ndarray) -> jnp.ndarray:
         ) + (slice(None),)
         term = A.data[k][..., None] * Bp[sl]
         y = term if y is None else y + term
-    return y
+    return back(y)
