@@ -30,6 +30,7 @@ from conjugategradient_tpu.solvers.gmres import (  # noqa: F401
     gmres_solve_traced,
     inner_solve_preconditioner,
 )
+from conjugategradient_tpu.solvers.arnoldi import EigsResult, arnoldi_eigs  # noqa: F401
 from conjugategradient_tpu.solvers.lobpcg import LobpcgResult, lobpcg  # noqa: F401
 from conjugategradient_tpu.solvers.multi import (  # noqa: F401
     MultiCGResult,
