@@ -1,15 +1,28 @@
 """Headline benchmark: MGCG time-to-solution on the ~1M-row 2-D Poisson
 ladder workload (BASELINE.json configs[2]), one chip.
 
-Prints ONE JSON line:
+Prints JSON lines; each line is the FULL record so far, so the *last*
+complete line is always the most complete result and the *first* line
+already carries the headline:
   {"metric": ..., "value": <MGCG steady-state solve seconds>, "unit": "s",
-   "vs_baseline": <plain-CG time / MGCG time>}
+   "vs_baseline": <plain-CG time / MGCG time>, ...extras...}
 
 ``vs_baseline`` is the speedup over plain (unpreconditioned) CG on the same
 chip and kernels — plain CG being what the reference actually implements
 (its "Mgcg" name notwithstanding, SURVEY.md §0), this is the direct
 capability-times-performance ratio against the reference design.  ``value``
 tracks absolute kernel/solver performance across rounds.
+
+Robustness discipline (round-3 lesson: `BENCH_r03.json` was rc=124 with
+NOTHING printed — a tunnel outage during the later sections lost the whole
+round's record):
+  1. The headline MGCG number prints IMMEDIATELY after its two scan pairs
+     complete; everything after is additive.
+  2. Every extra section runs under a wall-clock budget
+     (``BENCH_DEADLINE_S``, default 1080 s) and is skipped — with the skip
+     recorded — when the remaining budget is below its floor.
+  3. Section failures are caught and recorded; the record line re-prints
+     after every section either way.
 
 Measurement discipline (learned the hard way on the serving tunnel): repeated
 host-side calls are unreliable — identical executions can be memoized,
@@ -22,15 +35,23 @@ dispatch/readback overhead exactly.
 On TPU: fp32 storage + compensated dots, relative-L2 tolerance 1e-6 (fp32's
 attainable floor; the reference's absolute 1e-8 is an fp64 number — see
 ``solvers/refine.py`` for meeting it via iterative refinement).  On CPU
-fallback: fp64, tol 1e-8, smaller grid to keep runtime sane.
+fallback: fp64, tol 1e-8, smaller grids to keep runtime sane.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+_T0 = time.monotonic()
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1080"))
+
+
+def _remaining() -> float:
+    return _DEADLINE_S - (time.monotonic() - _T0)
 
 
 def _devices_or_die(timeout_s: int = 600):
@@ -70,7 +91,8 @@ def _devices_or_die(timeout_s: int = 600):
                     "vs_baseline": None,
                     "error": f"TPU backend unavailable: {detail}",
                 }
-            )
+            ),
+            flush=True,
         )
         sys.exit(1)
     import jax
@@ -119,7 +141,7 @@ def main() -> None:
     precise = dtype == np.float32
     rng = np.random.default_rng()
 
-    def make_scan(with_mg: bool):
+    def make_scan(with_mg: bool, policy=policy):
         """One jitted program running scales.shape[0] chained full solves."""
 
         def run(h, A, b, scales):
@@ -136,7 +158,7 @@ def main() -> None:
 
         return jax.jit(run)
 
-    def timed(run, h, K_pair, tries: int = 3):
+    def timed(run, h, A, b, K_pair, tries: int = 3, dtype=dtype):
         """Difference two scan lengths (min over ``tries`` to cut round-trip
         noise); scales drawn fresh each call (anti-memoization)."""
         k1, k2 = K_pair
@@ -157,6 +179,10 @@ def main() -> None:
         per_solve = (times[k2] - times[k1]) / (k2 - k1)
         return max(per_solve, 1e-9), out
 
+    # ------------------------------------------------------------------
+    # Section 1 (headline — prints before anything else can fail): MGCG vs
+    # plain CG on the 1023^2 (1,046,529-row) Poisson system.
+    # ------------------------------------------------------------------
     # cheb(3,3) won the on-chip smoother sweep (0.94 ms vs 0.98 for (2,2),
     # 1.12 for (1,1), 1.23 for rbgs(1,1) / fmg-warm-start variants)
     h = build_hierarchy(system.A, grid, smoother="chebyshev", pre=3, post=3, dtype=dtype)
@@ -169,18 +195,79 @@ def main() -> None:
         A = h.levels[0].A
 
     plain_run = make_scan(with_mg=False)
-    t_plain, (p_its, p_ress, p_convs) = timed(plain_run, h, (k_short, k_long))
+    t_plain, (p_its, p_ress, p_convs) = timed(plain_run, h, A, b, (k_short, k_long))
 
     mg_run = make_scan(with_mg=True)
-    t_mg, (m_its, m_ress, m_convs) = timed(mg_run, h, (k_short, k_long))
+    t_mg, (m_its, m_ress, m_convs) = timed(mg_run, h, A, b, (k_short, k_long))
 
     assert bool(np.asarray(m_convs).all()), f"MGCG failed: residuals {np.asarray(m_ress)}"
 
+    record = {
+        "metric": f"mgcg_poisson2d_{n}_time",
+        "value": round(t_mg, 6),
+        "unit": "s",
+        "vs_baseline": round(t_plain / t_mg, 3),
+        "platform": platform,
+        "n": n,
+        "mgcg_iters": int(np.asarray(m_its)[-1]),
+        "plain_cg_iters": int(np.asarray(p_its)[-1]),
+        "plain_cg_s": round(t_plain, 6),
+        "sections_skipped": {},
+    }
+    print(json.dumps(record), flush=True)
+
+    def section(name: str, floor_s: float):
+        """Decorator-ish runner: executes fn under budget, records skips and
+        failures, re-prints the cumulative record either way."""
+
+        def run(fn):
+            rem = _remaining()
+            if rem < floor_s:
+                record["sections_skipped"][name] = f"budget: {rem:.0f}s left < {floor_s:.0f}s floor"
+            else:
+                try:
+                    fn()
+                except Exception as e:  # noqa: BLE001 — a lost section must not lose the record
+                    record["sections_skipped"][name] = f"{type(e).__name__}: {e}"[:300]
+            print(json.dumps(record), flush=True)
+
+        return run
+
     # ------------------------------------------------------------------
-    # Per-chip SpMV metrics (BASELINE.md declared targets: GFLOP/s + nnz/s
-    # for the stencil roofline path AND the handmade Pallas-DIA path), plus
-    # the compiled-vs-interpret Mosaic validation — every benched round
-    # revalidates the Pallas lowering (VERDICT r1 weak #2).
+    # Section 2: the 3-D ladder rung (BASELINE configs[3]) — 255^3 =
+    # 16,581,375 rows, rediscretized const-stencil hierarchy (setup is
+    # generator-time; every level streams zero matrix bytes).
+    # ------------------------------------------------------------------
+    @section("mgcg_poisson3d", floor_s=300.0 if on_tpu else 30.0)
+    def _poisson3d():
+        g3 = (255, 255, 255) if on_tpu else (63, 63, 63)
+        sys3 = generators.poisson_system(g3, dtype=dtype)
+        t0 = time.perf_counter()
+        h3 = build_hierarchy(
+            sys3.A, g3, smoother="chebyshev", pre=3, post=3, dtype=dtype,
+            coarse_operator=generators.poisson_coarse_operator(dtype),
+        )
+        setup_s = time.perf_counter() - t0
+        A3 = h3.levels[0].A
+        b3 = jnp.asarray(sys3.b, dtype=dtype).reshape(g3)
+        pol3 = ConvergencePolicy(tol=tol, norm="rel_l2", max_iteration=8 * sys3.n)
+        run3 = make_scan(with_mg=True, policy=pol3)
+        t3, (i3, r3, c3) = timed(run3, h3, A3, b3, (1, 5) if on_tpu else (1, 3))
+        assert bool(np.asarray(c3).all()), f"3-D MGCG failed: {np.asarray(r3)}"
+        record["mgcg_poisson3d"] = {
+            "n": sys3.n,
+            "grid": list(g3),
+            "solve_s": round(t3, 5),
+            "iters": int(np.asarray(i3)[-1]),
+            "setup_s": round(setup_s, 1),
+            "levels": f"{len(h3.levels)}+1",
+            "tol": tol,
+        }
+
+    # ------------------------------------------------------------------
+    # Section 3: per-chip SpMV metrics (BASELINE.md declared targets:
+    # GFLOP/s + nnz/s for the stencil roofline path AND the handmade
+    # Pallas-DIA path).
     # ------------------------------------------------------------------
     from conjugategradient_tpu.core import oracle
     from conjugategradient_tpu.ops import pallas_spmv
@@ -217,56 +304,70 @@ def main() -> None:
 
     k_spmv = (16, 528) if on_tpu else (2, 6)
 
-    # stencil path: the fine operator of the headline workload — measured on
-    # the VARIABLE-coefficient form (the BASELINE metric; the const-detected
-    # operator moves no matrix bytes and is reported separately)
-    v0 = jnp.asarray(rng.standard_normal(A_var.grid).astype(np.float32))
-    t_st = spmv_timed(lambda Ad, v: as_operator(Ad)(v), A_var.astype(jnp.float32), v0, k_spmv)
-    stencil_metrics = {
-        "us": round(t_st * 1e6, 1),
-        "gflops": round(2.0 * A_var.nlegs * n / t_st / 1e9, 1),
-        "gnnz_per_s": round(A_var.nnz / t_st / 1e9, 2),
-    }
-    if h.levels and A is not A_var:
-        t_cst = spmv_timed(lambda Ad, v: as_operator(Ad)(v), A.astype(jnp.float32), v0, k_spmv)
-        stencil_metrics["const_us"] = round(t_cst * 1e6, 1)
-        stencil_metrics["const_gflops"] = round(2.0 * A_var.nlegs * n / t_cst / 1e9, 1)
+    @section("spmv_stencil", floor_s=120.0 if on_tpu else 10.0)
+    def _spmv_stencil():
+        # stencil path: the fine operator of the headline workload — measured
+        # on the VARIABLE-coefficient form (the BASELINE metric; the
+        # const-detected operator moves no matrix bytes, reported separately)
+        v0 = jnp.asarray(rng.standard_normal(A_var.grid).astype(np.float32))
+        t_st = spmv_timed(
+            lambda Ad, v: as_operator(Ad)(v), A_var.astype(jnp.float32), v0, k_spmv
+        )
+        stencil_metrics = {
+            "us": round(t_st * 1e6, 1),
+            "gflops": round(2.0 * A_var.nlegs * n / t_st / 1e9, 1),
+            "gnnz_per_s": round(A_var.nnz / t_st / 1e9, 2),
+        }
+        if h.levels and A is not A_var:
+            t_cst = spmv_timed(
+                lambda Ad, v: as_operator(Ad)(v), A.astype(jnp.float32), v0, k_spmv
+            )
+            stencil_metrics["const_us"] = round(t_cst * 1e6, 1)
+            stencil_metrics["const_gflops"] = round(2.0 * A_var.nlegs * n / t_cst / 1e9, 1)
+        record["spmv_stencil"] = stencil_metrics
 
-    # handmade Pallas path: the reference's band-160 |sin| family (no grid
-    # structure -> the flat-DIA kernel's home turf), fused pair included
-    n_band = 207_360 if on_tpu else 20_000
-    Ab = generators.banded_sin_matrix(n_band, 160, dtype=np.float32).device_put()
-    vb = jnp.asarray(rng.standard_normal(n_band).astype(np.float32))
-    t_pl = spmv_timed(lambda Ad, v: pallas_spmv.spmv_dia_pallas(Ad, v), Ab, vb, k_spmv)
-    t_plf = spmv_timed(
-        lambda Ad, v: pallas_spmv.spmv_dot_dia_pallas(Ad, v), Ab, vb, k_spmv, fused=True
-    )
-    pallas_metrics = {
-        "us": round(t_pl * 1e6, 1),
-        "gflops": round(2.0 * Ab.ndiags * n_band / t_pl / 1e9, 1),
-        "gnnz_per_s": round(Ab.nnz / t_pl / 1e9, 2),
-        "fused_us": round(t_plf * 1e6, 1),
-    }
+    @section("spmv_pallas", floor_s=120.0 if on_tpu else 10.0)
+    def _spmv_pallas():
+        # handmade Pallas path: the reference's band-160 |sin| family (no grid
+        # structure -> the flat-DIA kernel's home turf), fused pair included
+        n_band = 207_360 if on_tpu else 20_000
+        Ab = generators.banded_sin_matrix(n_band, 160, dtype=np.float32).device_put()
+        vb = jnp.asarray(rng.standard_normal(n_band).astype(np.float32))
+        t_pl = spmv_timed(lambda Ad, v: pallas_spmv.spmv_dia_pallas(Ad, v), Ab, vb, k_spmv)
+        t_plf = spmv_timed(
+            lambda Ad, v: pallas_spmv.spmv_dot_dia_pallas(Ad, v), Ab, vb, k_spmv, fused=True
+        )
+        record["spmv_pallas_dia_band160"] = {
+            "us": round(t_pl * 1e6, 1),
+            "gflops": round(2.0 * Ab.ndiags * n_band / t_pl / 1e9, 1),
+            "gnnz_per_s": round(Ab.nnz / t_pl / 1e9, 2),
+            "fused_us": round(t_plf * 1e6, 1),
+        }
 
-    # compiled-vs-interpret Mosaic validation (small system, fp32 tolerance)
-    Av = generators.banded_sin_matrix(20_000, 160, dtype=np.float32).device_put()
-    xv = jnp.asarray(np.random.default_rng(0).standard_normal(20_000).astype(np.float32))
-    y_c = np.asarray(pallas_spmv.spmv_dia_pallas(Av, xv))
-    y_i = np.asarray(pallas_spmv.spmv_dia_pallas(Av, xv, interpret=True))
-    y_o = oracle.spmv(Av, np.asarray(xv, np.float64))
-    pallas_err = float(np.abs(y_c - y_i).max() / np.abs(y_o).max())
-    assert pallas_err < 1e-5, f"Pallas compiled vs interpret diverge: {pallas_err}"
-    # same for the multi-RHS kernel (k slabs sharing one coefficient stream)
-    Xv = jnp.asarray(np.random.default_rng(1).standard_normal((20_000, 4)).astype(np.float32))
-    Ym_c = np.asarray(pallas_spmv.spmm_dia_pallas(Av, Xv))
-    Ym_i = np.asarray(pallas_spmv.spmm_dia_pallas(Av, Xv, interpret=True))
-    pallas_multi_err = float(np.abs(Ym_c - Ym_i).max() / np.abs(Ym_i).max())
-    assert pallas_multi_err < 1e-5, f"multi-RHS Pallas diverges: {pallas_multi_err}"
+    @section("pallas_validation", floor_s=60.0 if on_tpu else 5.0)
+    def _pallas_validation():
+        # compiled-vs-interpret Mosaic validation (small system, fp32
+        # tolerance) — every benched round revalidates the Pallas lowering
+        Av = generators.banded_sin_matrix(20_000, 160, dtype=np.float32).device_put()
+        xv = jnp.asarray(np.random.default_rng(0).standard_normal(20_000).astype(np.float32))
+        y_c = np.asarray(pallas_spmv.spmv_dia_pallas(Av, xv))
+        y_i = np.asarray(pallas_spmv.spmv_dia_pallas(Av, xv, interpret=True))
+        y_o = oracle.spmv(Av, np.asarray(xv, np.float64))
+        pallas_err = float(np.abs(y_c - y_i).max() / np.abs(y_o).max())
+        assert pallas_err < 1e-5, f"Pallas compiled vs interpret diverge: {pallas_err}"
+        # same for the multi-RHS kernel (k slabs sharing one coefficient stream)
+        Xv = jnp.asarray(np.random.default_rng(1).standard_normal((20_000, 4)).astype(np.float32))
+        Ym_c = np.asarray(pallas_spmv.spmm_dia_pallas(Av, Xv))
+        Ym_i = np.asarray(pallas_spmv.spmm_dia_pallas(Av, Xv, interpret=True))
+        pallas_multi_err = float(np.abs(Ym_c - Ym_i).max() / np.abs(Ym_i).max())
+        assert pallas_multi_err < 1e-5, f"multi-RHS Pallas diverges: {pallas_multi_err}"
+        record["pallas_compiled_vs_interpret_relerr"] = pallas_err
+        record["pallas_multi_compiled_vs_interpret_relerr"] = pallas_multi_err
 
-    # one reference workload time: cublas_flagship through mixed-precision
-    # refinement (the fp64-tolerance path on fp64-less hardware)
-    flagship_s = None
-    if on_tpu:
+    @section("flagship_refined", floor_s=180.0 if on_tpu else 1e9)
+    def _flagship():
+        # one reference workload time: cublas_flagship through mixed-precision
+        # refinement (the fp64-tolerance path on fp64-less hardware)
         from conjugategradient_tpu.models import WORKLOADS
         from conjugategradient_tpu.solvers.refine import refined_solve
 
@@ -282,28 +383,10 @@ def main() -> None:
             )
             best = min(best, time.perf_counter() - t0)
         assert rres.converged or rres.stalled
-        flagship_s = round(best, 3)
+        record["flagship_refined_s"] = round(best, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"mgcg_poisson2d_{n}_time",
-                "value": round(t_mg, 6),
-                "unit": "s",
-                "vs_baseline": round(t_plain / t_mg, 3),
-                "platform": platform,
-                "n": n,
-                "mgcg_iters": int(np.asarray(m_its)[-1]),
-                "plain_cg_iters": int(np.asarray(p_its)[-1]),
-                "plain_cg_s": round(t_plain, 6),
-                "spmv_stencil": stencil_metrics,
-                "spmv_pallas_dia_band160": pallas_metrics,
-                "pallas_compiled_vs_interpret_relerr": pallas_err,
-                "pallas_multi_compiled_vs_interpret_relerr": pallas_multi_err,
-                "flagship_refined_s": flagship_s,
-            }
-        )
-    )
+    record["bench_wall_s"] = round(time.monotonic() - _T0, 1)
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -529,6 +529,44 @@ def convection_diffusion_matrix(
     return DiaMatrix(data, offsets, (n, n))
 
 
+def poisson_coarse_operator(dtype=np.float64):
+    """Rediscretization hook for ``precond.build_hierarchy(coarse_operator=)``
+    on the constant-coefficient Poisson ladder.
+
+    Galerkin fw coarsening of the d-D Dirichlet Laplacian is stable but
+    costs an O(nnz) host scipy triple product per level (measured 153 s at
+    255^3) and widens the 7-point stencil to 27 points; classic geometric
+    rediscretization reproduces the same grid-independent MG convergence
+    with the calibrated fw diffusion scale 1/4 per level (the same
+    stencil-moment calibration as ``convection_diffusion_coarse_operator``):
+
+        A_l = 0.25**l * A_gen(grid_l)
+
+    Every level stays a (2d+1)-point CONST stencil — zero matrix bytes per
+    SpMV on every level (not just the fine one) and analytic Chebyshev
+    bounds — so the whole 255^3 hierarchy builds in generator time
+    (~seconds instead of ~3 minutes).
+    """
+
+    def cb(level: int, coarse_grid: Tuple[int, ...]) -> DiaMatrix:
+        g = tuple(coarse_grid)
+        if len(g) == 1:
+            A = poisson1d_matrix(g[0], dtype=dtype)
+        elif len(g) == 2:
+            A = poisson2d_matrix(g[1], g[0], dtype=dtype)
+        elif len(g) == 3:
+            A = poisson3d_matrix(g[2], g[1], g[0], dtype=dtype)
+        else:
+            raise ValueError("poisson rediscretization is 1/2/3-D only")
+        return DiaMatrix(
+            np.asarray(A.data) * np.asarray(0.25 ** level, dtype=dtype),
+            A.offsets,
+            A.shape,
+        )
+
+    return cb
+
+
 def convection_diffusion_coarse_operator(
     eps: float,
     velocity="recirculating",

@@ -231,6 +231,26 @@ def _agg_weights(z: np.ndarray, grid: GridShape):
     return W, nrm.reshape(-1)
 
 
+def _const_bounds(Ac: ConstStencilMatrix, lower_frac: float = 0.25):
+    """Chebyshev smoothing interval for a CONST-coefficient stencil, with no
+    host power iteration: Gershgorin on D^{-1}A bounds lam_max by
+    ``1 + sum|c_off| / c_center`` — for the Dirichlet Laplacians this is
+    exactly the spectral sup (2.0), tighter than the power-iteration
+    estimate with its 1.1 safety margin (measured 2.14 at 255^3), and it
+    replaces a ~20 s host probe on 16.6M rows with arithmetic."""
+    c0 = None
+    rad = 0.0
+    for c, s in zip(Ac.coeffs, Ac.shifts):
+        if all(d == 0 for d in s):
+            c0 = float(c)
+        else:
+            rad += abs(float(c))
+    if c0 is None or c0 <= 0:
+        raise ValueError("const stencil lacks a positive center coefficient")
+    lam_max = 1.0 + rad / c0
+    return lower_frac * lam_max, lam_max
+
+
 def galerkin_coarse(
     A: DiaMatrix,
     fine: GridShape,
@@ -424,8 +444,19 @@ def build_hierarchy(
         diag = dia_diagonal(A_h)
         if np.any(diag <= 0):
             raise ValueError("non-positive diagonal; not SPD-compatible with Jacobi scaling")
+        # host stencil conversion BEFORE the spectrum probe: const-detected
+        # levels (the whole Poisson ladder) get analytic Gershgorin bounds
+        # instead of a 30-step host power iteration (at 255^3 that probe
+        # alone was ~20 s of the setup time)
+        A_st = A_const = None
+        if layout == "stencil":
+            A_st = dia_to_stencil(A_h, g)
+            A_const = stencil_to_const(A_st) if const_detect else None
         if smoother == "chebyshev" or kind == "agg":
-            bounds = eigen.scaled_spectrum_bounds(A_h)
+            if A_const is not None and kind != "agg":
+                bounds = _const_bounds(A_const)
+            else:
+                bounds = eigen.scaled_spectrum_bounds(A_h)
         else:
             bounds = (0.0, 0.0)
         dt = dtype or np.asarray(A_h.data).dtype
@@ -434,8 +465,6 @@ def build_hierarchy(
         if kind == "agg":
             W_host, _ = _agg_weights(_near_null(A_h, g), g)
         if layout == "stencil":
-            A_st = dia_to_stencil(A_h, g)
-            A_const = stencil_to_const(A_st) if const_detect else None
             if A_const is not None:
                 # constant-coefficient level (the Poisson fine grids): zero
                 # matrix bytes per SpMV, scalar inv_diag (broadcasts through

@@ -35,9 +35,10 @@ the exact relation ``A V_m = S^T-contraction + beta v_m e_last^T`` and the
 free residual estimate ``|beta * y[m-1]|`` per Ritz pair stays valid.
 
 Shift-invert (``sigma=``) composes with the nonsymmetric solver stack: each
-Arnoldi matvec becomes one BiCGStab solve of ``(A - sigma I) w = v`` inside
-the same jitted expansion (a ``lax.while_loop`` nested in the cycle), and the
-returned eigenvalues are mapped back ``lambda = sigma + 1/theta``.
+Arnoldi matvec becomes one inner Krylov solve of ``(A - sigma I) w = v``
+(IDR(4) by default — the measured robust choice on the indefinite shifted
+operator; BiCGStab/GMRES selectable) inside the same jitted expansion, and
+the returned eigenvalues are mapped back ``lambda = sigma + 1/theta``.
 """
 
 from __future__ import annotations
@@ -55,6 +56,104 @@ from conjugategradient_tpu.solvers.cg import _safe_div
 
 _PH = jax.lax.Precision.HIGHEST
 
+# Jitted expansions are cached at module scope, keyed by (apply_op, m, p,
+# precise_dot) — repeated arnoldi_eigs calls reuse the compilation, and the
+# matrix rides through jit AS AN ARGUMENT pytree (never a closure constant:
+# closure constants ship inside the compile request — the repo-wide HTTP-413
+# rule, see ``solvers/cg.py`` run_chunk and CLAUDE.md).
+_EXPAND_CACHE: dict = {}
+_APPLY_CACHE: dict = {}
+
+
+def _apply_direct(A_args, v):
+    """op_args = (A,): one matrix application; always 'converged'."""
+    (A,) = A_args
+    return as_operator(A)(v), jnp.bool_(True)
+
+
+def _get_shift_apply(
+    M,
+    inner_tol: float,
+    inner_max_iteration: int,
+    op_callable=None,
+    inner_method: str = "idr",
+):
+    """w = (A - sigma I)^{-1} v by an inner Krylov solve, carrying the
+    inner solve's converged flag (an inexact inverse silently corrupts the
+    Arnoldi relation — the flag is AND-reduced across the whole run and
+    surfaced as ``EigsResult.inner_converged``).  Matrix containers arrive
+    in op_args = (A, sigma); a raw-callable operator stays in closure
+    (op_args = (sigma,)) and keys the cache by its own identity.
+
+    ``inner_method`` defaults to IDR(4): sigma inside/near the spectrum
+    makes the shifted operator indefinite, where plain BiCGStab breaks down
+    (measured on the 16^2 eps=0.1 convection-diffusion operator at
+    sigma=0.05: BiCGStab caps 10000 its at residual 6e4 on basis vector 1;
+    GMRES(40) stagnates at 1e-5; IDR(4) converges every solve in ~190 its
+    to 1e-10)."""
+    if inner_method not in ("idr", "bicgstab", "gmres"):
+        raise ValueError(f"unknown inner_method {inner_method!r}")
+    key = (
+        "shift", M, float(inner_tol), int(inner_max_iteration), op_callable,
+        inner_method,
+    )
+    fn = _APPLY_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+    from conjugategradient_tpu.solvers.gmres import gmres_solve
+    from conjugategradient_tpu.solvers.idr import idr_solve
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    pol = ConvergencePolicy(
+        tol=float(inner_tol), norm="rel_l2", max_iteration=int(inner_max_iteration)
+    )
+
+    def apply(A_args, v):
+        if op_callable is None:
+            A, sig = A_args
+            op0 = as_operator(A)
+        else:
+            (sig,) = A_args
+            op0 = op_callable
+        shifted = lambda u: op0(u) - sig * u
+        if inner_method == "idr":
+            res = idr_solve(shifted, v, policy=pol, M=M, s=4)
+        elif inner_method == "gmres":
+            res = gmres_solve(shifted, v, policy=pol, M=M, restart=40)
+        else:
+            res = bicgstab_solve(shifted, v, policy=pol, M=M)
+        return res.x, res.converged
+
+    if len(_APPLY_CACHE) > 128:
+        _APPLY_CACHE.clear()
+    _APPLY_CACHE[key] = apply
+    return apply
+
+
+def _get_callable_apply(op: Callable):
+    """User-supplied raw operator: the callable itself is the cache key (its
+    own closed-over state is the user's contract, not matrix data we staged)."""
+    key = ("callable", op)
+    fn = _APPLY_CACHE.get(key)
+    if fn is None:
+        fn = lambda A_args, v: (op(v), jnp.bool_(True))
+        if len(_APPLY_CACHE) > 128:
+            _APPLY_CACHE.clear()
+        _APPLY_CACHE[key] = fn
+    return fn
+
+
+def _get_expand(apply_op, m: int, p: int, precise_dot: bool):
+    key = (apply_op, m, p, precise_dot)
+    fn = _EXPAND_CACHE.get(key)
+    if fn is None:
+        fn = _make_expand(apply_op, m, p, precise_dot)
+        if len(_EXPAND_CACHE) > 256:
+            _EXPAND_CACHE.clear()
+        _EXPAND_CACHE[key] = fn
+    return fn
+
 
 @dataclasses.dataclass(frozen=True)
 class EigsResult:
@@ -62,10 +161,12 @@ class EigsResult:
 
     ``values``/``vectors`` are complex numpy arrays (real inputs with real
     spectra come back with zero imaginary parts); ``vectors`` columns have
-    unit 2-norm.  ``residuals[i]`` is the Arnoldi estimate
-    ``||A x_i - lambda_i x_i||_2`` (exact in exact arithmetic, free from the
-    recurrence).  ``matvecs`` counts operator applications (= inner SOLVES
-    under shift-invert).
+    unit 2-norm.  ``residuals[i]`` is ``||A x_i - lambda_i x_i||_2``: the
+    free Arnoldi recurrence estimate for plain solves (exact in exact
+    arithmetic), and under shift-invert a directly recomputed TRUE residual
+    (k extra plain matvecs — the first-order back-transform of the
+    transformed-space estimate is unreliable near the shift).  ``matvecs``
+    counts operator applications (= inner SOLVES under shift-invert).
     """
 
     values: np.ndarray  # (k,) complex128
@@ -74,6 +175,9 @@ class EigsResult:
     matvecs: int
     restarts: int
     converged: bool
+    inner_converged: bool = True  # shift-invert only: every inner BiCGStab
+    # solve hit inner_tol (False = the Arnoldi relation used an inexact
+    # inverse; eigenvalues may be off even when ``converged`` is True)
 
 
 def _order(which: str, theta: np.ndarray) -> np.ndarray:
@@ -120,19 +224,22 @@ def _schur_select(which: str, theta_keep: np.ndarray):
     raise ValueError(which)
 
 
-def _make_expand(op, m: int, p: int, precise_dot: bool):
+def _make_expand(apply_op, m: int, p: int, precise_dot: bool):
     """Jitted Arnoldi expansion from basis row ``p`` to ``m`` (static p, m:
     exactly two compilations per solve — p=0 for the first cycle, p=restart
-    thickness for all later ones)."""
+    thickness for all later ones).  The operator state (matrix pytree,
+    shift) arrives as the ``A_args`` ARGUMENT; ``apply_op(A_args, v)``
+    returns ``(w, ok)`` where ``ok`` carries inner-solve convergence under
+    shift-invert (AND-reduced over the whole expansion)."""
     rows = jnp.arange(m + 1)
 
-    def expand(V, S):
+    def expand(A_args, V, S):
         dtype = V.dtype
 
         def step(j, carry):
-            V, S, beta = carry
+            V, S, beta, ok = carry
             vj = jax.lax.dynamic_index_in_dim(V, j, keepdims=False)
-            w = op(vj)
+            w, w_ok = apply_op(A_args, vj)
             mask = (rows <= j).astype(dtype)
             h1 = mask * jnp.matmul(V, w, precision=_PH)
             w = w - jnp.matmul(h1, V, precision=_PH)
@@ -140,18 +247,30 @@ def _make_expand(op, m: int, p: int, precise_dot: bool):
             w = w - jnp.matmul(h2, V, precision=_PH)
             h = h1 + h2
             wn = jnp.sqrt(_dot(w, w, precise=precise_dot))
-            V = V.at[j + 1].set(_safe_div(1.0, wn) * w)
+            # lucky-breakdown guard: after CGS2 the leftover w is pure
+            # rounding noise whenever vj's image lies in the basis span —
+            # wn is then ~eps * ||A vj||, NEVER exactly zero, and
+            # normalising it would inject a garbage direction (measured:
+            # the identity matrix produced beta=225 from 1e-17 leftovers).
+            # Zero the direction instead; the host detects the zero
+            # subdiagonal and deflates/truncates.
+            hn = jnp.sqrt(jnp.sum(h * h))
+            live = wn > hn * (100.0 * jnp.finfo(dtype).eps)
+            wn = jnp.where(live, wn, jnp.zeros_like(wn))
+            V = V.at[j + 1].set(
+                jnp.where(live, _safe_div(1.0, wn) * w, jnp.zeros_like(w))
+            )
             # column j of S holds h[:m] with the subdiagonal wn at row j+1;
             # for j == m-1 that entry falls OUTSIDE S — it is beta, the
             # residual coupling carried separately
             hcol = (h.at[j + 1].set(wn))[:m]
             S = S.at[:, j].set(hcol)
-            return V, S, wn
+            return V, S, wn, jnp.logical_and(ok, w_ok)
 
-        V, S, beta = jax.lax.fori_loop(
-            p, m, step, (V, S, jnp.asarray(0.0, V.dtype))
+        V, S, beta, ok = jax.lax.fori_loop(
+            p, m, step, (V, S, jnp.asarray(0.0, V.dtype), jnp.bool_(True))
         )
-        return V, S, beta
+        return V, S, beta, ok
 
     return jax.jit(expand)
 
@@ -164,8 +283,9 @@ def arnoldi_eigs(
     tol: float = 1e-8,
     max_restarts: int = 60,
     sigma: Optional[float] = None,
-    inner_tol: float = 1e-10,
+    inner_tol: Optional[float] = None,
     inner_max_iteration: int = 10000,
+    inner_method: str = "idr",
     n: Optional[int] = None,
     dtype=None,
     seed: int = 0,
@@ -181,15 +301,21 @@ def arnoldi_eigs(
     converged when ``residual_i <= tol * max(|lambda_i|, 1e-300)``.
 
     ``sigma``: shift-invert — eigenvalues nearest ``sigma`` converge first
-    (each matvec = one BiCGStab solve of ``(A - sigma I) w = v`` to
-    ``inner_tol``; ``M`` optionally preconditions that inner solve).  With
+    (each matvec = one inner Krylov solve of ``(A - sigma I) w = v`` to
+    ``inner_tol``; ``M`` optionally preconditions it).  ``inner_method``
+    defaults to ``"idr"``: the shifted operator is indefinite when sigma
+    sits in the spectrum's hull, where BiCGStab measurably breaks down and
+    restarted GMRES stagnates while IDR(4) converges (see
+    ``_get_shift_apply``); ``"bicgstab"``/``"gmres"`` remain selectable.  With
     ``sigma`` the ``which`` selection applies to the TRANSFORMED spectrum
     ``1 / (lambda - sigma)``, so the default LM = nearest-to-sigma; returned
-    values/residuals are mapped back to the original problem (residuals via
-    the exact relation ``||A x - lambda x|| = |lambda - sigma|^2 / |theta|
-    * ||(A - sigma)^-1 x - theta x||`` ... reported as the BACK-TRANSFORMED
-    estimate ``est / |theta|`` with the transformed-space estimate ``est``,
-    conservative for well-separated shifts).
+    values are mapped back to the original problem and residuals are
+    RECOMPUTED directly as ``||A x - lambda x||_2`` (k plain matvecs).
+    ``inner_tol`` defaults by dtype: 1e-10 in fp64, 1e-6 in fp32 — an
+    fp32-unreachable inner tolerance makes every matvec burn
+    ``inner_max_iteration`` iterations AND apply an inexact inverse; the
+    run-wide inner convergence is surfaced as ``inner_converged`` (check it:
+    shift-invert results with ``inner_converged=False`` are suspect).
 
     For symmetric operators prefer ``solvers.lobpcg`` (extremal, with a
     V-cycle preconditioner) or ``eigen.lanczos_bounds``; this is the general
@@ -213,24 +339,35 @@ def arnoldi_eigs(
     if m < k + 2:
         raise ValueError(f"subspace m={m} must be >= k+2={k + 2}")
 
-    op0 = as_operator(A)
     if dtype is None:
         dtype = getattr(A, "dtype", None) or jnp.zeros(0).dtype
     dtype = jnp.zeros(0, dtype).dtype
+    np_dtype = np.zeros(0, dtype).dtype
+    eps = float(np.finfo(np_dtype).eps)
 
+    # The operator state rides through jit as the A_args ARGUMENT pytree
+    # (never a closure constant — CLAUDE.md HTTP-413 rule); raw callables
+    # keep their own closure by the user's contract.
+    is_callable_op = callable(A) and not hasattr(A, "n")
     if sigma is not None:
-        from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
-        from conjugategradient_tpu.solvers.policy import ConvergencePolicy
-
-        sig = jnp.asarray(sigma, dtype)
-        shifted = lambda u: op0(u) - sig * u
-        pol = ConvergencePolicy(
-            tol=float(inner_tol), norm="rel_l2",
-            max_iteration=int(inner_max_iteration),
+        if inner_tol is None:
+            # fp32's attainable BiCGStab floor is ~1e-6 rel_l2 (measured on
+            # the convection-diffusion family); 1e-10 would burn
+            # inner_max_iteration its per matvec AND stay inexact
+            inner_tol = 1e-10 if np_dtype == np.float64 else 1e-6
+        apply_op = _get_shift_apply(
+            M, inner_tol, inner_max_iteration,
+            op_callable=A if is_callable_op else None,
+            inner_method=inner_method,
         )
-        op = lambda v: bicgstab_solve(shifted, v, policy=pol, M=M).x
+        sig = jnp.asarray(sigma, dtype)
+        A_args = (sig,) if is_callable_op else (A, sig)
+    elif is_callable_op:
+        apply_op = _get_callable_apply(A)
+        A_args = ()
     else:
-        op = op0
+        apply_op = _apply_direct
+        A_args = (A,)
 
     rng = np.random.default_rng(seed)
     v0 = rng.standard_normal(n)
@@ -243,20 +380,58 @@ def arnoldi_eigs(
     # spectra); widened per-cycle for Schur-sort ties / 2x2 blocks
     p_keep = min(k + max(1, (m - k) // 2), m - 2)
 
-    expand = {0: _make_expand(op, m, 0, precise_dot)}
     matvecs = 0
     theta = Y = None
     beta_f = 0.0
+    mm = m  # effective subspace dimension (shrinks on lucky breakdown)
     wanted = np.arange(k)
     converged = False
+    inner_ok = True
     restarts = 0
+    deflations = 0
+    p_cur = 0
 
     for restarts in range(1, max_restarts + 1):
         p = 0 if restarts == 1 else p_cur
-        V, S, beta = expand[p](V, S)
+        V, S, beta, ok_c = _get_expand(apply_op, m, p, precise_dot)(A_args, V, S)
         matvecs += m - p
         S_np = np.asarray(jax.device_get(S), np.float64)
         beta_f = float(beta)
+        inner_ok = inner_ok and bool(ok_c)
+        mm = m
+
+        # ---- lucky breakdown (invariant subspace): wn ~ 0 zeroes every
+        # later basis row, and np.linalg.eig of the padded S would surface
+        # spurious zero eigenvalues that rank FIRST under which="SM" with
+        # resid=0.  beta is already read back — detect on the host, truncate
+        # to the invariant block (its Ritz pairs are exact), and if that
+        # block is still too small, deflate-restart with a fresh random
+        # direction orthogonalised against it.
+        brk = 10.0 * eps * max(1.0, float(np.abs(S_np).max()))
+        if beta_f <= brk:
+            sub = np.abs(np.diag(S_np, -1))  # subdiagonal wn history
+            tiny = [j for j in range(p, m - 1) if sub[j] <= brk]
+            mm = (tiny[0] + 1) if tiny else m
+            if mm < k and deflations < 8:
+                deflations += 1
+                w = jnp.asarray(rng.standard_normal(n), dtype)
+                for _ in range(2):  # CGS2 against the invariant block
+                    w = w - jnp.matmul(
+                        jnp.matmul(V[:mm], w, precision=_PH), V[:mm], precision=_PH
+                    )
+                w = w / jnp.sqrt(_dot(w, w, precise=precise_dot))
+                V = V.at[mm].set(w)
+                p_cur = mm
+                if restarts < max_restarts:
+                    continue
+            S_np = S_np[:mm, :mm]
+            theta, Y = np.linalg.eig(S_np)
+            order = _order(which, theta)
+            wanted = order[: min(k, mm)]
+            beta_f = 0.0  # exact invariant subspace: residuals are zero
+            converged = mm >= k
+            break
+
         theta, Y = np.linalg.eig(S_np)  # unit eigvec columns
         order = _order(which, theta)
         wanted = order[:k]
@@ -297,33 +472,42 @@ def arnoldi_eigs(
         S_new[:p_cur, :p_cur] = T[:p_cur, :p_cur]
         S_new[p_cur, :p_cur] = beta_f * Q[m - 1, :p_cur]  # coupling row b^T
         S = jnp.asarray(S_new, dtype)
-        if p_cur not in expand:
-            expand[p_cur] = _make_expand(op, m, p_cur, precise_dot)
 
-    # --- assemble eigenpairs: x_i = V_m^T y_i, two real device matmuls ---
-    Yw = Y[:, wanted]  # (m, k) complex
+    # --- assemble eigenpairs: x_i = V_mm^T y_i, two real device matmuls ---
+    Yw = Y[:, wanted]  # (mm, k') complex
     Yr = jnp.asarray(np.ascontiguousarray(Yw.real), dtype)
     Yi = jnp.asarray(np.ascontiguousarray(Yw.imag), dtype)
-    Xr = np.asarray(jax.device_get(jnp.matmul(Yr.T, V[:m], precision=_PH)))
-    Xi = np.asarray(jax.device_get(jnp.matmul(Yi.T, V[:m], precision=_PH)))
-    X = (Xr + 1j * Xi).T.astype(np.complex128)  # (n, k)
+    Xr = np.asarray(jax.device_get(jnp.matmul(Yr.T, V[:mm], precision=_PH)))
+    Xi = np.asarray(jax.device_get(jnp.matmul(Yi.T, V[:mm], precision=_PH)))
+    X = (Xr + 1j * Xi).T.astype(np.complex128)  # (n, k')
     nrm = np.linalg.norm(X, axis=0)
     nrm[nrm == 0] = 1.0
     X /= nrm
     vals = theta[wanted].astype(np.complex128)
-    resid = beta_f * np.abs(Y[m - 1, wanted]) / nrm
+    resid = beta_f * np.abs(Y[mm - 1, wanted]) / nrm
     if sigma is not None:
-        # back-transform: lambda = sigma + 1/theta; the transformed-space
-        # estimate scales by |d lambda / d theta| = 1/|theta|^2 ... report
-        # the first-order mapping est/|theta| (conservative)
+        # back-transform lambda = sigma + 1/theta, then RECOMPUTE residuals
+        # directly against the original operator: the first-order mapping
+        # est/|theta| of the transformed-space estimate misleads callers
+        # near the shift, and k plain matvecs are negligible next to the
+        # inner solves that produced the basis
         with np.errstate(divide="ignore", invalid="ignore"):
             vals = sigma + 1.0 / theta[wanted]
-            resid = resid / np.maximum(np.abs(theta[wanted]), 1e-300)
+        op_plain = A if is_callable_op else as_operator(A)
+        resid = np.empty(len(wanted), np.float64)
+        for i in range(len(wanted)):
+            xr = jnp.asarray(np.ascontiguousarray(X[:, i].real), dtype)
+            xi = jnp.asarray(np.ascontiguousarray(X[:, i].imag), dtype)
+            Ax = np.asarray(jax.device_get(op_plain(xr))).astype(
+                np.complex128
+            ) + 1j * np.asarray(jax.device_get(op_plain(xi)))
+            resid[i] = float(np.linalg.norm(Ax - vals[i] * X[:, i]))
     return EigsResult(
         values=vals,
         vectors=X,
-        residuals=resid.astype(np.float64),
+        residuals=np.asarray(resid, np.float64),
         matvecs=matvecs,
         restarts=restarts,
         converged=bool(converged),
+        inner_converged=bool(inner_ok),
     )

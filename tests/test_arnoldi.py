@@ -86,3 +86,56 @@ def test_validation_errors():
         arnoldi_eigs(generators.poisson_system((3,)).A, k=3)
     with pytest.raises(ValueError, match="unknown which"):
         arnoldi_eigs(CD, k=2, which="XX")
+
+
+def test_lucky_breakdown_identity_no_spurious_zeros():
+    """ADVICE r3: wn == 0 (invariant subspace) used to be absorbed by
+    _safe_div, leaving zero basis rows whose spurious zero eigenvalues rank
+    FIRST under which="SM" with resid=0.  The identity matrix breaks down at
+    the very first step; the solver must deflate-restart and return exact
+    unit eigenvalues for BOTH selections."""
+    n = 50
+    data = np.ones((1, n))
+    I = formats.DiaMatrix(data, (0,), (n, n))
+    for which in ("LM", "SM"):
+        r = arnoldi_eigs(I, k=3, which=which, tol=1e-10)
+        assert r.converged
+        assert np.max(np.abs(r.values - 1.0)) < 1e-12, (which, r.values)
+        assert np.max(r.residuals) < 1e-10
+
+
+def test_shift_invert_inner_converged_flag():
+    """ADVICE r3: shift-invert must surface inner BiCGStab convergence —
+    with a starved inner iteration budget the flag goes False (and with the
+    default budget it stays True)."""
+    r_ok = arnoldi_eigs(CD, k=2, sigma=0.05, tol=1e-8)
+    assert r_ok.inner_converged
+    r_starved = arnoldi_eigs(CD, k=2, sigma=0.05, tol=1e-8, inner_max_iteration=2)
+    assert not r_starved.inner_converged
+
+
+def test_shift_invert_residuals_are_true_residuals():
+    """ADVICE r3: under sigma the reported residuals are now the directly
+    recomputed ||A x - lambda x||_2, not a first-order back-transform."""
+    r = arnoldi_eigs(CD, k=3, sigma=0.1, tol=1e-9)
+    assert r.converged
+    for i in range(3):
+        x = r.vectors[:, i]
+        true = np.linalg.norm(CD_DENSE @ x - r.values[i] * x)
+        assert abs(r.residuals[i] - true) <= 1e-9 + 1e-6 * true
+
+
+def test_repeated_calls_reuse_jitted_expand():
+    """ADVICE r3: the jitted expansion must be cached at module scope (and
+    take the matrix as a pytree ARGUMENT, not a closure constant) so
+    repeated solves skip retracing."""
+    from conjugategradient_tpu.solvers import arnoldi as _arn
+
+    _arn._EXPAND_CACHE.clear()
+    r1 = arnoldi_eigs(CD, k=2, tol=1e-8)
+    n_after_first = len(_arn._EXPAND_CACHE)
+    CD2 = generators.convection_diffusion_matrix(GRID, eps=0.2)
+    r2 = arnoldi_eigs(CD2, k=2, tol=1e-8)
+    assert r1.converged and r2.converged
+    # same operator structure => same cached expansions, no new entries
+    assert len(_arn._EXPAND_CACHE) == n_after_first

@@ -198,3 +198,48 @@ def test_coarse_operator_refuses_silent_densify():
     cb = lambda level, g: generators.tridiagonal_matrix(g[0])
     with pytest.raises(ValueError, match="rediscretized coarsening stopped"):
         build_hierarchy(sys_A, (8192,), coarse_operator=cb)
+
+
+@pytest.mark.parametrize("grid", [(63, 63), (31, 31, 31)])
+def test_poisson_coarse_operator_matches_galerkin_iterations(grid):
+    """The Poisson rediscretization hook (bench fast path: setup in
+    generator time, every level a const stencil) must converge in the same
+    iteration count as the Galerkin hierarchy on its home workload."""
+    sys_ = generators.poisson_system(grid)
+    x_true = oracle.cg(sys_.A, sys_.b, tol=1e-12, norm="rel_l2").x
+    pol = ConvergencePolicy(tol=1e-8, norm="rel_l2", max_iteration=200)
+    its = {}
+    for tag, kw in {
+        "galerkin": {},
+        "redisc": dict(coarse_operator=generators.poisson_coarse_operator()),
+    }.items():
+        h = build_hierarchy(sys_.A, grid, smoother="chebyshev", pre=3, post=3, **kw)
+        from conjugategradient_tpu.solvers.cg import cg_solve
+
+        res = cg_solve(
+            h.levels[0].A,
+            jnp.asarray(sys_.b).reshape(grid),
+            policy=pol,
+            M=as_preconditioner(h),
+        )
+        assert bool(res.converged)
+        assert _rel(res.x, x_true) < 1e-7
+        its[tag] = int(res.iterations)
+    assert its["redisc"] <= its["galerkin"] + 1
+
+
+def test_poisson_coarse_operator_levels_are_const_stencils():
+    """Every rediscretized Poisson level must const-detect (zero matrix
+    bytes per SpMV) and carry the analytic Gershgorin Chebyshev bounds."""
+    from conjugategradient_tpu.core.formats import ConstStencilMatrix
+
+    sys_ = generators.poisson_system((31, 31, 31))
+    h = build_hierarchy(
+        sys_.A,
+        (31, 31, 31),
+        smoother="chebyshev",
+        coarse_operator=generators.poisson_coarse_operator(),
+    )
+    for lvl in h.levels:
+        assert isinstance(lvl.A, ConstStencilMatrix)
+        assert lvl.cheb_bounds == (0.5, 2.0)
