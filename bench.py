@@ -183,9 +183,16 @@ def main() -> None:
     # Section 1 (headline — prints before anything else can fail): MGCG vs
     # plain CG on the 1023^2 (1,046,529-row) Poisson system.
     # ------------------------------------------------------------------
-    # cheb(3,3) won the on-chip smoother sweep (0.94 ms vs 0.98 for (2,2),
-    # 1.12 for (1,1), 1.23 for rbgs(1,1) / fmg-warm-start variants)
-    h = build_hierarchy(system.A, grid, smoother="chebyshev", pre=3, post=3, dtype=dtype)
+    # cycle shape from the r4 on-chip sweep (artifacts/mgcg_cycle_sweep_r04):
+    # rediscretized 5-point const-stencil levels + cheb(2,2) = 0.285 ms @ 4
+    # its vs 0.87 for the r2-era Galerkin 9-point + cheb(3,3) config on the
+    # same day (Galerkin coarse stencils carry 9 legs; redisc keeps 5, and
+    # the coarse-level chain is latency-bound).  Poisson redisc == Galerkin
+    # convergence class (test_redisc), setup is generator-time.
+    h = build_hierarchy(
+        system.A, grid, smoother="chebyshev", pre=2, post=2, dtype=dtype,
+        coarse_operator=generators.poisson_coarse_operator(dtype),
+    )
     # the hierarchy's fine operator is const-detected (the Dirichlet
     # Laplacian has constant coefficients): zero matrix bytes per SpMV.
     # BOTH runs use it — plain CG gets the same upgrade, so vs_baseline

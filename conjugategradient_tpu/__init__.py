@@ -49,5 +49,5 @@ from conjugategradient_tpu.core.formats import (  # noqa: F401
 from conjugategradient_tpu.core.builder import DokBuilder  # noqa: F401
 from conjugategradient_tpu.solvers.policy import ConvergencePolicy, Norm  # noqa: F401
 from conjugategradient_tpu.solvers.cg import CGResult, cg_solve  # noqa: F401
-from conjugategradient_tpu.api import solve  # noqa: F401
+from conjugategradient_tpu.api import eigs, solve  # noqa: F401
 from conjugategradient_tpu import native  # noqa: F401

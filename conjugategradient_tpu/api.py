@@ -348,6 +348,23 @@ def solve(
         return sharded_nonsym_solve(
             A, b, x0, policy, method=base, dtype=dtype, **mkw, **kw
         )
+    if method == "lsmr" and "mesh" in kw:
+        # distributed least squares: A and A^T halo SpMVs + two scalar
+        # psums (the Golub-Kahan beta/alpha norms) per iteration.
+        # Rectangular systems must be square-padded by the caller first
+        # (zero rows/columns are exactly neutral in the LSMR recurrence);
+        # the sharded path needs the square-banded DIA layout.
+        from conjugategradient_tpu.parallel.shard_nonsym import sharded_lsmr_solve
+
+        if not isinstance(A, DiaMatrix):
+            raise TypeError(
+                "lsmr with mesh= needs a square-banded DiaMatrix "
+                "(rectangular input: embed it in a square band — zero "
+                "rows/columns are neutral in LSMR — or solve unsharded)"
+            )
+        return sharded_lsmr_solve(
+            A, b, x0, policy, mesh=kw.pop("mesh"), dtype=dtype, **kw
+        )
     # device placement happens only after every mesh-routed branch has
     # had its chance to return (those place b themselves; a premature
     # device_put is a wasted full-size H2D copy at rung-5 sizes)
@@ -647,6 +664,109 @@ def _auto_method(A, grid) -> str:
     if not spd:
         return "minres"
     return "mgcg" if grid is not None else "cg"
+
+
+def eigs(
+    A,
+    k: int = 6,
+    which: str = "LM",
+    sigma: Optional[float] = None,
+    method: str = "auto",
+    mesh=None,
+    tol: float = 1e-8,
+    grid=None,
+    **kw,
+):
+    """k eigenpairs of a sparse operator — the eigensolver facade.
+
+    The eigen counterpart of ``solve()``: dispatch by structure, one entry
+    point.  Returns ``solvers.arnoldi.EigsResult`` (complex values/vectors,
+    per-pair residuals, convergence flags) from every route.
+
+    ``method``:
+      - ``"auto"`` (default): symmetric operators with extremal selections
+        (LM/SM/LR/SR, no shift) route to the BLOCK solver LOBPCG —
+        multiplicity-safe (a single-vector Krylov space holds ONE vector
+        per eigenspace; the square Laplacians here have multiplicity-2
+        spectra throughout) and preconditionable (pass ``grid=`` to build
+        an MGCG hierarchy, or ``M=`` an (n, k)-block preconditioner).
+        Everything else — nonsymmetric operators, complex spectra, LI
+        selection, shift-invert — routes to Krylov-Schur Arnoldi.
+      - ``"arnoldi"`` | ``"lobpcg"``: force a route.
+
+    ``sigma``: shift-invert (Arnoldi route; nearest-to-sigma first; inner
+    IDR(4) solves — see ``arnoldi_eigs``).  ``mesh``: distributed twins
+    (``gspmd_lobpcg`` / ``gspmd_arnoldi_eigs``, row-sharded over the mesh).
+
+    The reference's one eigensolver is the symmetric-only Jacobi-rotation
+    routine inside its ELL matrix (``Mgcg/HandmadeCL/MgcgCL/
+    SparseMatrix.cs:234-372``, used for spectrum diagnostics); this facade
+    covers that capability (symmetric path) and the nonsymmetric family the
+    reference cannot express.
+    """
+    from conjugategradient_tpu.solvers.arnoldi import (
+        EigsResult,
+        arnoldi_eigs,
+        gspmd_arnoldi_eigs,
+    )
+
+    if method not in ("auto", "arnoldi", "lobpcg"):
+        raise ValueError(f"unknown eigs method {method!r}; want auto|arnoldi|lobpcg")
+    if which not in ("LM", "SM", "LR", "SR", "LI"):
+        raise ValueError(f"unknown which={which!r}; want LM|SM|LR|SR|LI")
+    if method == "auto":
+        sym = (
+            sigma is None
+            and which != "LI"
+            and hasattr(A, "shape")
+            and not callable(A)
+            and formats.is_symmetric(A, tol=1e-12 * _diag_scale(A))
+        )
+        method = "lobpcg" if sym else "arnoldi"
+
+    if method == "lobpcg":
+        import jax.numpy as jnp
+
+        from conjugategradient_tpu.solvers.lobpcg import gspmd_lobpcg, lobpcg
+
+        largest = which in ("LM", "LR")
+        M = kw.pop("M", None)
+        if M is None and grid is not None and not largest:
+            # smallest eigenpairs of an SPD grid operator: precondition with
+            # the MGCG hierarchy (the measured 200 -> 4 iteration cut)
+            from conjugategradient_tpu.precond import build_hierarchy
+            from conjugategradient_tpu.solvers.multi import as_multi_preconditioner
+
+            h = build_hierarchy(A, tuple(grid), dtype=kw.get("dtype", jnp.float32))
+            M = as_multi_preconditioner(h)
+        if mesh is not None:
+            res = gspmd_lobpcg(A, k, mesh, M=M, largest=largest, tol=tol, **kw)
+        else:
+            res = lobpcg(A, k, M=M, largest=largest, tol=tol, **kw)
+        vals = np.asarray(res.eigenvalues, np.float64)
+        # LOBPCG returns ascending; re-order most-wanted-first like Arnoldi
+        order = np.argsort(-vals if largest else vals, kind="stable")
+        vecs = np.asarray(res.eigenvectors, np.float64)[:, order]
+        lam = vals[order]
+        return EigsResult(
+            values=lam.astype(np.complex128),
+            vectors=vecs.astype(np.complex128),
+            residuals=np.asarray(res.residuals, np.float64)[order] * (np.abs(lam) + 1.0),
+            matvecs=int(res.iterations) * 3 * k,
+            restarts=int(res.iterations),
+            converged=bool(res.converged),
+        )
+
+    if mesh is not None:
+        return gspmd_arnoldi_eigs(A, k, mesh=mesh, which=which, sigma=sigma, tol=tol, **kw)
+    return arnoldi_eigs(A, k, which=which, sigma=sigma, tol=tol, **kw)
+
+
+def _diag_scale(A) -> float:
+    try:
+        return float(np.max(np.abs(_diagonal(A))))
+    except Exception:
+        return 1.0
 
 
 def _to_csr(A) -> formats.CsrMatrix:

@@ -189,6 +189,28 @@ def sharded_minres_loop(
     )
 
 
+def sharded_lsmr_loop(
+    op, opT, b, x0, policy: ConvergencePolicy, axis: str, n_global: int,
+    damp: float = 0.0,
+) -> CGResult:
+    """``solvers.lsmr.lsmr_loop`` with a psum-injected 2-norm — the
+    distributed least-squares solver.  The norm is the recurrence's ONLY
+    reduction (the Golub-Kahan beta and alpha), so each iteration costs two
+    scalar psums on top of the two halo SpMVs (A and A^T)."""
+    from conjugategradient_tpu.solvers.lsmr import lsmr_loop
+
+    pnorm = lambda v: jnp.sqrt(
+        jax.lax.psum(jnp.vdot(v, v, preferred_element_type=v.dtype).real, axis)
+    )
+    b_eff = b if x0 is None else b - op(x0)
+    x, it, res, converged, _ = lsmr_loop(
+        op, opT, b_eff, policy, damp=damp, n_iter_scale=n_global, nrm=pnorm
+    )
+    if x0 is not None:
+        x = x + x0
+    return CGResult(x=x, iterations=it, residual=res, converged=converged)
+
+
 def sharded_chebyshev_loop(
     op, b, x0, policy: ConvergencePolicy, axis: str, n_global: int,
     lo: float, hi: float, check_every: int = 16
@@ -412,6 +434,92 @@ def make_sharded_nonsym(
         out_specs=CGResult(x=P(axis), iterations=P(), residual=P(), converged=P()),
     )
     return jax.jit(shard_fn, donate_argnums=(2,) if donate else ())
+
+
+def make_sharded_lsmr(
+    A: DiaMatrix,
+    mesh: Mesh,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    axis: str = "x",
+    damp: float = 0.0,
+    donate: bool = True,
+):
+    """Build a jitted row-block-sharded LSMR least-squares solver.
+
+    Least squares needs BOTH A and A^T halo SpMVs: the transpose is built
+    once on the host (offsets negate, columns roll — ``formats.transpose``)
+    and rides as a second row-sharded (ndiags, n) operand.  Rectangular
+    systems reach this path square-padded (zero rows add zero residual
+    terms; zero columns stay exactly zero in the recurrence — both neutral
+    in LSMR; see the facade routing).  Completes the distributed-twin
+    coverage of the solver families: the halo machinery generalized from
+    the reference's square-CG-only design
+    (``Mgcg/cuBlas/MgcgGpu/Mgcg.cu:88-113``).
+
+    Returns ``(solve, A_t)``; call ``solve(data, dataT, b, x0)`` with both
+    DIA data arrays placed ``P(None, axis)``.
+    """
+    from conjugategradient_tpu.core.formats import transpose as _transpose
+
+    num = mesh.shape[axis]
+    n = A.n
+    if n % num:
+        raise ValueError(f"n={n} not divisible by {num} shards; pad_system first")
+    n_local = n // num
+    halo = A.bandwidth
+    offsets = A.offsets
+    use_allgather = halo > n_local
+    A_t = _transpose(A)
+    offsets_t = A_t.offsets
+
+    def lsmr_local(data, dataT, b, x0):
+        if use_allgather:
+            op = lambda p: spmv_dia_allgather(data, offsets, p, axis, num)
+            opT = lambda p: spmv_dia_allgather(dataT, offsets_t, p, axis, num)
+        else:
+            op = lambda p: spmv_dia_local_overlap(data, offsets, p, halo, axis, num)
+            opT = lambda p: spmv_dia_local_overlap(dataT, offsets_t, p, halo, axis, num)
+        return sharded_lsmr_loop(op, opT, b, x0, policy, axis, n, damp=damp)
+
+    shard_fn = jax.shard_map(
+        lsmr_local,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(axis), P(axis)),
+        out_specs=CGResult(x=P(axis), iterations=P(), residual=P(), converged=P()),
+    )
+    return jax.jit(shard_fn, donate_argnums=(3,) if donate else ()), A_t
+
+
+def sharded_lsmr_solve(
+    A: DiaMatrix,
+    b,
+    x0=None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    mesh: Optional[Mesh] = None,
+    axis: str = "x",
+    damp: float = 0.0,
+    dtype=None,
+) -> CGResult:
+    """One-call convenience: place the square-banded system row-block-
+    sharded and LSMR-solve ``min ||A x - b|| (+ damp^2 ||x||^2)``."""
+    import numpy as np
+
+    if mesh is None:
+        from conjugategradient_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis=axis)
+    solve, A_t = make_sharded_lsmr(
+        A, mesh, policy, axis=axis, damp=damp, donate=False
+    )
+    dt = dtype or np.asarray(A.data).dtype
+    row = NamedSharding(mesh, P(axis))
+    col = NamedSharding(mesh, P(None, axis))
+    data = jax.device_put(jnp.asarray(np.asarray(A.data, dtype=dt)), col)
+    dataT = jax.device_put(jnp.asarray(np.asarray(A_t.data, dtype=dt)), col)
+    b_dev = jax.device_put(jnp.asarray(np.asarray(b, dtype=dt)), row)
+    x0_arr = np.zeros(A.n, dtype=dt) if x0 is None else np.asarray(x0, dtype=dt)
+    x0_dev = jax.device_put(jnp.asarray(x0_arr), row)
+    return solve(data, dataT, b_dev, x0_dev)
 
 
 def sharded_nonsym_solve(

@@ -50,41 +50,40 @@ def _norm(v):
     return jnp.sqrt(jnp.vdot(v, v, preferred_element_type=v.dtype).real)
 
 
-def lsmr_solve(
-    A,
-    b: jnp.ndarray,
-    x0: Optional[jnp.ndarray] = None,
-    policy: ConvergencePolicy = ConvergencePolicy(),
+def lsmr_loop(
+    op,
+    opT,
+    b_eff: jnp.ndarray,
+    policy: ConvergencePolicy,
     damp: float = 0.0,
-) -> CGResult:
-    """Minimize ``||A x - b||`` (A of shape (m, n), any m/n) by LSMR.
+    n_iter_scale: Optional[int] = None,
+    nrm=None,
+):
+    """The LSMR recurrence with an injectable 2-norm — the ``gmres_loop``
+    sharing pattern: the single-device solver passes the local ``_norm``,
+    the row-sharded twin (``parallel.shard_nonsym.sharded_lsmr_loop``)
+    passes a psum-reduced norm and shard-local operators.  The norm is the
+    ONLY reduction in the recurrence (two calls per iteration: beta and
+    alpha of the bidiagonalization), so distribution costs exactly two
+    collectives per iteration on top of the SpMV halos.
 
-    ``x0`` warm-starts via the standard shift (solve for ``dx`` against
-    ``b - A x0``).  Returns a ``CGResult`` whose ``x`` has shape (n,) and
-    whose ``residual``/``converged`` refer to the normal-equation residual
-    ``||A^T (b - A x)||`` (see module docstring).
+    Returns ``(x, iterations, res_final, converged, normar0)`` where ``x``
+    solves the (possibly damped) problem against ``b_eff``.
     """
     if policy.norm == "linf":
         raise ValueError("lsmr monitors ||A^T r||; use norm='l2' or 'rel_l2'")
-    A_t = transpose(A)
-    dtype = b.dtype
-    A_dev = A.device_put(dtype=dtype) if hasattr(A, "device_put") else A
-    At_dev = A_t.device_put(dtype=dtype) if hasattr(A_t, "device_put") else A_t
-    op = as_operator(A_dev)
-    opT = as_operator(At_dev)
-    m, n = A.shape
+    nrm = nrm or _norm
+    dtype = b_eff.dtype
     tol = jnp.asarray(policy.tol, dtype)
     min_iter = jnp.int32(policy.min_iteration)
-    max_iter = jnp.int32(policy.resolve_max(max(m, n)))
+    max_iter = jnp.int32(policy.resolve_max(n_iter_scale or b_eff.size))
     dampj = jnp.asarray(damp, dtype)
 
-    b_eff = b if x0 is None else b - op(x0.astype(dtype))
-
     # --- Golub-Kahan init --------------------------------------------------
-    beta = _norm(b_eff)
+    beta = nrm(b_eff)
     u = b_eff * _safe_div(jnp.asarray(1.0, dtype), beta)
     v_un = opT(u)
-    alpha = _norm(v_un)
+    alpha = nrm(v_un)
     v = v_un * _safe_div(jnp.asarray(1.0, dtype), alpha)
 
     zetabar = alpha * beta  # = ||A^T r_0||
@@ -115,10 +114,10 @@ def lsmr_solve(
          zetabar, it) = state
         # bidiagonalization step (raw alpha_k, NOT the rotated alphabar)
         u_un = op(v) - alpha * u
-        beta = _norm(u_un)
+        beta = nrm(u_un)
         u = u_un * _safe_div(jnp.asarray(1.0, dtype), beta)
         v_un = opT(u) - beta * v
-        alpha_new = _norm(v_un)
+        alpha_new = nrm(v_un)
         v_new = v_un * _safe_div(jnp.asarray(1.0, dtype), alpha_new)
 
         # fold the damping into the rotation (Fong & Saunders: eliminate
@@ -163,14 +162,42 @@ def lsmr_solve(
     # estimate drifts at high iteration counts; report ground truth):
     # min ||A dx - b_eff||^2 + damp^2 ||dx||^2  has optimality
     # A^T (b_eff - A dx) - damp^2 dx = 0 — which is what |zetabar| tracks
-    ar_true = _norm(opT(b_eff - op(x)) - (dampj * dampj) * x)
-    if x0 is not None:
-        # damp regularizes the CORRECTION dx when warm-started (the
-        # standard shift); the returned x is x0 + dx
-        x = x + x0.astype(dtype)
+    ar_true = nrm(opT(b_eff - op(x)) - (dampj * dampj) * x)
     if policy.norm == "rel_l2":
         res = ar_true / jnp.where(normar0 == 0, 1.0, normar0)
     else:
         res = ar_true
     converged = jnp.logical_and(res_of(zetabar_f) < tol, it >= min_iter)
+    return x, it, res, converged, normar0
+
+
+def lsmr_solve(
+    A,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    policy: ConvergencePolicy = ConvergencePolicy(),
+    damp: float = 0.0,
+) -> CGResult:
+    """Minimize ``||A x - b||`` (A of shape (m, n), any m/n) by LSMR.
+
+    ``x0`` warm-starts via the standard shift (solve for ``dx`` against
+    ``b - A x0``).  Returns a ``CGResult`` whose ``x`` has shape (n,) and
+    whose ``residual``/``converged`` refer to the normal-equation residual
+    ``||A^T (b - A x)||`` (see module docstring).
+    """
+    A_t = transpose(A)
+    dtype = b.dtype
+    A_dev = A.device_put(dtype=dtype) if hasattr(A, "device_put") else A
+    At_dev = A_t.device_put(dtype=dtype) if hasattr(A_t, "device_put") else A_t
+    op = as_operator(A_dev)
+    opT = as_operator(At_dev)
+    m, n = A.shape
+    b_eff = b if x0 is None else b - op(x0.astype(dtype))
+    x, it, res, converged, _ = lsmr_loop(
+        op, opT, b_eff, policy, damp=damp, n_iter_scale=max(m, n)
+    )
+    if x0 is not None:
+        # damp regularizes the CORRECTION dx when warm-started (the
+        # standard shift); the returned x is x0 + dx
+        x = x + x0.astype(dtype)
     return CGResult(x=x, iterations=it, residual=res, converged=converged)

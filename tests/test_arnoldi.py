@@ -139,3 +139,56 @@ def test_repeated_calls_reuse_jitted_expand():
     assert r1.converged and r2.converged
     # same operator structure => same cached expansions, no new entries
     assert len(_arn._EXPAND_CACHE) == n_after_first
+
+
+# ---------------------------------------------------------------------------
+# facade (eigs) + distributed twin
+# ---------------------------------------------------------------------------
+
+
+def test_eigs_facade_auto_routes_nonsym_to_arnoldi():
+    from conjugategradient_tpu import eigs
+
+    r = eigs(CD, k=3, which="LM", tol=1e-9)
+    assert r.converged
+    key = np.argsort(-np.abs(CD_EV))
+    ref = np.sort_complex(CD_EV[key[:3]])
+    assert np.max(np.abs(_sorted(r.values) - ref)) < 1e-7
+
+
+def test_eigs_facade_auto_routes_symmetric_to_lobpcg():
+    """Square Laplacian spectra have multiplicity 2 — the block solver must
+    take the symmetric route (single-vector Krylov finds one vector per
+    eigenspace, documented limitation)."""
+    from conjugategradient_tpu import eigs
+
+    A = generators.poisson_system((12, 12)).A
+    Ad = np.asarray(formats.dia_to_dense(A).data, np.float64)
+    ev = np.sort(np.linalg.eigvalsh(Ad))
+    r = eigs(A, k=4, which="SM", tol=1e-9, dtype=np.float64, max_iterations=400)
+    assert r.converged
+    assert np.max(np.abs(r.values.imag)) == 0.0
+    assert np.max(np.abs(np.sort(r.values.real) - ev[:4])) < 1e-6
+
+
+def test_eigs_facade_sigma_and_method_force():
+    from conjugategradient_tpu import eigs
+
+    r = eigs(CD, k=2, sigma=0.1, tol=1e-9)
+    key = np.argsort(np.abs(CD_EV - 0.1))
+    ref = np.sort_complex(CD_EV[key[:2]])
+    assert np.max(np.abs(_sorted(r.values) - ref)) < 1e-7
+    # force arnoldi on a symmetric operator: still correct
+    A = generators.poisson_system((12, 13)).A
+    r2 = eigs(A, k=2, which="LM", method="arnoldi", tol=1e-9)
+    assert r2.converged
+
+
+def test_gspmd_arnoldi_matches_single_device():
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+    from conjugategradient_tpu.solvers.arnoldi import gspmd_arnoldi_eigs
+
+    r1 = arnoldi_eigs(CD, k=3, which="LM", tol=1e-9)
+    r8 = gspmd_arnoldi_eigs(CD, k=3, mesh=make_mesh(8), which="LM", tol=1e-9)
+    assert r8.converged
+    assert np.max(np.abs(_sorted(r1.values) - _sorted(r8.values))) < 1e-7

@@ -99,3 +99,69 @@ def test_lsmr_damped_residual_is_damped_optimality():
     x = np.asarray(res.x)
     opt = S.T @ (b - S @ x) - 0.25 * x
     assert np.linalg.norm(opt) < 1e-8 * np.linalg.norm(S.T @ b)
+
+
+# ---------------------------------------------------------------------------
+# distributed twin (round 4): sharded LSMR over the virtual mesh
+# ---------------------------------------------------------------------------
+
+
+def _square_banded_inconsistent(n=512, seed=3):
+    """Square nonsymmetric banded system with a rank deficiency (one zero
+    row) and an inconsistent b: ||r|| stays O(1) while ||A^T r|| -> 0 — the
+    genuine least-squares regime."""
+    A = generators.nonsymmetric_banded_matrix(n, band=6)
+    data = np.asarray(A.data).copy()
+    for k, off in enumerate(A.offsets):
+        lo = max(0, -off)
+        if lo <= 7 < n:
+            data[k, 7] = 0.0  # zero out row 7 entirely
+    from conjugategradient_tpu.core.formats import DiaMatrix
+
+    Az = DiaMatrix(data, A.offsets, A.shape)
+    b = np.random.default_rng(seed).standard_normal(n)
+    return Az, b
+
+
+def test_sharded_lsmr_shard_count_invariance():
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+    from conjugategradient_tpu.parallel.shard_nonsym import sharded_lsmr_solve
+
+    Az, b = _square_banded_inconsistent()
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=4000)
+    ref = lsmr_solve(Az, jnp.asarray(b), policy=pol)
+    assert bool(ref.converged)
+    for num in (1, 2, 4, 8):
+        res = sharded_lsmr_solve(Az, b, policy=pol, mesh=make_mesh(num))
+        assert bool(res.converged), num
+        rel = np.linalg.norm(np.asarray(res.x) - np.asarray(ref.x)) / np.linalg.norm(
+            np.asarray(ref.x)
+        )
+        assert rel < 1e-7, (num, rel)
+    # genuinely inconsistent: residual is O(1) but optimality holds
+    S = None
+    r = b - oracle.spmv(Az, np.asarray(res.x, np.float64))
+    assert np.linalg.norm(r) > 0.1
+    At_r = oracle.spmv(
+        __import__("conjugategradient_tpu.core.formats", fromlist=["transpose"]).transpose(Az),
+        r,
+    )
+    assert np.linalg.norm(At_r) < 1e-6
+
+
+def test_sharded_lsmr_facade_and_damp():
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+
+    Az, b = _square_banded_inconsistent(n=256, seed=5)
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=4000)
+    ref = lsmr_solve(Az, jnp.asarray(b), policy=pol, damp=0.3)
+    res = solve(Az, b, method="lsmr", tol=1e-10, norm="rel_l2",
+                max_iteration=4000, mesh=make_mesh(4), damp=0.3)
+    assert bool(res.converged)
+    rel = np.linalg.norm(np.asarray(res.x) - np.asarray(ref.x)) / np.linalg.norm(
+        np.asarray(ref.x)
+    )
+    assert rel < 1e-7
+    with pytest.raises(TypeError, match="square-banded DiaMatrix"):
+        S, bb = _overdetermined(100, 40)
+        solve(from_scipy(S), bb, method="lsmr", mesh=make_mesh(2))
