@@ -111,6 +111,31 @@ def solve(
             method = "lsmr"
         else:
             method = _auto_method(A, grid)
+        # auto owns the outcome: if the chosen route exhausts its budget,
+        # surface a stall DIAGNOSIS (host-side warning), not just the
+        # converged=False flag — the measured failure mode is an fp32
+        # Krylov floor above the requested tol, and the cure is a
+        # preconditioner or mixed-precision refinement, not more iterations
+        res = solve(
+            A, b, x0, method=method, tol=tol, norm=norm,
+            min_iteration=min_iteration, max_iteration=max_iteration,
+            grid=grid, dtype=dtype, **kw,
+        )
+        if hasattr(res, "converged") and not bool(np.asarray(res.converged)):
+            import warnings
+
+            warnings.warn(
+                f"auto-dispatched method={method!r} stalled at residual "
+                f"{float(np.asarray(res.residual)):.3e} (tol {tol:.1e}, "
+                f"{int(np.asarray(res.iterations))} iterations). Likely an "
+                "fp32 attainable-accuracy floor. Try: a preconditioned "
+                "route (grid= for mg_*, amg_* for no grid), "
+                "method='refined' (fp64-tolerance mixed-precision "
+                "refinement), or fp64 on CPU.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return res
     if np.asarray(b).ndim == 2:
         # (n, k) right-hand sides: route to the block solver (one matrix
         # pass serves k Krylov recurrences; see solvers.multi).  BEFORE the
@@ -651,7 +676,13 @@ def _auto_method(A, grid) -> str:
     diag = _diagonal(A)
     tol_sym = 1e-12 * float(np.max(np.abs(diag)))
     if not formats.is_symmetric(A, tol=tol_sym):
-        return "mg_bicgstab" if grid is not None else "bicgstab"
+        # no grid -> IDR(s), not plain BiCGStab: fp32 BiCGStab measurably
+        # stagnates/diverges at scale on convection-dominated systems
+        # (255^2 eps=0.5 tol 2e-6: BiCGStab blows up to 5e+16 at a
+        # 20000-iteration cap while IDR(4) converges in 7010 its —
+        # test_api_auto; on-chip twin artifacts/r3s2_onchip.json).  With a
+        # grid the V-cycle-preconditioned form is the robust choice.
+        return "mg_bicgstab" if grid is not None else "idr"
     spd = bool(np.all(diag > 0))
     if spd:
         from conjugategradient_tpu.core import oracle

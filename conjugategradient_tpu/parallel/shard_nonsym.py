@@ -146,7 +146,7 @@ def sharded_gmres_loop(
 
 def sharded_idr_loop(
     op, M, b, x0, policy: ConvergencePolicy, axis: str, n_global: int,
-    s: int = 4, seed: int = 0, angle: float = 0.7,
+    s: int = 4, seed: int = 0, angle: float = 0.7, replace_every: int = 8,
 ) -> CGResult:
     """``solvers.idr.idr_loop`` with psum-injected reductions: the shadow
     Gram products become one (s,)-psum each, the shadow matrix is drawn
@@ -168,7 +168,7 @@ def sharded_idr_loop(
     return idr_loop(
         op, M, b, x0, policy, s=s, seed=seed, angle=angle, dot=pdot,
         matdot=matdot, pmax_abs=pmax_abs, n_global=n_global,
-        shadow_key_shape=(n_global,),
+        shadow_key_shape=(n_global,), replace_every=replace_every,
     )
 
 

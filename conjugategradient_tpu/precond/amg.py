@@ -96,6 +96,11 @@ class AmgHierarchy:
     pre: int
     post: int
     omega: float  # jacobi damping
+    use_pallas: bool = False  # route DIA-relayouted level operators through
+    # the column-major Pallas kernel (ops.pallas_spmv) — the flat-band TPU
+    # perf path (CLAUDE.md ground truths: 10-20x over flat XLA DIA); the
+    # smoothers apply the level operator 2*(pre+post)+1 times per level per
+    # cycle, so this is the dominant lever on the AMG cycle cost
 
     @property
     def n_levels(self) -> int:
@@ -110,7 +115,7 @@ jax.tree_util.register_dataclass(
 jax.tree_util.register_dataclass(
     AmgHierarchy,
     data_fields=["levels", "coarse_inv"],
-    meta_fields=["smoother", "pre", "post", "omega"],
+    meta_fields=["smoother", "pre", "post", "omega", "use_pallas"],
 )
 
 
@@ -261,6 +266,7 @@ def build_amg_hierarchy(
     dtype=None,
     layout: str = "auto",
     max_blowup: float = 3.0,
+    use_pallas="auto",
 ) -> AmgHierarchy:
     """Set up a smoothed-aggregation hierarchy from ANY sparse container.
 
@@ -338,6 +344,10 @@ def build_amg_hierarchy(
     coarse_inv = jnp.asarray(
         np.linalg.inv(A_h.toarray().astype(np.float64)).astype(dt)
     )
+    if use_pallas == "auto":
+        # the CM kernel is the flat-band perf path on TPU; on CPU the XLA
+        # DIA path is faster than interpreting/compiling the Mosaic kernel
+        use_pallas = jax.devices()[0].platform == "tpu"
     return AmgHierarchy(
         levels=tuple(levels),
         coarse_inv=coarse_inv,
@@ -345,6 +355,7 @@ def build_amg_hierarchy(
         pre=pre,
         post=post,
         omega=omega,
+        use_pallas=bool(use_pallas),
     )
 
 
@@ -371,7 +382,16 @@ def amg_vcycle(
     if level == len(h.levels):
         return jnp.dot(h.coarse_inv, b, preferred_element_type=b.dtype)
     lvl = h.levels[level]
-    op = partial(spmv, lvl.A)
+    from conjugategradient_tpu.core.formats import DiaMatrix as _Dia
+
+    if h.use_pallas and isinstance(lvl.A, _Dia) and lvl.A.n >= 2048:
+        # flat-band Pallas CM kernel (measured 10-20x over XLA DIA on chip);
+        # small levels stay on the XLA path (kernel launch overhead wins)
+        from conjugategradient_tpu.ops.pallas_spmv import spmv_dia_pallas
+
+        op = partial(spmv_dia_pallas, lvl.A)
+    else:
+        op = partial(spmv, lvl.A)
     if lvl.agg is not None:
         # composition form: ONE entry per row.  R v = P0^T (v - c A D^{-1} v)
         # and P e = t - c D^{-1} A t with t = w * e[agg] — reuses the

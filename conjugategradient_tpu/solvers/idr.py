@@ -60,12 +60,25 @@ def idr_loop(
     n_global: Optional[int] = None,
     shadow_key_shape: Optional[tuple] = None,
     trace_cycles: Optional[int] = None,
+    replace_every: int = 8,
 ) -> CGResult:
     """The IDR(s) recurrence with injectable reductions — the sharded form
     passes psum-wrapped ``dot``/``matdot``/``pmax_abs`` and a shard-local
     ``op`` (the ``gmres_loop`` convention).  ``shadow_key_shape`` fixes the
     GLOBAL shadow-vector shape so every shard draws the same random P and
     slices its own rows (sharded determinism).
+
+    ``replace_every``: RELIABLE-UPDATE residual replacement — every that
+    many cycles the recurrence residual is recomputed as ``b - A x`` (one
+    extra matvec, ~1/(replace_every*(s+1)) overhead; 0 disables).  Without
+    it the fp32 recurrence drifts catastrophically from the true residual
+    on long solves: measured on 255^2 convection-diffusion eps=0.5 fp32,
+    the un-replaced recurrence reported rel 2.0e-6 "converged" while the
+    TRUE relative residual was 1.4e-2 (a 7000x lie, ~1400 cycles of
+    accumulated drift); with replacement the flag is honest.  The same
+    medicine as ``solvers.cacg``'s block-boundary replacement.  The
+    replacement predicate is replicated across shards, so the conditional
+    matvec (with its collectives) is SPMD-uniform — legal under shard_map.
 
     ``trace_cycles``: run a FIXED-length ``lax.scan`` of that many cycles
     instead of the while_loop (converged cycles freeze — the
@@ -182,7 +195,19 @@ def idr_loop(
         )
         r = r - om_new * t
         x = x + om_new * v_hat
-        return (x, r, U, G, Ms, om_new, it + jnp.int32(s + 1))
+        it_new = it + jnp.int32(s + 1)
+        if replace_every:
+            # reliable update (see docstring): recompute r = b - A x every
+            # replace_every cycles; lax.cond executes the matvec only on
+            # those cycles (replicated predicate -> SPMD-uniform branch)
+            cyc = it_new // jnp.int32(s + 1)
+            r = jax.lax.cond(
+                cyc % jnp.int32(replace_every) == 0,
+                lambda xr: b - op(xr[0]),
+                lambda xr: xr[1],
+                (x, r),
+            )
+        return (x, r, U, G, Ms, om_new, it_new)
 
     state = (x, r, U, G, Ms, om, jnp.int32(0))
     if trace_cycles is None:
@@ -219,6 +244,7 @@ def idr_solve(
     M: Optional[Callable] = None,
     seed: int = 0,
     angle: float = 0.7,
+    replace_every: int = 8,
 ) -> CGResult:
     """Solve A x = b (square, possibly nonsymmetric) by IDR(s).
 
@@ -231,7 +257,8 @@ def idr_solve(
     2/iteration; shape-agnostic b like the other solvers).
     """
     return idr_loop(
-        as_operator(A), M, b, x0, policy, s=s, seed=seed, angle=angle
+        as_operator(A), M, b, x0, policy, s=s, seed=seed, angle=angle,
+        replace_every=replace_every,
     )
 
 

@@ -125,7 +125,9 @@ def test_auto_method_dispatch():
     indef = generators.helmholtz_matrix((128,), shift=0.05)
     assert _auto_method(indef, None) == "minres"
     nonsym = generators.convection_diffusion_matrix((12, 12), eps=0.1)
-    assert _auto_method(nonsym, None) == "bicgstab"
+    # no grid -> IDR(s): fp32 plain BiCGStab measurably stagnates/diverges
+    # at scale (see test_auto_nonsym_robust_where_bicgstab_diverges)
+    assert _auto_method(nonsym, None) == "idr"
     assert _auto_method(nonsym, (12, 12)) == "mg_bicgstab"
 
     # end-to-end through the facade on each class
@@ -190,3 +192,50 @@ def test_mesh_aliasing_for_cg_jacobi_cg_mgcg_auto():
             np.asarray(res.x, np.float64).ravel() - xp
         ) / np.linalg.norm(xp)
         assert err < 1e-6, m
+
+
+def test_auto_nonsym_robust_where_bicgstab_diverges():
+    """VERDICT r3 weak-5: plain fp32 BiCGStab silently stagnates at scale.
+    On the measured workload (255^2 convection-diffusion, eps=0.5, fp32,
+    tol 2e-6) BiCGStab BLOWS UP to ~5e+16 by its iteration cap while IDR(4)
+    converges — auto must dispatch nonsymmetric no-grid systems to IDR and
+    converge here, and a stalled auto solve must surface a diagnosis."""
+    import warnings
+
+    import numpy as np
+
+    from conjugategradient_tpu.core import generators, oracle
+    from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+
+    sys_ = generators.convection_diffusion_system((255, 255), eps=0.5, dtype=np.float32)
+    res = solve(
+        sys_.A, sys_.b, method="auto", tol=2e-6, norm="rel_l2",
+        max_iteration=20000, dtype=np.float32,
+    )
+    assert bool(res.converged), float(res.residual)
+    r = np.asarray(sys_.b, np.float64) - oracle.spmv(
+        sys_.A, np.asarray(res.x, np.float64)
+    )
+    assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 5e-6
+
+    # the method auto replaced: plain fp32 BiCGStab fails this workload
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    rb = bicgstab_solve(
+        sys_.A.device_put(dtype=np.float32),
+        jnp.asarray(sys_.b, np.float32),
+        policy=ConvergencePolicy(tol=2e-6, norm="rel_l2", max_iteration=6000),
+    )
+    assert not bool(rb.converged)
+
+    # stall diagnosis: an auto solve that exhausts its budget warns
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res_stall = solve(
+            sys_.A, sys_.b, method="auto", tol=1e-12, norm="rel_l2",
+            max_iteration=50, dtype=np.float32,
+        )
+        assert not bool(res_stall.converged)
+        assert any("stalled" in str(x.message) for x in w)

@@ -66,7 +66,9 @@ def test_idr_facade_prefixes():
 
 def test_idr_sharded_matches_single_device():
     """The psum-injected sharded loop draws the SAME global shadow space
-    and slices rows — matvec counts match single-device exactly."""
+    and slices rows — matvec counts match single-device to within one
+    cycle (the reliable-update replacement matvec introduces one extra
+    reduction-order rounding site vs the single-device trajectory)."""
     sys_, x_true = _convdiff((32, 32))
     res_1 = solve(sys_.A, sys_.b, method="idr", tol=1e-8, norm="rel_l2", s=4)
     res_8 = solve(
@@ -74,7 +76,7 @@ def test_idr_sharded_matches_single_device():
         norm="rel_l2", s=4,
     )
     assert bool(res_8.converged)
-    assert int(res_8.iterations) == int(res_1.iterations)
+    assert abs(int(res_8.iterations) - int(res_1.iterations)) <= 5
     rel = np.linalg.norm(np.asarray(res_8.x) - x_true) / np.linalg.norm(x_true)
     assert rel < 1e-5
 
