@@ -83,6 +83,12 @@ class AmgLevel:
     w: Optional[jnp.ndarray] = None  # (n,) tentative-prolongator weights
     nc: int = 0  # next level's size (static; segment count for R)
     sa_c: float = 0.0  # smoothing coefficient _SA_W / lam_max (0 = plain P0)
+    blk: int = 0  # >0: CONTIGUOUS aggregation (agg[i] == i // blk) — the
+    # transfers then lower to a reshape-sum (restrict) and a broadcast-
+    # reshape (prolong): ZERO gathers/scatters.  Measured motivation
+    # (r4 on-chip profile of the 511^2 Poisson-as-CSR cycle): the level-0
+    # segment_sum+gather transfer round trip alone cost 3.99 ms of the
+    # 9.2 ms V-cycle — TPU scatters/gathers, not SpMVs, are the AMG cycle.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,7 +116,7 @@ class AmgHierarchy:
 jax.tree_util.register_dataclass(
     AmgLevel,
     data_fields=["A", "P", "R", "inv_diag", "agg", "w"],
-    meta_fields=["cheb_bounds", "nc", "sa_c"],
+    meta_fields=["cheb_bounds", "nc", "sa_c", "blk"],
 )
 jax.tree_util.register_dataclass(
     AmgHierarchy,
@@ -267,6 +273,8 @@ def build_amg_hierarchy(
     layout: str = "auto",
     max_blowup: float = 3.0,
     use_pallas="auto",
+    aggregation: str = "auto",
+    blk: int = 4,
 ) -> AmgHierarchy:
     """Set up a smoothed-aggregation hierarchy from ANY sparse container.
 
@@ -295,6 +303,19 @@ def build_amg_hierarchy(
     if z.shape != (A_h.shape[0],):
         raise ValueError(f"near_null must be ({A_h.shape[0]},), got {z.shape}")
 
+    if aggregation not in ("auto", "greedy", "blocked"):
+        raise ValueError(f"unknown aggregation {aggregation!r}")
+
+    def _bandable(S):
+        coo = S.tocoo()
+        diags = np.unique(coo.col.astype(np.int64) - coo.row)
+        return len(diags) * S.shape[0] <= max_blowup * max(S.nnz, 1)
+
+    def _has_offdiag(S):
+        coo = S.tocoo()
+        off = coo.data[coo.row != coo.col]
+        return off.size > 0 and np.abs(off).max() > 1e-12 * np.abs(S.data).max(initial=1.0)
+
     levels = []
     while A_h.shape[0] > max_coarse and len(levels) < max_levels - 1:
         diag = A_h.diagonal()
@@ -304,7 +325,35 @@ def build_amg_hierarchy(
                 "(for symmetric indefinite systems use minres with a "
                 "different preconditioner)"
             )
-        agg, n_agg = _aggregate(_strength_graph(A_h, theta))
+        n_lvl = A_h.shape[0]
+        d_asym = (A_h - A_h.T).tocoo()
+        sym = (
+            np.abs(d_asym.data).max(initial=0.0)
+            <= 1e-12 * np.abs(A_h.data).max(initial=0.0)
+        )
+        # contiguous (blocked) aggregation whenever the level is a banded
+        # SYMMETRIC operator with real off-diagonal structure: transfers
+        # lower to reshape-sum/broadcast (no gathers — the measured
+        # 4 ms/level-0 scatter cost on chip), and Galerkin of a banded A
+        # over contiguous blocks stays banded, so EVERY level keeps the DIA
+        # fast path (no CSR tail).  Measured net at 511^2 Poisson-as-CSR:
+        # 71.8 -> 4.08 ms/solve (17.6x) at 6 -> 10 CG its.  Gates:
+        # nonsymmetric operators keep greedy (strip aggregates ignore the
+        # convection direction — measured 143 vs 12 BiCGStab its), as do
+        # strength-degenerate (diagonal-dominated) matrices where greedy's
+        # stagnation guard must still disable multigrid entirely.
+        blocked = aggregation == "blocked" or (
+            aggregation == "auto"
+            and sym
+            and smooth_prolongator
+            and _bandable(A_h)
+            and _has_offdiag(A_h)
+        )
+        if blocked:
+            agg = np.arange(n_lvl, dtype=np.int64) // int(blk)
+            n_agg = int(-(-n_lvl // int(blk)))
+        else:
+            agg, n_agg = _aggregate(_strength_graph(A_h, theta))
         if n_agg >= min_coarsen * A_h.shape[0]:
             break  # aggregation stagnated; stop coarsening here
         lam_max = _lam_max_scaled(A_h)
@@ -315,12 +364,7 @@ def build_amg_hierarchy(
         else:
             P = P0.tocsr()
         # composition-form transfers (exactness gate: see AmgLevel)
-        d = (A_h - A_h.T).tocoo()
-        sym = (
-            not smooth_prolongator
-            or np.abs(d.data).max(initial=0.0)
-            <= 1e-12 * np.abs(A_h.data).max(initial=0.0)
-        )
+        sym = not smooth_prolongator or sym
         w_tent = np.asarray(P0[np.arange(A_h.shape[0]), agg]).ravel()
         levels.append(
             AmgLevel(
@@ -333,6 +377,7 @@ def build_amg_hierarchy(
                 w=jnp.asarray(w_tent.astype(dt)) if sym else None,
                 nc=int(n_agg),
                 sa_c=float(_SA_W / lam_max) if smooth_prolongator else 0.0,
+                blk=int(blk) if (blocked and sym) else 0,
             )
         )
         # Galerkin coarse operator and the candidate's coarse image
@@ -392,7 +437,27 @@ def amg_vcycle(
         op = partial(spmv_dia_pallas, lvl.A)
     else:
         op = partial(spmv, lvl.A)
-    if lvl.agg is not None:
+    if lvl.blk:
+        # contiguous blocks: restrict = reshape-sum, prolong = broadcast-
+        # reshape — no gathers/scatters anywhere (the measured TPU win; see
+        # AmgLevel.blk).  Same composition form otherwise.
+        n_lvl = lvl.A.n
+        pad = lvl.nc * lvl.blk - n_lvl
+
+        def restrict(v):
+            if lvl.sa_c:
+                v = v - lvl.sa_c * op(lvl.inv_diag * v)
+            t = jnp.pad(lvl.w * v, (0, pad))
+            return t.reshape(lvl.nc, lvl.blk).sum(axis=1)
+
+        def prolong(e):
+            t = jnp.broadcast_to(e[:, None], (lvl.nc, lvl.blk)).reshape(-1)
+            t = t[:n_lvl] * lvl.w
+            if lvl.sa_c:
+                t = t - lvl.sa_c * (lvl.inv_diag * op(t))
+            return t
+
+    elif lvl.agg is not None:
         # composition form: ONE entry per row.  R v = P0^T (v - c A D^{-1} v)
         # and P e = t - c D^{-1} A t with t = w * e[agg] — reuses the
         # (relayouted) level operator instead of gather-heavy CSR transfers

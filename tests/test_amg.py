@@ -249,3 +249,41 @@ def test_amg_pallas_level_ops_match_xla_path():
     for res in (res_x, res_p):
         rel = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
         assert rel < 1e-7
+
+
+def test_blocked_aggregation_gather_free_and_auto_gates():
+    """Round-4: contiguous (blocked) aggregation — restrict is a reshape-sum,
+    prolong a broadcast (no gathers), every Galerkin level stays DIA (no CSR
+    tail).  Measured on chip (artifacts/amg_blocked_r04.json): 71.8 ->
+    4.08 ms/solve at 511^2.  Auto-gates: symmetric banded -> blocked;
+    nonsymmetric (convection) -> greedy (strip aggregates ignore the flow
+    direction); the diagonal stagnation guard keeps working (its own test)."""
+    import numpy as np
+
+    from conjugategradient_tpu.core import generators, oracle
+    from conjugategradient_tpu.core.formats import DiaMatrix, dia_to_csr
+    from conjugategradient_tpu.core.io import from_scipy, to_scipy
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    sys_ = generators.poisson_system((63, 63))
+    csr = from_scipy(to_scipy(sys_.A).tocsr())
+    h = build_amg_hierarchy(csr)  # auto -> blocked
+    assert all(l.blk > 0 for l in h.levels)
+    assert all(isinstance(l.A, DiaMatrix) for l in h.levels)
+    pol = ConvergencePolicy(tol=1e-9, norm="rel_l2", max_iteration=200)
+    res, _ = amg_cg_solve(csr, sys_.b, policy=pol, hierarchy=h)
+    assert bool(res.converged)
+    x_true = oracle.direct_solve(sys_.A, sys_.b)
+    rel = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
+    assert rel < 1e-7
+
+    # nonsymmetric auto keeps greedy
+    cd = generators.convection_diffusion_matrix((31, 31), eps=0.1)
+    h_cd = build_amg_hierarchy(dia_to_csr(cd), smoother="jacobi")
+    assert all(l.blk == 0 for l in h_cd.levels)
+
+    # explicit blocked on request, any blk
+    h6 = build_amg_hierarchy(csr, aggregation="blocked", blk=6)
+    assert all(l.blk == 6 for l in h6.levels)
+    res6, _ = amg_cg_solve(csr, sys_.b, policy=pol, hierarchy=h6)
+    assert bool(res6.converged)
