@@ -35,6 +35,8 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--json", default=None,
+                    help="write per-workload phase rows as a JSON artifact")
     args = ap.parse_args()
 
     if args.cpu:
@@ -59,6 +61,7 @@ def main() -> int:
           f"sizes={'quick' if args.quick else 'reference-exact'}")
 
     failures = 0
+    rows = []
     for name, w in WORKLOADS.items():
         if name.startswith("ladder_"):
             continue  # BASELINE ladder runs in bench.py / mgcg_demo.py
@@ -133,7 +136,30 @@ def main() -> int:
               f"dev {it:6d} it {extra} (res {residual:.2e}, norm {pol.norm}, tol {pol.tol:g}) | "
               f"oracle {ref.iterations:6d} it | rel err {rel:.2e}")
         print(f"  {t.report(iterations=it)}")
+        rows.append({
+            "workload": name, "n": int(system.n), "ok": bool(ok),
+            "stalled_at_noise_floor": stalled,
+            "iterations": int(it), "oracle_iterations": int(ref.iterations),
+            "residual": float(residual), "norm": pol.norm, "tol": pol.tol,
+            "max_elementwise_rel_err": float(rel),
+            # the reference's own input/exec/output split
+            # (Mgcg/ViennaCL/MgcgCL/MgcgCLMain.cs:116-134)
+            "phases_ms": {p.name: round(p.seconds * 1e3, 2) for p in t.phases},
+        })
     print("ALL OK" if failures == 0 else f"{failures} MISMATCHES")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump({
+                "platform": jax.devices()[0].platform,
+                "dtype": np.dtype(dtype).name,
+                "sizes": "quick" if args.quick else "reference-exact",
+                "validation": "elementwise rel err < 1% vs fp64 native oracle "
+                              "(MgcgMain.cs:129-140 rule)",
+                "rows": rows,
+            }, f, indent=1)
+        print(f"wrote {args.json}")
     return 0 if failures == 0 else 1
 
 
