@@ -250,8 +250,10 @@ def main() -> None:
         g3 = (255, 255, 255) if on_tpu else (63, 63, 63)
         sys3 = generators.poisson_system(g3, dtype=dtype)
         t0 = time.perf_counter()
+        # cheb(2,2) also wins in 3-D: 45.5 ms @ 5 its vs 51.4 @ 4 for (3,3)
+        # (on-chip A/B, r4)
         h3 = build_hierarchy(
-            sys3.A, g3, smoother="chebyshev", pre=3, post=3, dtype=dtype,
+            sys3.A, g3, smoother="chebyshev", pre=2, post=2, dtype=dtype,
             coarse_operator=generators.poisson_coarse_operator(dtype),
         )
         setup_s = time.perf_counter() - t0
@@ -370,6 +372,61 @@ def main() -> None:
         assert pallas_multi_err < 1e-5, f"multi-RHS Pallas diverges: {pallas_multi_err}"
         record["pallas_compiled_vs_interpret_relerr"] = pallas_err
         record["pallas_multi_compiled_vs_interpret_relerr"] = pallas_multi_err
+
+    @section("amg_cg_511sq", floor_s=240.0 if on_tpu else 1e9)
+    def _amg():
+        # grid-free AMG-CG on the 511^2 Poisson handed over as bare CSR —
+        # the r4 blocked (gather-free) aggregation path (measured 17.6x
+        # over the r3 greedy cycle; artifacts/amg_blocked_r04.json)
+        from conjugategradient_tpu.core.io import from_scipy, to_scipy
+        from conjugategradient_tpu.precond.amg import (
+            amg_preconditioner,
+            build_amg_hierarchy,
+        )
+
+        asys = generators.poisson_system((511, 511), dtype=np.float32)
+        A_csr = from_scipy(to_scipy(asys.A).tocsr())
+        apol = ConvergencePolicy(tol=1e-6, norm="rel_l2", max_iteration=2000)
+        ab = jnp.asarray(asys.b, dtype=np.float32)
+        h_amg = build_amg_hierarchy(A_csr, dtype=np.float32, use_pallas=False)
+
+        def run_amg(h_, A_, b_, scales):
+            M = amg_preconditioner(h_)
+
+            def step(prev_x, sc):
+                res = cg_solve(
+                    A_, b_ * sc + 1e-30 * prev_x, policy=apol, M=M,
+                    precise_dot=True,
+                )
+                return res.x, (res.iterations, res.residual, res.converged)
+
+            x, aux = jax.lax.scan(step, jnp.zeros_like(b_), scales)
+            return x, aux
+
+        runj = jax.jit(run_amg)
+        A0 = h_amg.levels[0].A
+        times = {}
+        aux = None
+        for k in (2, 22):
+            scales = jnp.asarray(1.0 + rng.uniform(1e-5, 1e-3, k).astype(np.float32))
+            o = runj(h_amg, A0, ab, scales)
+            jax.block_until_ready(o)
+            best = float("inf")
+            for _ in range(3):
+                scales = jnp.asarray(1.0 + rng.uniform(1e-5, 1e-3, k).astype(np.float32))
+                t0 = time.perf_counter()
+                o = runj(h_amg, A0, ab, scales)
+                float(np.asarray(o[1][1]).ravel()[-1])
+                best = min(best, time.perf_counter() - t0)
+            times[k] = best
+            aux = o[1]
+        per = max((times[22] - times[2]) / 20, 1e-9)
+        assert bool(np.asarray(aux[2]).all()), "AMG-CG failed"
+        record["amg_cg_511sq"] = {
+            "ms": round(per * 1e3, 3),
+            "its": int(np.asarray(aux[0])[-1]),
+            "aggregation": "blocked" if h_amg.levels[0].blk else "greedy",
+        }
 
     @section("flagship_refined", floor_s=180.0 if on_tpu else 1e9)
     def _flagship():
