@@ -44,6 +44,9 @@ as executable documentation):
      solve (transposed-operator adjoint)
  20. rectangular least squares (LSMR, method='auto' routing) and the
      generalized eigenproblem A x = lam B x (B-inner-product LOBPCG)
+ 21. the eigs facade (nonsymmetric Krylov-Schur with complex pairs +
+     symmetric LOBPCG auto-routing) and distributed LSMR least squares
+     (A and A^T halo SpMVs over the mesh, 2 psums/iteration)
 
 Run:  python examples/features_tour.py            (8 virtual devices, CPU)
 """
@@ -590,6 +593,60 @@ def main() -> int:
         f"  [{'OK ' if good else 'BAD'}] A x = lam B x (mass-matrix B): "
         f"{int(gres.iterations)} it, eigenvalues match dense eigh(A, B) to "
         f"{gerr2:.1e}"
+    )
+
+    # 21. eigs facade + distributed least squares -------------------------
+    print("21. eigs facade (Arnoldi/LOBPCG auto-routing); sharded LSMR:")
+    from conjugategradient_tpu import eigs as _eigs
+    from conjugategradient_tpu.core.generators import (
+        convection_diffusion_matrix as _cdm,
+        nonsymmetric_banded_matrix as _nbm,
+    )
+
+    _CD = _cdm((24, 24), eps=0.1)
+    # k=3 cuts cleanly between conjugate pairs (k=4 would split the
+    # rank-4/5 pair — either member is then a correct answer)
+    er = _eigs(_CD, k=3, which="LM", tol=1e-9)
+    _ev = np.linalg.eigvals(np.asarray(_d2d(_CD).data))
+    _ref4 = np.sort_complex(_ev[np.argsort(-np.abs(_ev))[:3]])
+    eerr = float(np.abs(np.sort_complex(er.values) - _ref4).max())
+    n_cplx = int(np.count_nonzero(er.values.imag))
+    good = bool(er.converged) and eerr < 1e-7
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] nonsym auto-routes to Krylov-Schur: "
+        f"{len(er.values)} pairs ({n_cplx} complex), {er.matvecs} matvecs, "
+        f"max err vs dense eig {eerr:.1e}"
+    )
+    _Ap = generators.poisson2d_matrix(16, 16)
+    es = _eigs(_Ap, k=3, which="SM", tol=1e-9, dtype=jnp.float64, max_iterations=400)
+    _evs = np.sort(np.linalg.eigvalsh(np.asarray(_d2d(_Ap).data)))[:3]
+    serr = float(np.abs(np.sort(es.values.real) - _evs).max())
+    good = bool(es.converged) and serr < 1e-6 and es.values.imag.max() == 0.0
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] symmetric SM auto-routes to the "
+        f"BLOCK solver (multiplicity-safe): err vs eigvalsh {serr:.1e}"
+    )
+
+    from conjugategradient_tpu.parallel.mesh import make_mesh as _mm
+
+    _Az = _nbm(512, 6)
+    _bz = np.random.default_rng(5).standard_normal(512)
+    lr1 = solve(_Az, _bz, method="lsmr", tol=1e-10, norm="rel_l2", max_iteration=4000)
+    lr8 = solve(
+        _Az, _bz, method="lsmr", tol=1e-10, norm="rel_l2", max_iteration=4000,
+        mesh=_mm(8),
+    )
+    _rel = float(
+        np.linalg.norm(np.asarray(lr8.x) - np.asarray(lr1.x))
+        / np.linalg.norm(np.asarray(lr1.x))
+    )
+    good = bool(lr8.converged) and _rel < 1e-8
+    ok &= good
+    print(
+        f"  [{'OK ' if good else 'BAD'}] LSMR + mesh=: 8-shard solve matches "
+        f"single-device to {_rel:.1e} ({int(lr8.iterations)} it)"
     )
 
     print("ALL OK" if ok else "MISMATCH")
