@@ -111,6 +111,11 @@ def solve(
             method = "lsmr"
         else:
             method = _auto_method(A, grid)
+        if method == "idr" and np.asarray(b).ndim == 2:
+            # the (n, k) block carriers have no IDR form; block BiCGStab is
+            # the multi-RHS route (its per-column recurrences + the stall
+            # warning below cover the robustness gap honestly)
+            method = "bicgstab"
         # auto owns the outcome: if the chosen route exhausts its budget,
         # surface a stall DIAGNOSIS (host-side warning), not just the
         # converged=False flag — the measured failure mode is an fp32
@@ -121,15 +126,20 @@ def solve(
             min_iteration=min_iteration, max_iteration=max_iteration,
             grid=grid, dtype=dtype, **kw,
         )
-        if hasattr(res, "converged") and not bool(np.asarray(res.converged)):
+        conv = np.asarray(getattr(res, "converged", True))
+        if not bool(conv.all()):
             import warnings
 
+            resid = np.asarray(res.residual)
+            its = np.asarray(res.iterations)
             warnings.warn(
                 f"auto-dispatched method={method!r} stalled at residual "
-                f"{float(np.asarray(res.residual)):.3e} (tol {tol:.1e}, "
-                f"{int(np.asarray(res.iterations))} iterations). Likely an "
-                "fp32 attainable-accuracy floor. Try: a preconditioned "
-                "route (grid= for mg_*, amg_* for no grid), "
+                f"{float(resid.max()):.3e} (tol {tol:.1e}, "
+                f"{int(its.max())} iterations"
+                + (f", {int(conv.sum())}/{conv.size} columns converged"
+                   if conv.size > 1 else "")
+                + "). Likely an fp32 attainable-accuracy floor. Try: a "
+                "preconditioned route (grid= for mg_*, amg_* for no grid), "
                 "method='refined' (fp64-tolerance mixed-precision "
                 "refinement), or fp64 on CPU.",
                 RuntimeWarning,
@@ -683,6 +693,16 @@ def _auto_method(A, grid) -> str:
         # test_api_auto; on-chip twin artifacts/r3s2_onchip.json).  With a
         # grid the V-cycle-preconditioned form is the robust choice.
         return "mg_bicgstab" if grid is not None else "idr"
+    if not _spd_probe(A, diag):
+        return "minres"
+    return "mgcg" if grid is not None else "cg"
+
+
+def _spd_probe(A, diag=None) -> bool:
+    """Positive diagonal + a 120-step full-reorth Lanczos lower bound (see
+    ``_auto_method``'s docstring for the calibration)."""
+    if diag is None:
+        diag = _diagonal(A)
     spd = bool(np.all(diag > 0))
     if spd:
         from conjugategradient_tpu.core import oracle
@@ -692,9 +712,7 @@ def _auto_method(A, grid) -> str:
             lambda v: oracle.spmv(A, v), A.shape[0], k=min(A.shape[0], 120)
         )
         spd = lo > -1e-10 * abs(_hi)
-    if not spd:
-        return "minres"
-    return "mgcg" if grid is not None else "cg"
+    return spd
 
 
 def eigs(
@@ -704,7 +722,7 @@ def eigs(
     sigma: Optional[float] = None,
     method: str = "auto",
     mesh=None,
-    tol: float = 1e-8,
+    tol: Optional[float] = None,
     grid=None,
     **kw,
 ):
@@ -746,12 +764,18 @@ def eigs(
     if which not in ("LM", "SM", "LR", "SR", "LI"):
         raise ValueError(f"unknown which={which!r}; want LM|SM|LR|SR|LI")
     if method == "auto":
+        # the LOBPCG route needs SPD, not just symmetry: it selects by
+        # ALGEBRAIC extremes, so for symmetric INDEFINITE operators LM/SM
+        # (magnitude selections) would silently return the wrong end of the
+        # spectrum (e.g. the most-negative Helmholtz mode for which="SM");
+        # definiteness makes LM==LR and SM==SR and the mapping exact
         sym = (
             sigma is None
             and which != "LI"
             and hasattr(A, "shape")
             and not callable(A)
             and formats.is_symmetric(A, tol=1e-12 * _diag_scale(A))
+            and _spd_probe(A)
         )
         method = "lobpcg" if sym else "arnoldi"
 
@@ -760,6 +784,17 @@ def eigs(
 
         from conjugategradient_tpu.solvers.lobpcg import gspmd_lobpcg, lobpcg
 
+        if tol is None:
+            # dtype-aware default: LOBPCG's default dtype is fp32, whose
+            # attainable residual floor is ~1e-6 — an fp64-grade default
+            # would burn the whole iteration budget and return
+            # converged=False with accurate values (the same failure mode
+            # as the shift-invert inner_tol fix)
+            dt = kw.get("dtype")
+            fp64 = dt is not None and np.dtype(dt) == np.float64
+            # fp32 floor measured at ~2e-6 relative on the Poisson LM end
+            # (residual scales with lam_max/gap); 1e-5 keeps a margin
+            tol = 1e-8 if fp64 else 1e-5
         largest = which in ("LM", "LR")
         M = kw.pop("M", None)
         if M is None and grid is not None and not largest:
@@ -788,6 +823,8 @@ def eigs(
             converged=bool(res.converged),
         )
 
+    if tol is None:
+        tol = 1e-8  # arnoldi's tol is RELATIVE to |lambda| (its own default)
     if mesh is not None:
         return gspmd_arnoldi_eigs(A, k, mesh=mesh, which=which, sigma=sigma, tol=tol, **kw)
     return arnoldi_eigs(A, k, which=which, sigma=sigma, tol=tol, **kw)

@@ -360,6 +360,7 @@ def make_sharded_nonsym(
     s: int = 4,
     seed: int = 0,
     angle: float = 0.7,
+    replace_every: int = 8,
 ):
     """Build a jitted row-block-sharded solver (DIA storage, halo-ppermute
     SpMV; all-gather fallback for bandwidth > n_local — the same operator
@@ -411,7 +412,10 @@ def make_sharded_nonsym(
             return sharded_bicgstab_loop(op, M, b, x0, policy, axis, n)
         M = (lambda r: M_local(r, m_aux)) if M_local is not None else None
         if method == "idr":
-            return sharded_idr_loop(op, M, b, x0, policy, axis, n, s=s, seed=seed, angle=angle)
+            return sharded_idr_loop(
+                op, M, b, x0, policy, axis, n, s=s, seed=seed, angle=angle,
+                replace_every=replace_every,
+            )
         if method == "minres":
             return sharded_minres_loop(op, M, b, x0, policy, axis, n)
         return sharded_gmres_loop(
@@ -539,6 +543,7 @@ def sharded_nonsym_solve(
     s: int = 4,
     seed: int = 0,
     angle: float = 0.7,
+    replace_every: int = 8,
 ) -> CGResult:
     """One-call convenience: place the system row-block-sharded and solve."""
     import numpy as np
@@ -555,6 +560,7 @@ def sharded_nonsym_solve(
         A, mesh, policy, method=method, axis=axis, M_local=M_local,
         restart=restart, bounds=bounds, check_every=check_every,
         m_aux_spec=m_aux_spec, donate=False, s=s, seed=seed, angle=angle,
+        replace_every=replace_every,
     )
     dt = dtype or np.asarray(A.data).dtype
     row = NamedSharding(mesh, P(axis))

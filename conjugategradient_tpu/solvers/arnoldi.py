@@ -61,8 +61,33 @@ _PH = jax.lax.Precision.HIGHEST
 # matrix rides through jit AS AN ARGUMENT pytree (never a closure constant:
 # closure constants ship inside the compile request — the repo-wide HTTP-413
 # rule, see ``solvers/cg.py`` run_chunk and CLAUDE.md).
-_EXPAND_CACHE: dict = {}
-_APPLY_CACHE: dict = {}
+#
+# Both caches are small LRUs (ordered dicts, oldest-entry eviction): shift-
+# invert keys include the USER's M/operator callables, whose closed-over
+# state (hierarchies, matrices) stays referenced while cached — a bounded
+# LRU caps that retention without the wholesale clear() that would evict
+# hot entries and force recompiles.  Callers doing repeated shift-invert
+# solves should pass the SAME M object each time to stay on one entry.
+from collections import OrderedDict
+
+_EXPAND_CACHE: OrderedDict = OrderedDict()
+_APPLY_CACHE: OrderedDict = OrderedDict()
+_EXPAND_CAP = 64
+_APPLY_CAP = 16
+
+
+def _lru_get(cache: OrderedDict, key):
+    fn = cache.get(key)
+    if fn is not None:
+        cache.move_to_end(key)
+    return fn
+
+
+def _lru_put(cache: OrderedDict, key, fn, cap: int):
+    cache[key] = fn
+    cache.move_to_end(key)
+    while len(cache) > cap:
+        cache.popitem(last=False)
 
 
 def _apply_direct(A_args, v):
@@ -97,7 +122,7 @@ def _get_shift_apply(
         "shift", M, float(inner_tol), int(inner_max_iteration), op_callable,
         inner_method,
     )
-    fn = _APPLY_CACHE.get(key)
+    fn = _lru_get(_APPLY_CACHE, key)
     if fn is not None:
         return fn
     from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
@@ -125,9 +150,7 @@ def _get_shift_apply(
             res = bicgstab_solve(shifted, v, policy=pol, M=M)
         return res.x, res.converged
 
-    if len(_APPLY_CACHE) > 128:
-        _APPLY_CACHE.clear()
-    _APPLY_CACHE[key] = apply
+    _lru_put(_APPLY_CACHE, key, apply, _APPLY_CAP)
     return apply
 
 
@@ -135,23 +158,19 @@ def _get_callable_apply(op: Callable):
     """User-supplied raw operator: the callable itself is the cache key (its
     own closed-over state is the user's contract, not matrix data we staged)."""
     key = ("callable", op)
-    fn = _APPLY_CACHE.get(key)
+    fn = _lru_get(_APPLY_CACHE, key)
     if fn is None:
         fn = lambda A_args, v: (op(v), jnp.bool_(True))
-        if len(_APPLY_CACHE) > 128:
-            _APPLY_CACHE.clear()
-        _APPLY_CACHE[key] = fn
+        _lru_put(_APPLY_CACHE, key, fn, _APPLY_CAP)
     return fn
 
 
 def _get_expand(apply_op, m: int, p: int, precise_dot: bool):
     key = (apply_op, m, p, precise_dot)
-    fn = _EXPAND_CACHE.get(key)
+    fn = _lru_get(_EXPAND_CACHE, key)
     if fn is None:
         fn = _make_expand(apply_op, m, p, precise_dot)
-        if len(_EXPAND_CACHE) > 256:
-            _EXPAND_CACHE.clear()
-        _EXPAND_CACHE[key] = fn
+        _lru_put(_EXPAND_CACHE, key, fn, _EXPAND_CAP)
     return fn
 
 

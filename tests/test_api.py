@@ -239,3 +239,71 @@ def test_auto_nonsym_robust_where_bicgstab_diverges():
         )
         assert not bool(res_stall.converged)
         assert any("stalled" in str(x.message) for x in w)
+
+
+def test_auto_multi_rhs_nonsym_and_stall_guard():
+    """Review findings (r4): auto with (n, k) RHS must not crash — the
+    stall guard handles array-valued converged/residual, and nonsymmetric
+    block systems fall back to block BiCGStab (no block-IDR carrier)."""
+    import warnings
+
+    import numpy as np
+
+    from conjugategradient_tpu.core import generators, oracle
+
+    sys_ = generators.convection_diffusion_system((15, 15), eps=0.1)
+    B = np.random.default_rng(0).standard_normal((sys_.A.n, 3))
+    res = solve(sys_.A, B, method="auto", tol=1e-9, norm="rel_l2")
+    assert bool(np.asarray(res.converged).all())
+    for j in range(3):
+        r = B[:, j] - oracle.spmv(sys_.A, np.asarray(res.x[:, j], np.float64))
+        assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-7
+    # the stall guard itself must summarize (k,) arrays without raising
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res2 = solve(
+            sys_.A, B, method="auto", tol=1e-30, norm="rel_l2", max_iteration=5
+        )
+        assert not bool(np.asarray(res2.converged).all())
+        assert any("columns converged" in str(x.message) for x in w)
+
+
+def test_eigs_symmetric_indefinite_not_misrouted():
+    """Review finding (r4): eigs auto must NOT hand symmetric INDEFINITE
+    operators to LOBPCG — its algebraic largest= mapping returns the wrong
+    end of the spectrum for magnitude selections (measured: Helmholtz SM
+    gave the most-negative modes).  Arnoldi handles them correctly."""
+    import numpy as np
+
+    from conjugategradient_tpu import eigs
+    from conjugategradient_tpu.core import formats, generators
+
+    # non-square grid: the square Laplacian's multiplicity-2 eigenvalues
+    # would trip the documented single-vector-Krylov limitation instead of
+    # the routing property under test
+    A = generators.helmholtz_matrix((12, 13), shift=3.0)
+    ev = np.linalg.eigvalsh(np.asarray(formats.dia_to_dense(A).data, np.float64))
+    assert ev[0] < 0 < ev[-1]  # genuinely indefinite
+    r = eigs(A, k=3, which="SM", tol=1e-8)
+    ref = ev[np.argsort(np.abs(ev))[:3]]
+    # plain Arnoldi converges slowly on interior-magnitude modes (sigma=0
+    # shift-invert is the fast tool) — the property under test is the
+    # ROUTING: the right three modes, not the most-negative ones
+    assert np.max(np.abs(np.sort(r.values.real) - np.sort(ref))) < 5e-6
+    r0 = eigs(A, k=3, sigma=0.0, tol=1e-9)  # the fast route for the same ask
+    assert r0.converged and r0.inner_converged
+    assert np.max(np.abs(np.sort(r0.values.real) - np.sort(ref))) < 1e-8
+
+
+def test_eigs_fp32_default_tol_converges():
+    """Review finding (r4): the default tol must be dtype-aware — fp32
+    LOBPCG cannot reach 1e-8 and used to burn the full budget returning
+    converged=False on an all-defaults call."""
+    import numpy as np
+
+    from conjugategradient_tpu import eigs
+    from conjugategradient_tpu.core import generators
+
+    r = eigs(generators.poisson2d_matrix(24, 24), k=4)  # all defaults, fp32
+    assert bool(r.converged)
+    assert int(r.restarts) < 200  # did not burn the whole budget
