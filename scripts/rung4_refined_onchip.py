@@ -1,0 +1,86 @@
+"""Round-4 rung-4 at the reference-grade tolerance: 255^3 (16.6M rows) to a
+TRUE fp64 relative residual of 1e-8 via mixed-precision iterative refinement
+(fp32 MGCG inner solves on the rediscretized const-stencil hierarchy + fp64
+host residuals).
+
+The bench's 3-D section stops at the fp32 floor (1e-6 rel); VERDICT r3 item
+2 asks for the 1e-8 number via refinement.  Setup is the r4 fast path
+(generator-time rediscretization; hierarchy=prebuilt rides into
+refined_solve).
+
+Run only when no other TPU process is active:
+    python scripts/rung4_refined_onchip.py [--grid 255]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts", "rung4_refined_r04.json")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", type=int, default=255)
+    args = ap.parse_args()
+    assert jax.devices()[0].platform != "cpu", "run on the TPU"
+
+    from conjugategradient_tpu.core import generators, oracle
+    from conjugategradient_tpu.precond import build_hierarchy
+    from conjugategradient_tpu.solvers.refine import refined_solve
+
+    g = (args.grid,) * 3
+    system = generators.poisson_system(g, dtype=np.float64)
+    t0 = time.perf_counter()
+    h = build_hierarchy(
+        system.A, g, smoother="chebyshev", pre=2, post=2, dtype=np.float32,
+        coarse_operator=generators.poisson_coarse_operator(np.float32),
+    )
+    setup_s = time.perf_counter() - t0
+
+    best = float("inf")
+    rres = None
+    for _ in range(2):  # first call compiles; min of 2
+        t0 = time.perf_counter()
+        rres = refined_solve(
+            system.A, system.b, tol=1e-8, norm="rel_l2", grid=g,
+            inner_tol=1e-5, device_dtype=np.float32, hierarchy=h,
+        )
+        best = min(best, time.perf_counter() - t0)
+
+    x = np.asarray(rres.x, np.float64)
+    r = system.b - oracle.spmv(system.A, x)
+    true_rel = float(np.linalg.norm(r) / np.linalg.norm(system.b))
+    out = {
+        "experiment": "rung4_refined_1e-8",
+        "grid": list(g),
+        "n": system.n,
+        "tol": 1e-8,
+        "norm": "rel_l2",
+        "wall_s": round(best, 2),
+        "setup_s": round(setup_s, 1),
+        "outer_iterations": int(rres.outer_iterations),
+        "inner_iterations": int(rres.inner_iterations),
+        "converged": bool(rres.converged),
+        "stalled": bool(rres.stalled),
+        "true_fp64_rel_residual": true_rel,
+    }
+    print(json.dumps(out))
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
