@@ -366,21 +366,31 @@ def stencil_to_const(st: "StencilMatrix"):
     (each leg constant over its in-grid region, zero outside), else None.
     Host-side setup helper — call on concrete (non-traced) data."""
     data = np.asarray(st.data)
+    nd = st.ndim
     coeffs = []
-    idx = np.indices(st.grid)
     for k, s in enumerate(st.shifts):
-        valid = np.ones(st.grid, dtype=bool)
-        for ax, d in enumerate(s):
-            coord = idx[ax] + d
-            valid &= (coord >= 0) & (coord < st.grid[ax])
+        # the valid region is a hyperrectangle: slice it directly (the old
+        # np.indices mask materialised (nd, *grid) int arrays per call —
+        # ~200 s of churn at 511^3; this is one contiguous scan per leg)
+        ins = tuple(
+            slice(max(0, -d), st.grid[ax] - max(0, d)) for ax, d in enumerate(s)
+        )
         leg = data[k]
-        inside = leg[valid]
+        inside = leg[ins]
         if inside.size == 0:
             coeffs.append(0.0)
             continue
         c = inside.flat[0]
-        if not (np.all(inside == c) and np.all(leg[~valid] == 0)):
+        if not np.all(inside == c):
             return None
+        # outside = union of per-axis border slabs; check each
+        for ax, d in enumerate(s):
+            if d == 0:
+                continue
+            sl = [slice(None)] * nd
+            sl[ax] = slice(st.grid[ax] - d, None) if d > 0 else slice(0, -d)
+            if np.any(leg[tuple(sl)] != 0):
+                return None
         coeffs.append(float(c))
     return ConstStencilMatrix(tuple(coeffs), st.shifts, st.grid)
 
@@ -679,26 +689,31 @@ def dia_to_stencil(dia: DiaMatrix, grid: Tuple[int, ...]) -> "StencilMatrix":
         raise ValueError(f"prod(grid)={n} != n={dia.n}")
     data = np.asarray(dia.data)
     nd = len(grid)
-    out = np.zeros((dia.ndiags,) + tuple(grid), dtype=data.dtype)
     shifts = []
-    idx = np.indices(grid).reshape(nd, -1)  # (nd, n) grid coords in flat order
+    # the invalid set of a leg (grid neighbour out of range on SOME axis)
+    # is a union of per-axis BORDER SLABS — validate those O(boundary)
+    # regions directly instead of materialising (nd, n) coordinate arrays
+    # and per-leg masks (measured: the old form was ~200 s of int64 churn
+    # at 511^3 = 133M rows; this is milliseconds).  The data itself then
+    # reshapes as a zero-copy view (row-major flat order == grid order).
+    view = data.reshape((dia.ndiags,) + tuple(grid))
     for k, off in enumerate(dia.offsets):
         shift = _decompose_offset(off, grid)
         shifts.append(shift)
-        vals = data[k]
-        # valid where the grid neighbour stays inside on every axis
-        ok = np.ones(n, dtype=bool)
-        for ax in range(nd):
-            t = idx[ax] + shift[ax]
-            ok &= (t >= 0) & (t < grid[ax])
-        bad = (~ok) & (vals != 0)
-        if np.any(bad):
-            raise ValueError(
-                f"offset {off}: {int(bad.sum())} nonzeros wrap a grid seam; "
-                "matrix is not a stencil on this grid"
-            )
-        out[k] = np.where(ok, vals, 0.0).reshape(grid)
-    return StencilMatrix(out, tuple(shifts), tuple(grid))
+        for ax, s_ in enumerate(shift):
+            if s_ == 0:
+                continue
+            sl = [slice(None)] * nd
+            # coord + s_ out of [0, g): the last s_ planes (s_>0) / first
+            # |s_| planes (s_<0) along this axis
+            sl[ax] = slice(grid[ax] - s_, None) if s_ > 0 else slice(0, -s_)
+            strip = view[k][tuple(sl)]
+            if np.any(strip != 0):
+                raise ValueError(
+                    f"offset {off}: {int(np.count_nonzero(strip))} nonzeros "
+                    "wrap a grid seam; matrix is not a stencil on this grid"
+                )
+    return StencilMatrix(view, tuple(shifts), tuple(grid))
 
 
 def stencil_to_dia(st: "StencilMatrix") -> DiaMatrix:

@@ -161,16 +161,24 @@ def poisson2d_matrix(nx: int, ny: int | None = None, dtype=np.float64) -> DiaMat
 
 
 def poisson2d_rows(nx: int, ny: int, lo: int, hi: int, dtype=np.float64):
-    """(offsets, data columns) for flat rows [lo, hi) of the 2-D Laplacian."""
-    i = np.arange(lo, hi, dtype=np.int64)
-    x = i % nx
-    y = i // nx
+    """(offsets, data columns) for flat rows [lo, hi) of the 2-D Laplacian.
+
+    Temp-discipline for huge grids: int32 coordinates and bool->dtype
+    assignment casts (a ``np.where(cond, -1.0, 0.0)`` with python floats
+    materialises an fp64 temp per leg — gigabytes of page-faulted churn at
+    100M+ rows, the dominant generator cost)."""
+    idt = np.int32 if hi <= np.iinfo(np.int32).max else np.int64
+    i = np.arange(lo, hi, dtype=idt)
+    x = i % idt(nx)
+    y = i // idt(nx)
+    del i
     data = np.zeros((5, hi - lo), dtype=dtype)
-    data[0] = np.where(y >= 1, -1.0, 0.0)  # A[i, i-nx]
-    data[1] = np.where(x >= 1, -1.0, 0.0)  # A[i, i-1]
+    data[0] = y >= 1  # A[i, i-nx]
+    data[1] = x >= 1  # A[i, i-1]
+    data[3] = x <= nx - 2  # A[i, i+1]
+    data[4] = y <= ny - 2  # A[i, i+nx]
+    np.negative(data, out=data)
     data[2] = 4.0
-    data[3] = np.where(x <= nx - 2, -1.0, 0.0)  # A[i, i+1]
-    data[4] = np.where(y <= ny - 2, -1.0, 0.0)  # A[i, i+nx]
     return (-nx, -1, 0, 1, nx), data
 
 
@@ -184,19 +192,24 @@ def poisson3d_matrix(nx: int, ny: int | None = None, nz: int | None = None, dtyp
 
 
 def poisson3d_rows(nx: int, ny: int, nz: int, lo: int, hi: int, dtype=np.float64):
-    """(offsets, data columns) for flat rows [lo, hi) of the 3-D Laplacian."""
-    i = np.arange(lo, hi, dtype=np.int64)
-    x = i % nx
-    y = (i // nx) % ny
-    z = i // (nx * ny)
+    """(offsets, data columns) for flat rows [lo, hi) of the 3-D Laplacian.
+    Same temp-discipline as ``poisson2d_rows`` (511^3 = 133M rows)."""
+    idt = np.int32 if hi <= np.iinfo(np.int32).max else np.int64
+    i = np.arange(lo, hi, dtype=idt)
+    x = i % idt(nx)
+    i //= idt(nx)  # reuse as i // nx
+    y = i % idt(ny)
+    i //= idt(ny)  # now z
+    z = i
     data = np.zeros((7, hi - lo), dtype=dtype)
-    data[0] = np.where(z >= 1, -1.0, 0.0)
-    data[1] = np.where(y >= 1, -1.0, 0.0)
-    data[2] = np.where(x >= 1, -1.0, 0.0)
+    data[0] = z >= 1
+    data[1] = y >= 1
+    data[2] = x >= 1
+    data[4] = x <= nx - 2
+    data[5] = y <= ny - 2
+    data[6] = z <= nz - 2
+    np.negative(data, out=data)
     data[3] = 6.0
-    data[4] = np.where(x <= nx - 2, -1.0, 0.0)
-    data[5] = np.where(y <= ny - 2, -1.0, 0.0)
-    data[6] = np.where(z <= nz - 2, -1.0, 0.0)
     return (-nx * ny, -nx, -1, 0, 1, nx, nx * ny), data
 
 

@@ -414,7 +414,30 @@ def build_hierarchy(
         and _pick_kind(g) is not None
         and len(levels) < max_levels - 1
     ):
-        kind = _pick_kind(g, geom_ok=_const_near_null(A_h, g))
+        # host stencil conversion FIRST: const-detected levels (the whole
+        # Poisson ladder) replace every full-size host probe below with
+        # O(#legs) arithmetic on the coefficients — the near-null choice
+        # (two 133M-row SpMVs at 511^3), the semicoarsening strengths (a
+        # second full dia_to_stencil pass) and the Chebyshev power
+        # iteration (~20 s at 255^3) all collapse
+        A_st = A_const = None
+        if layout == "stencil":
+            A_st = dia_to_stencil(A_h, g)
+            A_const = stencil_to_const(A_st) if const_detect else None
+        if A_const is not None:
+            # interior-symbol Rayleigh quotients at theta=0 (constant) and
+            # theta=pi (checkerboard) — exactly the two candidates
+            # _const_near_null compares, minus boundary terms that cannot
+            # flip the decision for a coercive stencil
+            q1 = sum(A_const.coeffs)
+            q2 = sum(
+                c * (-1.0) ** (sum(abs(d) for d in s))
+                for c, s in zip(A_const.coeffs, A_const.shifts)
+            )
+            geom_ok = q1 <= q2
+        else:
+            geom_ok = _const_near_null(A_h, g)
+        kind = _pick_kind(g, geom_ok=geom_ok)
         if kind is None:
             break
         if (
@@ -431,7 +454,14 @@ def build_hierarchy(
             # coarsen only axes within semi_theta of the strongest
             # coupling.  Isotropic operators select every axis and take
             # the ordinary fw/hyb path unchanged.
-            s_ax = _axis_strengths(A_h, g)
+            if A_const is not None:
+                s_ax = np.zeros(len(g))
+                for c, s in zip(A_const.coeffs, A_const.shifts):
+                    nz = [ax for ax in range(len(g)) if s[ax] != 0]
+                    if len(nz) == 1:
+                        s_ax[nz[0]] = max(s_ax[nz[0]], abs(float(c)))
+            else:
+                s_ax = _axis_strengths(A_h, g)
             if s_ax.max() > 0:
                 mask = tuple(bool(v >= semi_theta * s_ax.max()) for v in s_ax)
                 if not all(mask) and transfer.can_partial(g, mask):
@@ -441,17 +471,17 @@ def build_hierarchy(
             # (see the transfer_kind check above): stop here — the dense
             # coarse inverse takes over at whatever size remains
             break
-        diag = dia_diagonal(A_h)
+        center = (0,) * len(g)
+        if A_const is not None and center in A_const.shifts:
+            # const level: the (scalar) diagonal, skipping the O(n) scan
+            diag = np.asarray(
+                [A_const.coeffs[A_const.shifts.index(center)]],
+                np.asarray(A_h.data).dtype,
+            )
+        else:
+            diag = dia_diagonal(A_h)
         if np.any(diag <= 0):
             raise ValueError("non-positive diagonal; not SPD-compatible with Jacobi scaling")
-        # host stencil conversion BEFORE the spectrum probe: const-detected
-        # levels (the whole Poisson ladder) get analytic Gershgorin bounds
-        # instead of a 30-step host power iteration (at 255^3 that probe
-        # alone was ~20 s of the setup time)
-        A_st = A_const = None
-        if layout == "stencil":
-            A_st = dia_to_stencil(A_h, g)
-            A_const = stencil_to_const(A_st) if const_detect else None
         if smoother == "chebyshev" or kind == "agg":
             if A_const is not None and kind != "agg":
                 bounds = _const_bounds(A_const)
