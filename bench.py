@@ -274,6 +274,37 @@ def main() -> None:
         }
 
     # ------------------------------------------------------------------
+    # Section 2b: the 100M-row ladder extension — 511^3 = 133.4M rows on
+    # ONE chip (the const-stencil hierarchy ships zero matrix bytes, so the
+    # operator costs nothing in HBM; setup is ~2 s host-side after the r4
+    # O(boundary) stencil-validation overhaul).
+    # ------------------------------------------------------------------
+    @section("mgcg_poisson3d_511", floor_s=420.0 if on_tpu else 1e9)
+    def _poisson3d_511():
+        g5 = (511, 511, 511)
+        sys5 = generators.poisson_system(g5, dtype=dtype)
+        t0 = time.perf_counter()
+        h5 = build_hierarchy(
+            sys5.A, g5, smoother="chebyshev", pre=2, post=2, dtype=dtype,
+            coarse_operator=generators.poisson_coarse_operator(dtype),
+        )
+        setup_s = time.perf_counter() - t0
+        A5 = h5.levels[0].A
+        b5 = jnp.asarray(sys5.b, dtype=dtype).reshape(g5)
+        pol5 = ConvergencePolicy(tol=tol, norm="rel_l2", max_iteration=8 * sys5.n)
+        run5 = make_scan(with_mg=True, policy=pol5)
+        t5, (i5, r5, c5) = timed(run5, h5, A5, b5, (1, 3), tries=2)
+        assert bool(np.asarray(c5).all()), f"511^3 MGCG failed: {np.asarray(r5)}"
+        record["mgcg_poisson3d_511"] = {
+            "n": sys5.n,
+            "solve_s": round(t5, 4),
+            "iters": int(np.asarray(i5)[-1]),
+            "setup_s": round(setup_s, 1),
+            "levels": f"{len(h5.levels)}+1",
+            "tol": tol,
+        }
+
+    # ------------------------------------------------------------------
     # Section 3: per-chip SpMV metrics (BASELINE.md declared targets:
     # GFLOP/s + nnz/s for the stencil roofline path AND the handmade
     # Pallas-DIA path).
