@@ -24,7 +24,7 @@ exchange):
 - ``parallel`` — mesh row-block sharding via ``shard_map`` and GSPMD: ``psum``
                  dots replace the reference's host-side ``Sum()`` allreduce and
                  ``ppermute`` halo shifts over ICI/DCN replace its staged
-                 device->host->device boundary copies; ten distributed designs
+                 device->host->device boundary copies; sixteen distributed designs
                  including communication-reduced variants.
 - ``models``   — problem families: the reference's five benchmark workloads and
                  structured Poisson grids (1-D/2-D/3-D) for multigrid.
