@@ -96,8 +96,8 @@ def main() -> int:
     # d5 stops at 63^2: dense coarse inverse = 63 MB, ~90 us/matvec — the
     # trade of one big MXU matvec for two small-grid smoothing levels.
     # (127^2 would need a 1 GB inverse — out of the question.)
-    for max_coarse, tag in [(1025, "d6"), (4200, "d5")]:
-        for pre, post in [(2, 2), (3, 3), (4, 4)]:
+    for max_coarse, tag in [(1025, "d6")]:
+        for pre, post in [(1, 1), (2, 1), (1, 2), (2, 2), (3, 3)]:
             h = build_hierarchy(
                 system.A, grid, smoother="chebyshev", pre=pre, post=post,
                 dtype=dtype, max_coarse=max_coarse,
