@@ -46,6 +46,197 @@ class RefineResult:
     stalled: bool = False  # progress hit the fp64 evaluation noise floor
 
 
+
+
+# ---------------------------------------------------------------------------
+# Module-cached jitted inner solvers.
+#
+# Rebuilding ``jax.jit(lambda ...)`` per refined_solve CALL made every call
+# re-trace/lower its inner programs (the persistent compile cache skips XLA
+# compilation but not tracing + lowering + tunnel cache lookups — measured
+# ~23 s per warm flagship call in a fresh process where the repeated-call
+# cost should be the ~0.2 s of actual work).  Same defect class as the
+# round-3 Arnoldi advisor finding; same cure: cache the jitted function on
+# its STATIC configuration and pass everything else as pytree arguments.
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+def _inner_of(inner: str):
+    if inner == "bicgstab":
+        from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+
+        return bicgstab_solve
+    from conjugategradient_tpu.solvers.cg import cg_solve as _cg
+
+    return _cg
+
+
+@_functools.lru_cache(maxsize=64)
+def _jit_inner_mg(inner: str, inner_tol: float, max_iter: int, prec: bool):
+    import jax
+
+    from conjugategradient_tpu.precond import as_preconditioner as _as_p
+
+    fn = _inner_of(inner)
+    pol = ConvergencePolicy(tol=inner_tol, norm="rel_l2", max_iteration=max_iter)
+    return jax.jit(
+        lambda h_, A_, r: fn(A_, r, policy=pol, M=_as_p(h_), precise_dot=prec)
+    )
+
+
+@_functools.lru_cache(maxsize=64)
+def _jit_inner_mg_deflated(inner_tol: float, max_iter: int, prec: bool):
+    import jax
+
+    from conjugategradient_tpu.precond import as_preconditioner as _as_p
+    from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
+
+    pol = ConvergencePolicy(tol=inner_tol, norm="rel_l2", max_iteration=max_iter)
+    return jax.jit(
+        lambda h_, A_, d_, r: deflated_cg_solve(
+            A_, r, policy=pol, M=_as_p(h_), precise_dot=prec, deflation=d_
+        )
+    )
+
+
+@_functools.lru_cache(maxsize=64)
+def _jit_inner_cm(inner: str, inner_tol: float, max_iter: int, prec: bool):
+    import jax
+
+    from conjugategradient_tpu.ops.pallas_spmv import cm_apply
+
+    fn = _inner_of(inner)
+    pol = ConvergencePolicy(tol=inner_tol, norm="rel_l2", max_iteration=max_iter)
+    return jax.jit(
+        lambda A_, r_cm: fn(
+            lambda v: cm_apply(A_, v), r_cm, policy=pol, precise_dot=prec
+        )
+    )
+
+
+@_functools.lru_cache(maxsize=64)
+def _jit_inner_cm_deflated(inner_tol: float, max_iter: int, prec: bool, offsets, n):
+    import jax
+
+    from conjugategradient_tpu.ops.pallas_spmv import cm_apply, from_cm, plan_dia_cm, to_cm
+    from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
+
+    plan = plan_dia_cm(offsets, n)
+    pol = ConvergencePolicy(tol=inner_tol, norm="rel_l2", max_iteration=max_iter)
+
+    def _cm_deflated(A_, d_, r):
+        d_cm = d_.map_basis(lambda col: to_cm(col, plan).reshape(-1))
+        res = deflated_cg_solve(
+            lambda v: cm_apply(A_, v), to_cm(r, plan),
+            policy=pol, precise_dot=prec, deflation=d_cm,
+        )
+        return dataclasses.replace(res, x=from_cm(res.x, plan))
+
+    return jax.jit(_cm_deflated)
+
+
+@_functools.lru_cache(maxsize=64)
+def _jit_inner_plain(inner: str, inner_tol: float, max_iter: int, prec: bool):
+    import jax
+
+    fn = _inner_of(inner)
+    pol = ConvergencePolicy(tol=inner_tol, norm="rel_l2", max_iteration=max_iter)
+    return jax.jit(lambda A_, r: fn(A_, r, policy=pol, precise_dot=prec))
+
+
+@_functools.lru_cache(maxsize=64)
+def _jit_inner_plain_deflated(inner_tol: float, max_iter: int, prec: bool):
+    import jax
+
+    from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
+
+    pol = ConvergencePolicy(tol=inner_tol, norm="rel_l2", max_iteration=max_iter)
+    return jax.jit(
+        lambda A_, d_, r: deflated_cg_solve(
+            A_, r, policy=pol, precise_dot=prec, deflation=d_
+        )
+    )
+
+
+@_functools.lru_cache(maxsize=8)
+def _jit_dd_resid():
+    import jax
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.ops import dd
+
+    @jax.jit
+    def resid(ddm_, b_dd, x_dd):
+        r = dd.dd_residual(ddm_, b_dd, x_dd)
+        rr = dd.dd_norm_sq(r)
+        mx = dd.dd_max_abs(r)
+        s = jnp.where(mx > 0, mx, 1.0)
+        return dd.dd_value(r) / s, rr, mx
+
+    return resid
+
+
+@_functools.lru_cache(maxsize=64)
+def _jit_dd_update(mode: str, inner: str, inner_tol: float, max_iter: int,
+                   deflated: bool, offsets, n):
+    """Cached device-residual update program (see _jit_inner_* rationale).
+    ``mode``: "mg" | "cm" | "plain"; ``deflated`` resolves the trace-time
+    None-pytree branch; ``offsets``/``n`` key the CM plan."""
+    import jax
+
+    from conjugategradient_tpu.ops import dd
+    from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
+
+    fn = _inner_of(inner)
+    pol = ConvergencePolicy(tol=inner_tol, norm="rel_l2", max_iteration=max_iter)
+    if mode == "mg":
+        from conjugategradient_tpu.precond import as_preconditioner as _as_p
+
+        @jax.jit
+        def update(h_, A_, d_, x_dd, r32, s):
+            if d_ is None:
+                d = fn(A_, r32, policy=pol, M=_as_p(h_), precise_dot=True)
+            else:
+                d = deflated_cg_solve(A_, r32, policy=pol, M=_as_p(h_),
+                                      precise_dot=True, deflation=d_)
+            return dd.dd_axpy(x_dd, s, d.x), d.iterations
+
+        return update
+    if mode == "cm":
+        from conjugategradient_tpu.ops.pallas_spmv import (
+            cm_apply, from_cm, plan_dia_cm, to_cm,
+        )
+
+        plan = plan_dia_cm(offsets, n)
+
+        @jax.jit
+        def update(A_, d_, x_dd, r32, s):
+            if d_ is None:
+                d = fn(lambda v: cm_apply(A_, v), to_cm(r32, plan),
+                       policy=pol, precise_dot=True)
+            else:
+                d_cm = d_.map_basis(lambda col: to_cm(col, plan).reshape(-1))
+                d = deflated_cg_solve(lambda v: cm_apply(A_, v),
+                                      to_cm(r32, plan), policy=pol,
+                                      precise_dot=True, deflation=d_cm)
+            return dd.dd_axpy(x_dd, s, from_cm(d.x, plan)), d.iterations
+
+        return update
+
+    @jax.jit
+    def update(A_, d_, x_dd, r32, s):
+        if d_ is None:
+            d = fn(A_, r32, policy=pol, precise_dot=True)
+        else:
+            d = deflated_cg_solve(A_, r32, policy=pol, precise_dot=True,
+                                  deflation=d_)
+        return dd.dd_axpy(x_dd, s, d.x), d.iterations
+
+    return update
+
+
 def refined_solve(
     A: DiaMatrix,
     b: np.ndarray,
@@ -182,79 +373,45 @@ def refined_solve(
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
 
-    inner_policy = ConvergencePolicy(
-        tol=inner_tol, norm="rel_l2", max_iteration=min(8 * n, 1_000_000)
-    )
-    # operator and preconditioner ride as pytree ARGUMENTS (closure constants
-    # ship with the compile payload — prohibitive for large systems)
+    max_it = min(8 * n, 1_000_000)
+    # operator and preconditioner ride as pytree ARGUMENTS, and the jitted
+    # inner programs are MODULE-CACHED on their static configuration (a
+    # fresh jax.jit per call re-traces every pass — measured ~23 s/call of
+    # pure tracing/lowering overhead on the flagship; see _jit_inner_*)
     prec = device_dtype == np.float32
     if M is not None:
-        from conjugategradient_tpu.precond import as_preconditioner as _as_p
-
         if deflation is None:
-            solve_jit = jax.jit(
-                lambda h_, A_, r: _inner_fn(
-                    A_, r, policy=inner_policy, M=_as_p(h_), precise_dot=prec
-                )
-            )
+            solve_jit = _jit_inner_mg(inner, float(inner_tol), max_it, prec)
             solve = lambda r: solve_jit(h, A_dev, r)
         else:
-            from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
-
-            solve_jit = jax.jit(
-                lambda h_, A_, d_, r: deflated_cg_solve(
-                    A_, r, policy=inner_policy, M=_as_p(h_),
-                    precise_dot=prec, deflation=d_,
-                )
-            )
+            solve_jit = _jit_inner_mg_deflated(float(inner_tol), max_it, prec)
             solve = lambda r: solve_jit(h, A_dev, deflation, r)
     elif use_pallas and grid is None:
-        from conjugategradient_tpu.ops.pallas_spmv import cm_apply, from_cm, plan_dia_cm, to_cm
+        from conjugategradient_tpu.ops.pallas_spmv import from_cm, plan_dia_cm, to_cm
 
         plan = plan_dia_cm(tuple(A.offsets), n)
         if deflation is None:
-            solve_jit = jax.jit(
-                lambda A_, r_cm: _inner_fn(
-                    lambda v: cm_apply(A_, v), r_cm, policy=inner_policy,
-                    precise_dot=prec,
-                )
-            )
+            solve_jit = _jit_inner_cm(inner, float(inner_tol), max_it, prec)
 
             def solve(r):  # r arrives flat; Krylov state stays column-major
                 res = solve_jit(A_dev, to_cm(r.reshape(-1), plan))
                 return dataclasses.replace(res, x=from_cm(res.x, plan))
 
         else:
-            from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
-
             # deflation IN CM space: relayout the basis once per solve (a
             # permutation+pad is linear and inner-product-preserving, so the
             # Galerkin/projection algebra is unchanged) instead of the
             # iterate twice per iteration
-            def _cm_deflated(A_, d_, r):
-                d_cm = d_.map_basis(lambda col: to_cm(col, plan).reshape(-1))
-                res = deflated_cg_solve(
-                    lambda v: cm_apply(A_, v), to_cm(r, plan),
-                    policy=inner_policy, precise_dot=prec, deflation=d_cm,
-                )
-                return dataclasses.replace(res, x=from_cm(res.x, plan))
-
-            solve_jit = jax.jit(_cm_deflated)
+            solve_jit = _jit_inner_cm_deflated(
+                float(inner_tol), max_it, prec, tuple(A.offsets), n
+            )
             solve = lambda r: solve_jit(A_dev, deflation, r.reshape(-1))
     else:
         if deflation is None:
-            solve_jit = jax.jit(
-                lambda A_, r: _inner_fn(A_, r, policy=inner_policy, precise_dot=prec)
-            )
+            solve_jit = _jit_inner_plain(inner, float(inner_tol), max_it, prec)
             solve = lambda r: solve_jit(A_dev, r)
         else:
-            from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
-
-            solve_jit = jax.jit(
-                lambda A_, d_, r: deflated_cg_solve(
-                    A_, r, policy=inner_policy, precise_dot=prec, deflation=d_
-                )
-            )
+            solve_jit = _jit_inner_plain_deflated(float(inner_tol), max_it, prec)
             solve = lambda r: solve_jit(A_dev, deflation, r)
 
     def true_residual(x):
@@ -290,9 +447,14 @@ def refined_solve(
             return RefineResult(x, outer, inner_total, 0.0, True, history)
         r_dev = jnp.asarray((r / s).astype(device_dtype)).reshape(shape)
         dres = solve(r_dev)
-        inner_total += int(dres.iterations)
-        d = np.asarray(dres.x, dtype=np.float64).reshape(-1)
-        x = x + s * d
+        # ONE batched readback per pass: separate int(iterations) /
+        # np.asarray(x) reads each block on the serving tunnel's dispatch-
+        # to-readback latency (measured ~2.5 s PER scalar read on the
+        # flagship — 10 of the 13.5 s warm wall time were four iteration
+        # counts and their paired solution reads)
+        d_host, it_host = jax.device_get((dres.x, dres.iterations))
+        inner_total += int(it_host)
+        x = x + s * np.asarray(d_host, dtype=np.float64).reshape(-1)
 
     r, res = true_residual(x)
     history.append(res)
@@ -382,71 +544,22 @@ def _refined_solve_device(
             use_pallas = jax.default_backend() == "tpu"
         ddm = dd.dd_split_matrix(A)
 
-    inner_policy = ConvergencePolicy(
-        tol=inner_tol, norm="rel_l2", max_iteration=min(8 * n, 1_000_000)
-    )
-
-    @jax.jit
-    def resid(ddm_, b_dd, x_dd):
-        r = dd.dd_residual(ddm_, b_dd, x_dd)
-        rr = dd.dd_norm_sq(r)
-        mx = dd.dd_max_abs(r)
-        s = jnp.where(mx > 0, mx, 1.0)
-        return dd.dd_value(r) / s, rr, mx
-
-    # (d_ is None) below resolves at TRACE time: None is an empty pytree, so
-    # the undeflated programs carry no dead deflation branches
+    max_it = min(8 * n, 1_000_000)
+    resid = _jit_dd_resid()
+    # the jitted update programs are MODULE-CACHED (see _jit_inner_*); the
+    # (d_ is None) branch inside resolves at TRACE time — None is an empty
+    # pytree, so undeflated programs carry no dead deflation branches
     if M is not None:
-        from conjugategradient_tpu.precond import as_preconditioner as _as_p
-
-        from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
-
-        @jax.jit
-        def update(h_, A_, d_, x_dd, r32, s):
-            if d_ is None:
-                d = inner_solve(A_, r32, policy=inner_policy, M=_as_p(h_),
-                                precise_dot=True)
-            else:
-                d = deflated_cg_solve(A_, r32, policy=inner_policy,
-                                      M=_as_p(h_), precise_dot=True,
-                                      deflation=d_)
-            return dd.dd_axpy(x_dd, s, d.x), d.iterations
-
+        update = _jit_dd_update("mg", inner, float(inner_tol), max_it,
+                                deflation is not None, (), 0)
         update_args = lambda: (h, A_dev, deflation)
     elif use_pallas and grid is None:
-        from conjugategradient_tpu.ops.pallas_spmv import (
-            cm_apply, from_cm, plan_dia_cm, to_cm,
-        )
-
-        plan = plan_dia_cm(tuple(A.offsets), n)
-
-        from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
-
-        @jax.jit
-        def update(A_, d_, x_dd, r32, s):
-            if d_ is None:
-                d = inner_solve(lambda v: cm_apply(A_, v), to_cm(r32, plan),
-                                policy=inner_policy, precise_dot=True)
-            else:
-                d_cm = d_.map_basis(lambda col: to_cm(col, plan).reshape(-1))
-                d = deflated_cg_solve(lambda v: cm_apply(A_, v),
-                                      to_cm(r32, plan), policy=inner_policy,
-                                      precise_dot=True, deflation=d_cm)
-            return dd.dd_axpy(x_dd, s, from_cm(d.x, plan)), d.iterations
-
+        update = _jit_dd_update("cm", inner, float(inner_tol), max_it,
+                                deflation is not None, tuple(A.offsets), n)
         update_args = lambda: (A_dev, deflation)
     else:
-        from conjugategradient_tpu.solvers.deflation import deflated_cg_solve
-
-        @jax.jit
-        def update(A_, d_, x_dd, r32, s):
-            if d_ is None:
-                d = inner_solve(A_, r32, policy=inner_policy, precise_dot=True)
-            else:
-                d = deflated_cg_solve(A_, r32, policy=inner_policy,
-                                      precise_dot=True, deflation=d_)
-            return dd.dd_axpy(x_dd, s, d.x), d.iterations
-
+        update = _jit_dd_update("plain", inner, float(inner_tol), max_it,
+                                deflation is not None, (), 0)
         update_args = lambda: (A_dev, deflation)
 
     b_dd = dd.dd_from_f64(b64.reshape(shape))
@@ -509,9 +622,22 @@ def run_device_refinement(
     stall_count = 0
     rr0 = None
     res = float("inf")
+    import jax as _jax
+
+    its_pending = None  # previous pass's inner-iteration count (device)
     for outer in range(max_outer):
         r32, rr_a, mx_a = resid_fn(b_dd, x_dd)
-        rr, mx = float(rr_a), float(mx_a)
+        # ONE batched readback per pass — separate float()/int() calls each
+        # pay the serving tunnel's dispatch-to-readback latency (measured
+        # ~2.5 s PER scalar on the flagship); the previous pass's iteration
+        # count rides along instead of blocking right after its update
+        got = _jax.device_get(
+            (rr_a, mx_a) if its_pending is None else (rr_a, mx_a, its_pending)
+        )
+        rr, mx = float(got[0]), float(got[1])
+        if its_pending is not None:
+            inner_total += int(got[2])
+            its_pending = None
         if rr0 is None:
             rr0 = rr
         res = res_of(rr, mx, rr0)
@@ -528,10 +654,15 @@ def run_device_refinement(
         if mx == 0.0:
             return finish(x_dd, outer, inner_total, 0.0, True, history)
         x_dd, its = update_fn(x_dd, r32, jnp.float32(mx))
-        inner_total += int(its)
+        its_pending = its  # read with the NEXT pass's batch
 
     _, rr_a, mx_a = resid_fn(b_dd, x_dd)
-    res = res_of(float(rr_a), float(mx_a), rr0 if rr0 is not None else 1.0)
+    got = _jax.device_get(
+        (rr_a, mx_a) if its_pending is None else (rr_a, mx_a, its_pending)
+    )
+    if its_pending is not None:
+        inner_total += int(got[2])
+    res = res_of(float(got[0]), float(got[1]), rr0 if rr0 is not None else 1.0)
     history.append(res)
     return finish(x_dd, max_outer, inner_total, res, res < tol, history)
 
