@@ -371,9 +371,13 @@ def stencil_to_const(st: "StencilMatrix"):
     for k, s in enumerate(st.shifts):
         # the valid region is a hyperrectangle: slice it directly (the old
         # np.indices mask materialised (nd, *grid) int arrays per call —
-        # ~200 s of churn at 511^3; this is one contiguous scan per leg)
+        # ~200 s of churn at 511^3; this is one contiguous scan per leg).
+        # Clamp the stop at the start: a |shift| >= extent leg has an EMPTY
+        # valid region, and an unclamped negative stop would wrap around
+        # and fabricate a coefficient (review finding, differential-tested)
         ins = tuple(
-            slice(max(0, -d), st.grid[ax] - max(0, d)) for ax, d in enumerate(s)
+            slice(max(0, -d), max(max(0, -d), st.grid[ax] - max(0, d)))
+            for ax, d in enumerate(s)
         )
         leg = data[k]
         inside = leg[ins]
@@ -678,11 +682,20 @@ def _decompose_offset(off: int, grid: Tuple[int, ...]) -> Tuple[int, ...]:
     return tuple(out)
 
 
-def dia_to_stencil(dia: DiaMatrix, grid: Tuple[int, ...]) -> "StencilMatrix":
+def dia_to_stencil(
+    dia: DiaMatrix, grid: Tuple[int, ...], copy: bool = True
+) -> "StencilMatrix":
     """DIA -> grid stencil.  Exact: every flat offset must decompose into a
     per-axis shift, and entries whose *grid* neighbour differs from their
     *flat* neighbour (row-seam wraps) must already be zero in ``data`` —
     which our generators and Galerkin products guarantee; violations raise.
+
+    ``copy=False`` returns the data as a zero-copy reshape VIEW of
+    ``dia.data`` (row-major flat order == grid order) — the setup fast path
+    for huge grids (a 3.7 GB memcpy at 511^3) — at the price of aliasing:
+    mutating either object's buffer then silently changes the other.  Safe
+    when both objects are transient setup state (``build_hierarchy``);
+    the default copies.
     """
     n = int(np.prod(grid))
     if dia.n != n:
@@ -697,6 +710,8 @@ def dia_to_stencil(dia: DiaMatrix, grid: Tuple[int, ...]) -> "StencilMatrix":
     # at 511^3 = 133M rows; this is milliseconds).  The data itself then
     # reshapes as a zero-copy view (row-major flat order == grid order).
     view = data.reshape((dia.ndiags,) + tuple(grid))
+    if copy:
+        view = view.copy()
     for k, off in enumerate(dia.offsets):
         shift = _decompose_offset(off, grid)
         shifts.append(shift)

@@ -422,19 +422,32 @@ def build_hierarchy(
         # iteration (~20 s at 255^3) all collapse
         A_st = A_const = None
         if layout == "stencil":
-            A_st = dia_to_stencil(A_h, g)
+            # copy=False: A_st aliases A_h's buffer — both are transient
+            # setup state here (A_h is replaced by the next coarse level,
+            # nothing mutates either) and the copy is the dominant setup
+            # cost at 511^3 (a 3.7 GB memcpy)
+            A_st = dia_to_stencil(A_h, g, copy=False)
             A_const = stencil_to_const(A_st) if const_detect else None
         if A_const is not None:
-            # interior-symbol Rayleigh quotients at theta=0 (constant) and
-            # theta=pi (checkerboard) — exactly the two candidates
-            # _const_near_null compares, minus boundary terms that cannot
-            # flip the decision for a coercive stencil
-            q1 = sum(A_const.coeffs)
-            q2 = sum(
-                c * (-1.0) ** (sum(abs(d) for d in s))
-                for c, s in zip(A_const.coeffs, A_const.shifts)
-            )
-            geom_ok = q1 <= q2
+            # EXACT closed form of _const_near_null's two Rayleigh
+            # quotients for a const stencil: each leg (c, s) contributes to
+            # ones.A.ones once per valid position — prod_ax(g_ax - |s_ax|)
+            # of them — and the checkerboard conjugation multiplies that by
+            # (-1)^{sum s_ax}.  (An interior-symbol shortcut that dropped
+            # the boundary counts flipped the decision on 7/2000 random
+            # coercive mixed-sign stencils — review finding; this form is
+            # differentially exact.)
+            def _q(signed: bool) -> float:
+                tot = 0.0
+                for c, sh in zip(A_const.coeffs, A_const.shifts):
+                    cnt = 1.0
+                    for ax, d in enumerate(sh):
+                        cnt *= max(0, g[ax] - abs(d))
+                    sgn = (-1.0) ** sum(sh) if signed else 1.0
+                    tot += float(c) * sgn * cnt
+                return tot
+
+            geom_ok = _q(False) <= _q(True)
         else:
             geom_ok = _const_near_null(A_h, g)
         kind = _pick_kind(g, geom_ok=geom_ok)

@@ -93,9 +93,9 @@ def main() -> int:
         return max((times[k2] - times[k1]) / (k2 - k1), 1e-9), int(np.asarray(its)[-1])
 
     results = []
-    # d5 stops at 63^2: dense coarse inverse = 63 MB, ~90 us/matvec — the
-    # trade of one big MXU matvec for two small-grid smoothing levels.
-    # (127^2 would need a 1 GB inverse — out of the question.)
+    # d6 = the production depth; the d5 arm (63^2 dense coarse, one big
+    # MXU matvec for two small-grid levels) measured WORSE across the
+    # board in the first sweep and was dropped
     for max_coarse, tag in [(1025, "d6")]:
         for pre, post in [(1, 1), (2, 1), (1, 2), (2, 2), (3, 3)]:
             h = build_hierarchy(

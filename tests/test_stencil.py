@@ -179,3 +179,71 @@ def test_const_stencil_spmv_matches_oracle():
 
     st = dia_to_stencil(banded_sin_matrix(32, 4), (32,))
     assert stencil_to_const(st) is None
+
+
+def test_stencil_to_const_shift_exceeding_extent():
+    """Review finding (r4): a leg whose |shift| >= the axis extent has an
+    EMPTY valid region; the unclamped hyperrectangle slice wrapped around
+    (negative stop) and fabricated a coefficient.  Old-code behavior:
+    coefficient 0.0."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conjugategradient_tpu.core.formats import StencilMatrix, stencil_to_const
+
+    st = StencilMatrix(
+        jnp.asarray(np.stack([np.full((2,), 3.0), np.full((2,), 5.0)])),
+        ((3,), (0,)),
+        (2,),
+    )
+    c = stencil_to_const(st)
+    assert c is not None
+    assert c.coeffs == (0.0, 5.0)
+
+
+def test_const_near_null_probe_matches_host_probe():
+    """Review finding (r4): the const-stencil near-null fast path must be
+    EXACTLY the host probe's decision (an interior-symbol shortcut flipped
+    7/2000 random coercive mixed-sign stencils).  Differential test over
+    randomized const stencils, including boundary-sensitive mixed signs."""
+    import numpy as np
+
+    from conjugategradient_tpu.core.formats import (
+        ConstStencilMatrix,
+        const_to_stencil,
+        stencil_to_dia,
+    )
+    from conjugategradient_tpu.precond.multigrid import _const_near_null
+
+    rng = np.random.default_rng(0)
+    grids = [(9,), (7, 9), (5, 7, 9)]
+    flips = 0
+    for trial in range(300):
+        g = grids[trial % 3]
+        nd = len(g)
+        shifts = [(0,) * nd]
+        for ax in range(nd):
+            for d in (-1, 1):
+                s = [0] * nd
+                s[ax] = d
+                shifts.append(tuple(s))
+        offd = rng.uniform(-1.0, 1.3, len(shifts) - 1)
+        c0 = float(np.abs(offd).sum() * rng.uniform(1.01, 1.6))
+        coeffs = (c0,) + tuple(float(v) for v in offd)
+        Ac = ConstStencilMatrix(coeffs, tuple(shifts), tuple(g))
+        A_h = stencil_to_dia(const_to_stencil(Ac))
+        ref = _const_near_null(A_h, g)
+
+        # replicate build_hierarchy's exact closed form
+        def q(signed):
+            tot = 0.0
+            for c, sh in zip(Ac.coeffs, Ac.shifts):
+                cnt = 1.0
+                for ax, d in enumerate(sh):
+                    cnt *= max(0, g[ax] - abs(d))
+                tot += float(c) * ((-1.0) ** sum(sh) if signed else 1.0) * cnt
+            return tot
+
+        got = q(False) <= q(True)
+        flips += got != ref
+    assert flips == 0
