@@ -470,7 +470,9 @@ def main() -> None:
         fsys = w.build(dtype=np.float64)
         best = float("inf")
         rres = None
-        for _ in range(2):  # first call compiles; min of 2 warm-ish
+        # first call traces; the module-cached inner jits make repeats
+        # cheap (~5 s each), so min-of-3 rides out tunnel-latency windows
+        for _ in range(3):
             t0 = time.perf_counter()
             rres = refined_solve(
                 fsys.A, fsys.b, fsys.x0, tol=w.policy.tol, norm=w.policy.norm,

@@ -237,6 +237,35 @@ def _jit_dd_update(mode: str, inner: str, inner_tol: float, max_iter: int,
     return update
 
 
+@_functools.lru_cache(maxsize=32)
+def _jit_multi_mg(inner_tol: float, max_iter: int):
+    import jax
+
+    from conjugategradient_tpu.solvers.multi import (
+        as_multi_preconditioner,
+        cg_solve_multi,
+    )
+
+    pol = ConvergencePolicy(tol=inner_tol, norm="rel_l2", max_iteration=max_iter)
+    return jax.jit(
+        lambda h_, A_, R: cg_solve_multi(
+            A_, R, policy=pol, M=as_multi_preconditioner(h_)
+        )
+    )
+
+
+@_functools.lru_cache(maxsize=32)
+def _jit_multi_plain(inner_tol: float, max_iter: int, use_pallas: bool):
+    import jax
+
+    from conjugategradient_tpu.solvers.multi import cg_solve_multi
+
+    pol = ConvergencePolicy(tol=inner_tol, norm="rel_l2", max_iteration=max_iter)
+    return jax.jit(
+        lambda A_, R: cg_solve_multi(A_, R, policy=pol, use_pallas=use_pallas)
+    )
+
+
 def refined_solve(
     A: DiaMatrix,
     b: np.ndarray,
@@ -750,23 +779,14 @@ def refined_solve_multi(
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
 
-    inner_policy = ConvergencePolicy(
-        tol=inner_tol, norm="rel_l2", max_iteration=min(8 * n, 1_000_000)
-    )
-    # hierarchy/operator ride as pytree ARGUMENTS, never closure constants
+    max_it = min(8 * n, 1_000_000)
+    # hierarchy/operator ride as pytree ARGUMENTS, never closure constants;
+    # the jitted programs are MODULE-CACHED (see _jit_inner_* rationale)
     if grid is not None:
-        solve_jit = jax.jit(
-            lambda h_, A_, R: cg_solve_multi(
-                A_, R, policy=inner_policy, M=as_multi_preconditioner(h_)
-            )
-        )
+        solve_jit = _jit_multi_mg(float(inner_tol), max_it)
         solve = lambda R: solve_jit(h, A_dev, R)
     else:
-        solve_jit = jax.jit(
-            lambda A_, R: cg_solve_multi(
-                A_, R, policy=inner_policy, use_pallas=bool(use_pallas)
-            )
-        )
+        solve_jit = _jit_multi_plain(float(inner_tol), max_it, bool(use_pallas))
         solve = lambda R: solve_jit(A_dev, R)
 
     def spmm64(X):
