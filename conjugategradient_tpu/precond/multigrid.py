@@ -171,12 +171,15 @@ def _near_null(A_h: DiaMatrix, grid: GridShape) -> np.ndarray:
     return best
 
 
-def _axis_strengths(A_h: DiaMatrix, grid: GridShape) -> np.ndarray:
+def _axis_strengths(A_h: DiaMatrix, grid: GridShape, st=None) -> np.ndarray:
     """Per-axis coupling strength: max |value| over the AXIS-ALIGNED
     off-diagonal stencil legs (the classic semicoarsening detector —
     anisotropic operators couple strongly along some axes only, and the
-    point smoother leaves error smooth only along those)."""
-    st = dia_to_stencil(A_h, grid)
+    point smoother leaves error smooth only along those).  Pass ``st``
+    when the stencil form already exists (build_hierarchy) to skip a
+    second full-size conversion."""
+    if st is None:
+        st = dia_to_stencil(A_h, grid)
     d = len(grid)
     out = np.zeros(d)
     data = np.asarray(st.data)
@@ -474,7 +477,7 @@ def build_hierarchy(
                     if len(nz) == 1:
                         s_ax[nz[0]] = max(s_ax[nz[0]], abs(float(c)))
             else:
-                s_ax = _axis_strengths(A_h, g)
+                s_ax = _axis_strengths(A_h, g, st=A_st)
             if s_ax.max() > 0:
                 mask = tuple(bool(v >= semi_theta * s_ax.max()) for v in s_ax)
                 if not all(mask) and transfer.can_partial(g, mask):
