@@ -46,7 +46,12 @@ class ConvergencePolicy:
             raise ValueError("max_iteration must be >= min_iteration")
 
     def resolve_max(self, n: int) -> int:
-        return int(self.max_iteration) if self.max_iteration is not None else int(n)
+        """Default cap = n (exact-arithmetic CG termination bound), clamped
+        to int32 range: iteration counters are device int32 everywhere, and
+        at 347M+ rows a caller passing ``max_iteration=8*n`` overflowed the
+        ``jnp.int32`` carry (found at 703^3)."""
+        m = int(self.max_iteration) if self.max_iteration is not None else int(n)
+        return min(m, 2**31 - 1)
 
 
 class NotConvergedError(RuntimeError):

@@ -1,0 +1,89 @@
+"""Single-chip 3-D scale ceiling: N^3 Poisson MGCG at 261M-347M rows.
+
+The const-stencil hierarchy ships ZERO matrix bytes, so the only HBM cost
+is the vector working set (~10 fp32 vectors) — 639^3 = 260.9M rows runs in
+996 ms/solve and 703^3 = 347.4M in 1.44 s/solve (5 its to 1e-6 rel, true
+fp64 residuals checked; artifacts/rung_{639,703}cubed_r04.json), 2.6-3.5x
+past the BASELINE ladder's "100M rows" scale on ONE chip.  Grid axes must
+form an all-odd coarsening chain (639 -> 319 -> ... -> 19; 703 -> 351 ->
+... -> 21 -> 10^3 dense tail).  703^3 also exercised the int32
+max_iteration clamp (solvers/policy.py::resolve_max).
+
+Run only when no other TPU process is active:
+    python scripts/rung_big3d_onchip.py [--n 639|703]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+import jax.numpy as jnp
+from conjugategradient_tpu.core import generators, oracle
+from conjugategradient_tpu.precond import as_preconditioner, build_hierarchy
+from conjugategradient_tpu.solvers.cg import cg_solve
+from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--n", type=int, default=639)
+args = ap.parse_args()
+g3 = (args.n,) * 3; dtype = np.float32
+t0 = time.perf_counter()
+sys3 = generators.poisson_system(g3, dtype=dtype)
+print("gen", round(time.perf_counter()-t0,1), "n =", sys3.n, flush=True)
+pol = ConvergencePolicy(tol=1e-6, norm="rel_l2", max_iteration=8*sys3.n)
+t0 = time.perf_counter()
+h = build_hierarchy(sys3.A, g3, smoother="chebyshev", pre=2, post=2, dtype=dtype,
+                    coarse_operator=generators.poisson_coarse_operator(dtype))
+setup_s = time.perf_counter()-t0
+print("hier", round(setup_s,1), [l.grid[0] for l in h.levels], flush=True)
+A = h.levels[0].A
+b3 = jnp.asarray(sys3.b, dtype=dtype).reshape(g3)
+rng = np.random.default_rng()
+
+def run(h_, A_, b_, scales):
+    M = as_preconditioner(h_)
+    def step(prev_x, s):
+        res = cg_solve(A_, b_*s + 1e-30*prev_x, policy=pol, M=M, precise_dot=True)
+        return res.x, (res.iterations, res.residual, res.converged)
+    x, aux = jax.lax.scan(step, jnp.zeros_like(b_), scales)
+    return x, aux
+runj = jax.jit(run)
+
+times = {}
+aux = None; x = None; scales = None
+for k in (1, 3):
+    scales = jnp.asarray(1.0 + rng.uniform(1e-5, 1e-3, k).astype(dtype))
+    t0 = time.perf_counter()
+    o = runj(h, A, b3, scales); jax.block_until_ready(o[0])
+    print("k", k, "compile+first", round(time.perf_counter()-t0,1), flush=True)
+    best = float("inf")
+    for _ in range(2):
+        scales = jnp.asarray(1.0 + rng.uniform(1e-5, 1e-3, k).astype(dtype))
+        t0 = time.perf_counter()
+        o = runj(h, A, b3, scales)
+        float(np.asarray(o[1][1])[-1])
+        best = min(best, time.perf_counter()-t0)
+    times[k] = best
+    x, aux = o
+per = (times[3]-times[1])/2
+s_last = float(np.asarray(scales)[-1])
+x64 = np.asarray(x, np.float64).reshape(-1) / s_last
+r = np.asarray(sys3.b, np.float64) - oracle.spmv(sys3.A, x64)
+rel = float(np.linalg.norm(r)/np.linalg.norm(np.asarray(sys3.b, np.float64)))
+out = {"experiment": f"rung_{args.n}cubed_one_chip", "grid": list(g3), "n": sys3.n,
+       "solve_s": round(per,4), "iters": int(np.asarray(aux[0])[-1]),
+       "converged": bool(np.asarray(aux[2]).all()),
+       "setup_s": round(setup_s,1), "levels": f"{len(h.levels)}+1",
+       "tol": 1e-6, "true_fp64_rel_residual": rel}
+print(json.dumps(out))
+with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", f"rung_{args.n}cubed_r04.json"), "w") as f:
+    json.dump(out, f, indent=1)
