@@ -743,11 +743,6 @@ def refined_solve_multi(
     import jax
     import jax.numpy as jnp
 
-    from conjugategradient_tpu.solvers.multi import (
-        as_multi_preconditioner,
-        cg_solve_multi,
-    )
-
     n = A.n
     B64 = np.asarray(B, dtype=np.float64)
     if B64.ndim != 2 or B64.shape[0] != n:

@@ -62,7 +62,9 @@ aux = None; x = None; scales = None
 for k in (1, 3):
     scales = jnp.asarray(1.0 + rng.uniform(1e-5, 1e-3, k).astype(dtype))
     t0 = time.perf_counter()
-    o = runj(h, A, b3, scales); jax.block_until_ready(o[0])
+    o = runj(h, A, b3, scales)
+    float(np.asarray(o[1][1])[-1])  # scalar readback: block_until_ready alone
+    # returned early on dropped tunnel executions (CLAUDE.md)
     print("k", k, "compile+first", round(time.perf_counter()-t0,1), flush=True)
     best = float("inf")
     for _ in range(2):

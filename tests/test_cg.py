@@ -225,3 +225,14 @@ def test_spectrum_from_cg_measures_the_preconditioned_operator():
     np.testing.assert_allclose(lam_max, w[-1], rtol=1e-3)
     np.testing.assert_allclose(lam_min, w[0], rtol=5e-2)
     assert kappa < np.linalg.eigvalsh(dense)[-1] / np.linalg.eigvalsh(dense)[0]
+
+
+def test_resolve_max_clamps_to_int32():
+    """703^3 regression: device iteration carries are int32; max_iteration=8n
+    overflowed the jnp.int32 cast at 347M rows.  resolve_max must clamp."""
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    assert ConvergencePolicy(max_iteration=2**33).resolve_max(10) == 2**31 - 1
+    assert ConvergencePolicy().resolve_max(2**33) == 2**31 - 1
+    assert ConvergencePolicy(max_iteration=500).resolve_max(10) == 500
+    assert ConvergencePolicy().resolve_max(10) == 10
