@@ -826,8 +826,11 @@ def refined_solve_multi(
         s = np.where(active & (s > 0), s, 1.0)
         Rs = np.where(active[None, :], R / s[None, :], 0.0)
         dres = solve(jnp.asarray(Rs.astype(device_dtype)))
-        inner_total += np.where(active, np.asarray(dres.iterations), 0)
-        D = np.asarray(dres.x, dtype=np.float64)
+        # one batched readback per pass (separate reads each pay the
+        # tunnel's dispatch-to-readback latency; see run_device_refinement)
+        D_host, its_host = jax.device_get((dres.x, dres.iterations))
+        inner_total += np.where(active, np.asarray(its_host), 0)
+        D = np.asarray(D_host, dtype=np.float64)
         X = X + np.where(active[None, :], s[None, :], 0.0) * D
 
     R = B64 - spmm64(X)
