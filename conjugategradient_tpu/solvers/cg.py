@@ -374,15 +374,21 @@ def cg_solve_chunked(
 
     while True:
         x, r, p, rz, rr, it, res = run_chunk(A, M_state, x, r, p, rz, rr, rr0, it)
-        it_host = int(it)
-        res_host = float(res)
+        # ONE batched readback per chunk (each separate scalar/array read
+        # pays the serving tunnel's dispatch-to-readback latency — the
+        # repo-wide rule, see CLAUDE.md / solvers/refine.py)
+        x_h, r_h, p_h, rz_h, rr_h, rr0_h, it_host, res_host = (
+            jax.device_get((x, r, p, rz, rr, rr0, it, res))
+        )
+        it_host = int(it_host)
+        res_host = float(res_host)
         state = ckpt.CGState(
-            x=np.asarray(x),
-            r=np.asarray(r),
-            p=np.asarray(p),
-            rz=float(rz),
-            rr=float(rr),
-            rr0=float(rr0),
+            x=np.asarray(x_h),
+            r=np.asarray(r_h),
+            p=np.asarray(p_h),
+            rz=float(rz_h),
+            rr=float(rr_h),
+            rr0=float(rr0_h),
             iteration=it_host,
         )
         if checkpoint_path:
