@@ -42,3 +42,40 @@ def specs_for_grid(g, mesh, axes):
         return P(), P()
     tail = [None] * (len(g) - len(names))
     return P(None, *names, *tail), P(*names, *tail)
+
+
+# ---------------------------------------------------------------------------
+# Sharded-solver factory cache.
+#
+# The make_sharded_* factories close over STATIC structure only (offsets,
+# sizes, policy, mesh) — the matrix data rides as a runtime argument — so a
+# rebuilt factory re-traces an identical program.  The one-call conveniences
+# (sharded_*_solve, the facade's mesh= routes) rebuild per call, which costs
+# a full re-trace per solve; caching on the static key makes repeated
+# facade solves hit the already-jitted program.  Entries whose key contains
+# a fresh user callable (a per-call M_local lambda) simply miss — no worse
+# than before.  Bounded LRU (same rationale as solvers/arnoldi.py).
+# ---------------------------------------------------------------------------
+
+from collections import OrderedDict as _OrderedDict
+
+_FACTORY_CACHE: _OrderedDict = _OrderedDict()
+_FACTORY_CAP = 64
+
+
+def factory_cache(key, build):
+    """Return a cached factory product for ``key`` (all-hashable static
+    config), building and inserting on miss."""
+    try:
+        hit = _FACTORY_CACHE.get(key)
+    except TypeError:  # unhashable component -> build fresh, uncached
+        return build()
+    if hit is not None:
+        _FACTORY_CACHE.move_to_end(key)
+        return hit
+    out = build()
+    _FACTORY_CACHE[key] = out
+    _FACTORY_CACHE.move_to_end(key)
+    while len(_FACTORY_CACHE) > _FACTORY_CAP:
+        _FACTORY_CACHE.popitem(last=False)
+    return out

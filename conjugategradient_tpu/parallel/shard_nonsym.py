@@ -380,6 +380,27 @@ def make_sharded_nonsym(
         )
     if method == "chebyshev" and bounds is None:
         raise ValueError("chebyshev requires bounds=(lo, hi)")
+    # one-call conveniences rebuild this factory per solve; the program is
+    # fully determined by the static key below (matrix DATA is a runtime
+    # argument), so cache the jitted product (parallel.mesh.factory_cache)
+    from conjugategradient_tpu.parallel.mesh import factory_cache
+
+    key = ("nonsym", A.offsets, A.shape, mesh, policy, method, axis, M_local,
+           restart, bounds, check_every, m_aux_spec, donate, s, seed, angle,
+           replace_every)
+    return factory_cache(
+        key,
+        lambda: _build_sharded_nonsym(
+            A, mesh, policy, method, axis, M_local, restart, bounds,
+            check_every, m_aux_spec, donate, s, seed, angle, replace_every,
+        ),
+    )
+
+
+def _build_sharded_nonsym(
+    A, mesh, policy, method, axis, M_local, restart, bounds, check_every,
+    m_aux_spec, donate, s, seed, angle, replace_every,
+):
     num = mesh.shape[axis]
     n = A.n
     if n % num:
@@ -464,6 +485,7 @@ def make_sharded_lsmr(
     DIA data arrays placed ``P(None, axis)``.
     """
     from conjugategradient_tpu.core.formats import transpose as _transpose
+    from conjugategradient_tpu.parallel.mesh import factory_cache
 
     num = mesh.shape[axis]
     n = A.n
@@ -475,6 +497,21 @@ def make_sharded_lsmr(
     use_allgather = halo > n_local
     A_t = _transpose(A)
     offsets_t = A_t.offsets
+    key = ("lsmr", offsets, A.shape, mesh, policy, axis, float(damp), donate)
+
+    def _build():
+        return _build_sharded_lsmr(
+            mesh, policy, axis, damp, donate, num, n, n_local, halo,
+            offsets, offsets_t, use_allgather,
+        )
+
+    return factory_cache(key, _build), A_t
+
+
+def _build_sharded_lsmr(
+    mesh, policy, axis, damp, donate, num, n, n_local, halo, offsets,
+    offsets_t, use_allgather,
+):
 
     def lsmr_local(data, dataT, b, x0):
         if use_allgather:
@@ -491,7 +528,7 @@ def make_sharded_lsmr(
         in_specs=(P(None, axis), P(None, axis), P(axis), P(axis)),
         out_specs=CGResult(x=P(axis), iterations=P(), residual=P(), converged=P()),
     )
-    return jax.jit(shard_fn, donate_argnums=(3,) if donate else ()), A_t
+    return jax.jit(shard_fn, donate_argnums=(3,) if donate else ())
 
 
 def sharded_lsmr_solve(

@@ -364,6 +364,29 @@ def make_sharded_cg(
             "variant='cacg' is unpreconditioned (fold diagonal scaling into "
             "A) and takes no deflation; use variant='cg' for those"
         )
+    if deflation is None:
+        # the program is fully static in this key (matrix DATA is a runtime
+        # argument); cache so one-call conveniences / facade mesh= routes
+        # skip the re-trace (parallel.mesh.factory_cache).  Deflated builds
+        # stay uncached (the Deflation object's shapes enter the trace).
+        from conjugategradient_tpu.parallel.mesh import factory_cache
+
+        key = ("cg", A.offsets, A.shape, mesh, policy, axis, M_local,
+               donate, variant, s)
+        return factory_cache(
+            key,
+            lambda: _build_sharded_cg(
+                A, mesh, policy, axis, M_local, donate, variant, None, s
+            ),
+        )
+    return _build_sharded_cg(
+        A, mesh, policy, axis, M_local, donate, variant, deflation, s
+    )
+
+
+def _build_sharded_cg(A, mesh, policy, axis, M_local, donate, variant, deflation, s):
+    num = mesh.shape[axis]
+    n = A.n
     n_local = n // num
     halo = A.bandwidth
     offsets = A.offsets

@@ -252,3 +252,38 @@ def test_make_distributed_system_per_block_generation():
     x = np.asarray(res.x, dtype=np.float64)[:n]
     r = full.b - _oracle.spmv(full.A, x)
     assert np.linalg.norm(r) / np.linalg.norm(full.b) < 1e-8
+
+
+def test_sharded_factory_cache_reuses_jitted_program():
+    """Round-4: one-call conveniences used to rebuild (and re-trace) the
+    sharded factory per solve; the static-key cache must return the SAME
+    jitted product for structurally identical systems, and distinct
+    products when the static config differs."""
+    import numpy as np
+
+    from conjugategradient_tpu.core.generators import banded_sin_matrix
+    from conjugategradient_tpu.parallel.mesh import make_mesh
+    from conjugategradient_tpu.parallel.sharded_cg import make_sharded_cg
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    mesh = make_mesh(4)
+    pol = ConvergencePolicy(tol=1e-8, norm="rel_l2", max_iteration=1000)
+    A1 = banded_sin_matrix(256, 8)
+    A2 = banded_sin_matrix(256, 8)  # different data, same structure
+    f1 = make_sharded_cg(A1, mesh, pol, donate=False)
+    f2 = make_sharded_cg(A2, mesh, pol, donate=False)
+    assert f1 is f2
+    f3 = make_sharded_cg(A1, mesh, pol, donate=False, variant="cg1")
+    assert f3 is not f1
+
+    from conjugategradient_tpu.parallel.shard_nonsym import (
+        make_sharded_lsmr,
+        make_sharded_nonsym,
+    )
+
+    g1 = make_sharded_nonsym(A1, mesh, pol, method="bicgstab", donate=False)
+    g2 = make_sharded_nonsym(A2, mesh, pol, method="bicgstab", donate=False)
+    assert g1 is g2
+    l1, _ = make_sharded_lsmr(A1, mesh, pol, donate=False)
+    l2, _ = make_sharded_lsmr(A2, mesh, pol, donate=False)
+    assert l1 is l2
