@@ -352,16 +352,12 @@ def refined_solve(
     import jax
     import jax.numpy as jnp
 
-    from conjugategradient_tpu.solvers.cg import cg_solve
-
-    if inner == "bicgstab":
-        if deflation is not None:
-            raise ValueError("deflation requires inner='cg' (SPD construction)")
-        from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve as _inner_fn
-    elif inner == "cg":
-        _inner_fn = cg_solve
-    else:
+    # solver construction moved to the module-cached _jit_inner_* builders
+    # (keyed on ``inner``); this block only validates the configuration
+    if inner not in ("cg", "bicgstab"):
         raise ValueError(f"unknown inner {inner!r}; want cg|bicgstab")
+    if inner == "bicgstab" and deflation is not None:
+        raise ValueError("deflation requires inner='cg' (SPD construction)")
 
     if device_residual:
         return _refined_solve_device(
@@ -528,14 +524,11 @@ def _refined_solve_device(
     import jax.numpy as jnp
 
     from conjugategradient_tpu.ops import dd
-    from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
-    from conjugategradient_tpu.solvers.cg import cg_solve
 
     if inner not in ("cg", "bicgstab"):
         raise ValueError(f"unknown inner {inner!r}; want cg|bicgstab")
     if inner == "bicgstab" and deflation is not None:
         raise ValueError("deflation requires inner='cg' (SPD construction)")
-    inner_solve = cg_solve if inner == "cg" else bicgstab_solve
     if np.dtype(device_dtype) != np.float32:
         raise ValueError("device_residual requires device_dtype=float32 "
                          "(dd pairs are fp32 hi/lo)")
