@@ -120,6 +120,63 @@ def _shard_hierarchy_and_fine(h, A_host: DiaMatrix, grid, mesh: Mesh, axes, dt):
     return h_sharded, fine_A, put, specs_for
 
 
+
+# ---------------------------------------------------------------------------
+# Module-cached jitted programs (the solvers/refine.py _jit_inner_* rule):
+# a fresh jax.jit per make_* call re-traces an identical program; these are
+# keyed on the static config, and the hierarchy/operator/vectors ride as
+# pytree arguments (jit re-specializes on their structure/shardings).
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def _jit_gspmd_cg(policy):
+    @jax.jit
+    def _solve(h_, A_, b, x0):
+        from conjugategradient_tpu.precond.multigrid import v_cycle
+
+        res = cg_solve(
+            as_operator(A_, roll=True), b, x0, policy,
+            M=lambda r: v_cycle(h_, r, roll=True),
+        )
+        return CGResult(
+            x=res.x.reshape(-1),
+            iterations=res.iterations,
+            residual=res.residual,
+            converged=res.converged,
+        )
+
+    return _solve
+
+
+@_functools.lru_cache(maxsize=64)
+def _jit_gspmd_nonsym(policy, method: str, restart: int):
+    from conjugategradient_tpu.precond.multigrid import v_cycle
+    from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+    from conjugategradient_tpu.solvers.gmres import fgmres_solve, gmres_solve
+    from conjugategradient_tpu.solvers.idr import idr_solve
+
+    @jax.jit
+    def _solve(h_, A_, b_, x0_):
+        op = as_operator(A_, roll=True)
+        M = lambda r: v_cycle(h_, r, roll=True)
+        if method == "bicgstab":
+            res = bicgstab_solve(op, b_, x0_, policy, M=M)
+        elif method == "idr":
+            res = idr_solve(op, b_, x0_, policy, M=M)
+        elif method == "gmres":
+            res = gmres_solve(op, b_, x0_, policy, M=M, restart=restart)
+        else:
+            res = fgmres_solve(op, b_, x0_, policy, M=M, restart=restart)
+        import dataclasses as _dc
+
+        return _dc.replace(res, x=res.x.reshape(-1))
+
+    return _solve
+
+
 def make_gspmd_mgcg(
     system: LinearSystem,
     grid,
@@ -164,18 +221,9 @@ def make_gspmd_mgcg(
 
     # hierarchy + fine operator ride as jitted pytree ARGUMENTS — closure
     # constants ship inside the compile request (~600 MB / HTTP 413 measured
-    # at 16M rows through the serving tunnel; see CLAUDE.md)
-    @jax.jit
-    def _solve(h_, A_, b, x0):
-        from conjugategradient_tpu.precond.multigrid import v_cycle
-
-        res = cg_solve(as_operator(A_, roll=True), b, x0, policy, M=lambda r: v_cycle(h_, r, roll=True))
-        return CGResult(
-            x=res.x.reshape(-1),
-            iterations=res.iterations,
-            residual=res.residual,
-            converged=res.converged,
-        )
+    # at 16M rows through the serving tunnel; see CLAUDE.md) — and the
+    # jitted program is module-cached on the policy (_jit_gspmd_cg)
+    _solve = _jit_gspmd_cg(policy)
 
     return lambda b, x0: _solve(h_sharded, fine_A, b, x0), (b_dev, x0_dev)
 
@@ -269,21 +317,7 @@ def make_gspmd_mg_nonsym(
     ).reshape(grid)
     x0_dev = put(x0_arr, vspec0)
 
-    @jax.jit
-    def _solve(h_, A_, b_, x0_):
-        op = as_operator(A_, roll=True)
-        M = lambda r: v_cycle(h_, r, roll=True)
-        if method == "bicgstab":
-            res = bicgstab_solve(op, b_, x0_, policy, M=M)
-        elif method == "idr":
-            res = idr_solve(op, b_, x0_, policy, M=M)
-        elif method == "gmres":
-            res = gmres_solve(op, b_, x0_, policy, M=M, restart=restart)
-        else:
-            res = fgmres_solve(op, b_, x0_, policy, M=M, restart=restart)
-        import dataclasses as _dc
-
-        return _dc.replace(res, x=res.x.reshape(-1))
+    _solve = _jit_gspmd_nonsym(policy, method, int(restart))
 
     return lambda b_, x0_: _solve(h_sharded, fine_A, b_, x0_), (b_dev, x0_dev)
 
