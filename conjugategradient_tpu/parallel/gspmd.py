@@ -151,6 +151,32 @@ def _jit_gspmd_cg(policy):
     return _solve
 
 
+@_functools.lru_cache(maxsize=8)
+def _jit_gspmd_dd_resid():
+    from conjugategradient_tpu.ops import dd
+
+    @jax.jit
+    def resid(ddm_, b_, x_):
+        r = dd.dd_residual(ddm_, b_, x_)
+        rr = dd.dd_norm_sq(r)
+        mx = dd.dd_max_abs(r)
+        s = jnp.where(mx > 0, mx, 1.0)
+        return dd.dd_value(r) / s, rr, mx
+
+    return resid
+
+
+@_functools.lru_cache(maxsize=32)
+def _jit_gspmd_dd_axpy(grid):
+    from conjugategradient_tpu.ops import dd
+
+    @jax.jit
+    def axpy(x_, d_x, s):
+        return dd.dd_axpy(x_, s, d_x.reshape(grid))
+
+    return axpy
+
+
 @_functools.lru_cache(maxsize=64)
 def _jit_gspmd_nonsym(policy, method: str, restart: int):
     from conjugategradient_tpu.precond.multigrid import v_cycle
@@ -421,17 +447,8 @@ def gspmd_refined_solve(
     x_dd = tuple(put(part, vspec) for part in dd.dd_from_f64(x64.reshape(grid)))
     zero32 = put(jnp.zeros(grid, jnp.float32), vspec)
 
-    @jax.jit
-    def resid(ddm_, b_, x_):
-        r = dd.dd_residual(ddm_, b_, x_)
-        rr = dd.dd_norm_sq(r)
-        mx = dd.dd_max_abs(r)
-        s = jnp.where(mx > 0, mx, 1.0)
-        return dd.dd_value(r) / s, rr, mx
-
-    @jax.jit
-    def axpy(x_, d_x, s):
-        return dd.dd_axpy(x_, s, d_x.reshape(grid))
+    resid = _jit_gspmd_dd_resid()
+    axpy = _jit_gspmd_dd_axpy(tuple(grid))
 
     def update_fn(x_, r32, s):
         res = solve_inner(r32, zero32)
