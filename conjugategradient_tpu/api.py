@@ -86,6 +86,14 @@ from conjugategradient_tpu.core.formats import DiaMatrix
 from conjugategradient_tpu.solvers.policy import ConvergencePolicy
 
 
+def _jacobi_M_local(r, aux):
+    """Shard-local point-Jacobi application.  MODULE-LEVEL on purpose: its
+    identity enters the sharded-factory cache key (parallel.mesh.
+    factory_cache), and a per-call lambda would defeat the cache — every
+    facade jacobi_* mesh= solve would re-trace."""
+    return aux * r
+
+
 def solve(
     A,
     b,
@@ -160,7 +168,7 @@ def solve(
         if method == "cg":
             method = "sharded_cg"
         elif method == "jacobi_cg":
-            kw.setdefault("M_local", lambda r, aux: aux * r)
+            kw.setdefault("M_local", _jacobi_M_local)
             kw.setdefault("M_aux", 1.0 / _diagonal(A))
             method = "sharded_cg"
     if method == "oracle":
@@ -356,7 +364,7 @@ def solve(
             )
         mkw = {}
         if prefix == "jacobi":
-            mkw = dict(M_local=lambda r, aux: aux * r, M_aux=1.0 / _diagonal(A))
+            mkw = dict(M_local=_jacobi_M_local, M_aux=1.0 / _diagonal(A))
         elif prefix == "bjacobi":
             # shard-local when blocks never cross shard boundaries
             from conjugategradient_tpu.precond.block_jacobi import (

@@ -151,21 +151,6 @@ def _jit_gspmd_cg(policy):
     return _solve
 
 
-@_functools.lru_cache(maxsize=8)
-def _jit_gspmd_dd_resid():
-    from conjugategradient_tpu.ops import dd
-
-    @jax.jit
-    def resid(ddm_, b_, x_):
-        r = dd.dd_residual(ddm_, b_, x_)
-        rr = dd.dd_norm_sq(r)
-        mx = dd.dd_max_abs(r)
-        s = jnp.where(mx > 0, mx, 1.0)
-        return dd.dd_value(r) / s, rr, mx
-
-    return resid
-
-
 @_functools.lru_cache(maxsize=32)
 def _jit_gspmd_dd_axpy(grid):
     from conjugategradient_tpu.ops import dd
@@ -318,10 +303,6 @@ def make_gspmd_mg_nonsym(
     ``(solve, (b, x0))`` with pre-placed inputs, like ``make_gspmd_mgcg``.
     """
     from conjugategradient_tpu.precond import build_hierarchy
-    from conjugategradient_tpu.precond.multigrid import v_cycle
-    from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
-    from conjugategradient_tpu.solvers.gmres import fgmres_solve, gmres_solve
-    from conjugategradient_tpu.solvers.idr import idr_solve
 
     if method not in ("bicgstab", "gmres", "fgmres", "idr"):
         raise ValueError(
@@ -447,7 +428,9 @@ def gspmd_refined_solve(
     x_dd = tuple(put(part, vspec) for part in dd.dd_from_f64(x64.reshape(grid)))
     zero32 = put(jnp.zeros(grid, jnp.float32), vspec)
 
-    resid = _jit_gspmd_dd_resid()
+    from conjugategradient_tpu.solvers.refine import _jit_dd_resid
+
+    resid = _jit_dd_resid()
     axpy = _jit_gspmd_dd_axpy(tuple(grid))
 
     def update_fn(x_, r32, s):

@@ -57,25 +57,46 @@ def specs_for_grid(g, mesh, axes):
 # than before.  Bounded LRU (same rationale as solvers/arnoldi.py).
 # ---------------------------------------------------------------------------
 
+import threading as _threading
 from collections import OrderedDict as _OrderedDict
 
 _FACTORY_CACHE: _OrderedDict = _OrderedDict()
 _FACTORY_CAP = 64
+_FACTORY_LOCK = _threading.Lock()
+
+
+def _stable_key(key) -> bool:
+    """A key is cacheable only if every callable in it has a stable identity
+    (module-level functions).  Per-call lambdas/closures would insert
+    never-hittable entries — polluting the LRU, evicting live programs and
+    pinning dead compiled executables (review finding)."""
+    for part in key:
+        if callable(part):
+            q = getattr(part, "__qualname__", "")
+            if "<lambda>" in q or "<locals>" in q:
+                return False
+    return True
 
 
 def factory_cache(key, build):
     """Return a cached factory product for ``key`` (all-hashable static
-    config), building and inserting on miss."""
+    config), building and inserting on miss.  Keys containing per-call
+    callables (lambdas/closures) build fresh and stay uncached."""
     try:
-        hit = _FACTORY_CACHE.get(key)
+        hash(key)
     except TypeError:  # unhashable component -> build fresh, uncached
         return build()
-    if hit is not None:
-        _FACTORY_CACHE.move_to_end(key)
-        return hit
+    if not _stable_key(key):
+        return build()
+    with _FACTORY_LOCK:
+        hit = _FACTORY_CACHE.get(key)
+        if hit is not None:
+            _FACTORY_CACHE.move_to_end(key)
+            return hit
     out = build()
-    _FACTORY_CACHE[key] = out
-    _FACTORY_CACHE.move_to_end(key)
-    while len(_FACTORY_CACHE) > _FACTORY_CAP:
-        _FACTORY_CACHE.popitem(last=False)
+    with _FACTORY_LOCK:
+        _FACTORY_CACHE[key] = out
+        _FACTORY_CACHE.move_to_end(key)
+        while len(_FACTORY_CACHE) > _FACTORY_CAP:
+            _FACTORY_CACHE.popitem(last=False)
     return out

@@ -266,13 +266,42 @@ def test_sharded_factory_cache_reuses_jitted_program():
     from conjugategradient_tpu.parallel.sharded_cg import make_sharded_cg
     from conjugategradient_tpu.solvers.policy import ConvergencePolicy
 
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from conjugategradient_tpu.core import oracle
+
     mesh = make_mesh(4)
-    pol = ConvergencePolicy(tol=1e-8, norm="rel_l2", max_iteration=1000)
+    pol = ConvergencePolicy(tol=1e-10, norm="rel_l2", max_iteration=2000)
     A1 = banded_sin_matrix(256, 8)
-    A2 = banded_sin_matrix(256, 8)  # different data, same structure
+    # genuinely different values, same structure (pure scaling preserves
+    # the DIA structural zeros the halo ring-wrap masking relies on)
+    data2 = np.asarray(banded_sin_matrix(256, 8).data) * 1.5
+    from conjugategradient_tpu.core.formats import DiaMatrix
+
+    A2 = DiaMatrix(data2, A1.offsets, A1.shape)
     f1 = make_sharded_cg(A1, mesh, pol, donate=False)
     f2 = make_sharded_cg(A2, mesh, pol, donate=False)
     assert f1 is f2
+    # the central risk: matrix DATA must be a runtime argument of the
+    # cached program, never baked into the trace — solve BOTH systems
+    # through the SAME cached factory and validate numerically
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(256)
+    row = NamedSharding(mesh, P("x"))
+    col = NamedSharding(mesh, P(None, "x"))
+    for A in (A1, A2):
+        res = f1(
+            jax.device_put(jnp.asarray(np.asarray(A.data)), col),
+            jax.device_put(jnp.asarray(b), row),
+            jax.device_put(jnp.zeros(256), row),
+        )
+        assert bool(res.converged)
+        x_ref = oracle.cg(A, b, tol=1e-12, norm="rel_l2").x
+        rel = np.linalg.norm(np.asarray(res.x) - x_ref) / np.linalg.norm(x_ref)
+        assert rel < 1e-8, rel
     f3 = make_sharded_cg(A1, mesh, pol, donate=False, variant="cg1")
     assert f3 is not f1
 
@@ -284,6 +313,17 @@ def test_sharded_factory_cache_reuses_jitted_program():
     g1 = make_sharded_nonsym(A1, mesh, pol, method="bicgstab", donate=False)
     g2 = make_sharded_nonsym(A2, mesh, pol, method="bicgstab", donate=False)
     assert g1 is g2
+    # per-call lambdas must NOT be cached (never-hittable keys would
+    # pollute the LRU and evict live programs — review finding)
+    g3 = make_sharded_nonsym(
+        A1, mesh, pol, method="bicgstab", donate=False,
+        M_local=lambda r, aux: aux * r,
+    )
+    g4 = make_sharded_nonsym(
+        A1, mesh, pol, method="bicgstab", donate=False,
+        M_local=lambda r, aux: aux * r,
+    )
+    assert g3 is not g4
     l1, _ = make_sharded_lsmr(A1, mesh, pol, donate=False)
     l2, _ = make_sharded_lsmr(A2, mesh, pol, donate=False)
     assert l1 is l2
