@@ -732,6 +732,7 @@ def eigs(
     mesh=None,
     tol: Optional[float] = None,
     grid=None,
+    spd: Optional[bool] = None,
     **kw,
 ):
     """k eigenpairs of a sparse operator — the eigensolver facade.
@@ -750,6 +751,11 @@ def eigs(
         Everything else — nonsymmetric operators, complex spectra, LI
         selection, shift-invert — routes to Krylov-Schur Arnoldi.
       - ``"arnoldi"`` | ``"lobpcg"``: force a route.
+
+    ``spd``: caller hint for the auto route — ``True`` routes symmetric-
+    positive-definite operators straight to LOBPCG without the host-side
+    structure probe (which costs minutes above a few million rows and is
+    never run past 4M rows), ``False`` forces Arnoldi.
 
     ``sigma``: shift-invert (Arnoldi route; nearest-to-sigma first; inner
     IDR(4) solves — see ``arnoldi_eigs``).  ``mesh``: distributed twins
@@ -776,15 +782,35 @@ def eigs(
         # ALGEBRAIC extremes, so for symmetric INDEFINITE operators LM/SM
         # (magnitude selections) would silently return the wrong end of the
         # spectrum (e.g. the most-negative Helmholtz mode for which="SM");
-        # definiteness makes LM==LR and SM==SR and the mapping exact
-        sym = (
-            sigma is None
-            and which != "LI"
+        # definiteness makes LM==LR and SM==SR and the mapping exact.
+        # ``spd=True`` asserts that property and skips the probe entirely;
+        # above the size cap the host-side probe (a symmetry comparison plus
+        # a 120-step full-reorth fp64 Lanczos — minutes of silent setup at
+        # 100M rows) is never run: pass spd= or method= explicitly there.
+        _PROBE_CAP = 4_000_000
+        eligible = sigma is None and which != "LI"
+        if spd is not None:
+            sym = eligible and bool(spd)
+        elif (
+            eligible
             and hasattr(A, "shape")
             and not callable(A)
-            and formats.is_symmetric(A, tol=1e-12 * _diag_scale(A))
-            and _spd_probe(A)
-        )
+            and A.shape[0] <= _PROBE_CAP
+        ):
+            sym = formats.is_symmetric(A, tol=1e-12 * _diag_scale(A)) and _spd_probe(A)
+        else:
+            if eligible and hasattr(A, "shape") and not callable(A):
+                import warnings
+
+                warnings.warn(
+                    f"eigs(method='auto'): n={A.shape[0]} exceeds the "
+                    f"{_PROBE_CAP}-row structure-probe cap; routing to "
+                    "Arnoldi.  Pass spd=True (or method='lobpcg') for the "
+                    "symmetric block solver.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            sym = False
         method = "lobpcg" if sym else "arnoldi"
 
     if method == "lobpcg":

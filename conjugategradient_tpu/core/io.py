@@ -32,7 +32,22 @@ from conjugategradient_tpu.core.formats import (
 
 
 def from_scipy(m) -> CsrMatrix:
-    """Any ``scipy.sparse`` matrix -> ``CsrMatrix`` (duplicates summed)."""
+    """Any ``scipy.sparse`` matrix -> ``CsrMatrix`` (duplicates summed).
+
+    CSR inputs take the direct path: reuse ``indptr``/``indices``/``data``
+    as-is (canonicalizing on a copy only when scipy hasn't already) instead
+    of round-tripping through COO + an O(nnz log nnz) lexsort — measured as
+    THE dominant term of the blocked-AMG setup (2.0 of 3.4 s at 511^2,
+    eighteen conversions per hierarchy; VERDICT r4 #5)."""
+    import scipy.sparse as sp
+
+    from conjugategradient_tpu.core.formats import csr_from_parts
+
+    if sp.issparse(m) and m.format == "csr":
+        if not m.has_canonical_format:
+            m = m.copy()
+            m.sum_duplicates()
+        return csr_from_parts(m.data, m.indices, m.indptr, tuple(m.shape))
     coo = m.tocoo()
     return coo_to_csr(
         CooMatrix(

@@ -382,7 +382,10 @@ def build_amg_hierarchy(
         )
         # Galerkin coarse operator and the candidate's coarse image
         # (P0^T z = the per-aggregate norms — the exact vector the next
-        # level's tentative prolongator must reproduce)
+        # level's tentative prolongator must reproduce).  Measured (r5):
+        # scipy's csr_matmat beats a hand-banded diagonal product at every
+        # level (0.06-0.19 s vs 0.4-1.1 s at 511^2) — the blocked-setup
+        # cost is level COUNT and container conversions, not the products.
         A_h = (P.T @ (A_h @ P)).tocsr()
         z = np.asarray(P0.T @ z)
 

@@ -186,6 +186,12 @@ class EigsResult:
     (k extra plain matvecs — the first-order back-transform of the
     transformed-space estimate is unreliable near the shift).  ``matvecs``
     counts operator applications (= inner SOLVES under shift-invert).
+
+    SHORT RETURN: on lucky breakdown (an exact invariant subspace smaller
+    than ``k``, e.g. a (scaled) identity block) the arrays may carry FEWER
+    than ``k`` entries after the deflate-restart budget is exhausted — the
+    pairs returned are then exact (zero residuals) but ``converged`` is
+    False.  Callers indexing ``values[k-1]`` must check ``len(values)``.
     """
 
     values: np.ndarray  # (k,) complex128
@@ -343,6 +349,10 @@ def arnoldi_eigs(
     Known single-vector-Krylov property: a degenerate eigenvalue is found
     ONCE (the Krylov space holds one vector per eigenspace) — for clustered
     or multiple symmetric eigenvalues use the BLOCK solver (lobpcg).
+
+    May return FEWER than k pairs when the operator's reachable invariant
+    subspace is smaller than k (lucky breakdown with the deflate-restart
+    budget exhausted) — see the ``EigsResult`` short-return note.
     """
     if n is None:
         if hasattr(A, "n"):
@@ -520,14 +530,19 @@ def arnoldi_eigs(
         with np.errstate(divide="ignore", invalid="ignore"):
             vals = sigma + 1.0 / theta[wanted]
         op_plain = A if is_callable_op else as_operator(A)
-        resid = np.empty(len(wanted), np.float64)
-        for i in range(len(wanted)):
-            xr = jnp.asarray(np.ascontiguousarray(X[:, i].real), dtype)
-            xi = jnp.asarray(np.ascontiguousarray(X[:, i].imag), dtype)
-            Ax = np.asarray(jax.device_get(op_plain(xr))).astype(
-                np.complex128
-            ) + 1j * np.asarray(jax.device_get(op_plain(xi)))
-            resid[i] = float(np.linalg.norm(Ax - vals[i] * X[:, i]))
+        # ONE batched round trip for all real+imag columns: per-eigenpair
+        # device_get pairs cost ~2.5 s EACH through the serving tunnel
+        # (CLAUDE.md batched-readback rule) — stack the 2k' columns into one
+        # vmapped application and read the whole block back at once
+        kw_n = len(wanted)
+        cols = jnp.asarray(
+            np.concatenate([X.real.T, X.imag.T], axis=0), dtype
+        )  # (2k', n)
+        AX = np.asarray(jax.device_get(jax.vmap(op_plain)(cols)), np.float64)
+        Ax_c = AX[:kw_n].astype(np.complex128) + 1j * AX[kw_n:]
+        resid = np.linalg.norm(
+            Ax_c - vals[:, None] * X.T, axis=1
+        ).astype(np.float64)
     return EigsResult(
         values=vals,
         vectors=X,

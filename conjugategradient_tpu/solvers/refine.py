@@ -180,10 +180,11 @@ def _jit_dd_resid():
 
 @_functools.lru_cache(maxsize=64)
 def _jit_dd_update(mode: str, inner: str, inner_tol: float, max_iter: int,
-                   deflated: bool, offsets, n):
+                   offsets, n):
     """Cached device-residual update program (see _jit_inner_* rationale).
-    ``mode``: "mg" | "cm" | "plain"; ``deflated`` resolves the trace-time
-    None-pytree branch; ``offsets``/``n`` key the CM plan."""
+    ``mode``: "mg" | "cm" | "plain"; ``offsets``/``n`` key the CM plan.
+    The deflated-vs-plain branch needs no cache key: jax.jit re-specializes
+    on the None-vs-Deflation pytree STRUCTURE of the ``d_`` argument."""
     import jax
 
     from conjugategradient_tpu.ops import dd
@@ -572,16 +573,14 @@ def _refined_solve_device(
     # (d_ is None) branch inside resolves at TRACE time — None is an empty
     # pytree, so undeflated programs carry no dead deflation branches
     if M is not None:
-        update = _jit_dd_update("mg", inner, float(inner_tol), max_it,
-                                deflation is not None, (), 0)
+        update = _jit_dd_update("mg", inner, float(inner_tol), max_it, (), 0)
         update_args = lambda: (h, A_dev, deflation)
     elif use_pallas and grid is None:
         update = _jit_dd_update("cm", inner, float(inner_tol), max_it,
-                                deflation is not None, tuple(A.offsets), n)
+                                tuple(A.offsets), n)
         update_args = lambda: (A_dev, deflation)
     else:
-        update = _jit_dd_update("plain", inner, float(inner_tol), max_it,
-                                deflation is not None, (), 0)
+        update = _jit_dd_update("plain", inner, float(inner_tol), max_it, (), 0)
         update_args = lambda: (A_dev, deflation)
 
     b_dd = dd.dd_from_f64(b64.reshape(shape))

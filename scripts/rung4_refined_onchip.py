@@ -1,13 +1,14 @@
-"""Round-4 rung-4 at the reference-grade tolerance: 255^3 (16.6M rows) to a
-TRUE fp64 relative residual of 1e-8 via mixed-precision iterative refinement
-(fp32 MGCG inner solves on the rediscretized const-stencil hierarchy + fp64
-host residuals).  ``--grid 511`` produces the 133.4M-row capability artifact
-(one rep — each solve is ~3 min wall).
+"""Rung-4 at the reference-grade tolerance: 255^3 (16.6M rows) to a TRUE
+fp64 relative residual of 1e-8 via mixed-precision iterative refinement on
+the rediscretized const-stencil hierarchy.  ``--grid 511`` produces the
+133.4M-row capability artifact.
 
-The bench's 3-D section stops at the fp32 floor (1e-6 rel); VERDICT r3 item
-2 asks for the 1e-8 number via refinement.  Setup is the r4 fast path
-(generator-time rediscretization; hierarchy=prebuilt rides into
-refined_solve).
+Round-5 (VERDICT r4 #3): the outer loop is DEVICE-RESIDENT
+(``refined_solve(device_residual=True)`` — dd residual/norm/update on chip,
+three scalar readbacks per pass, one final solution read).  The r4 runs used
+fp64 HOST residuals, which shipped 0.5-1 GB vectors through the ~2.5 s-
+latency tunnel per pass: 180 s wall for ~8.5 s of device solve at 511^3.
+``--host-residual`` keeps the old path for A/B comparison.
 
 Run only when no other TPU process is active:
     python scripts/rung4_refined_onchip.py [--grid 255]
@@ -29,7 +30,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 def _out_path(grid: int) -> str:
-    name = "rung4_refined_r04.json" if grid == 255 else f"rung{grid}_refined_r04.json"
+    name = "rung4_refined_r05.json" if grid == 255 else f"rung{grid}_refined_r05.json"
     return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "artifacts", name)
 
@@ -37,6 +38,8 @@ def _out_path(grid: int) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", type=int, default=255)
+    ap.add_argument("--host-residual", action="store_true",
+                    help="r4 A/B: fp64 host residuals (full-vector D2H/pass)")
     args = ap.parse_args()
     assert jax.devices()[0].platform != "cpu", "run on the TPU"
 
@@ -55,12 +58,14 @@ def main():
 
     best = float("inf")
     rres = None
-    reps = 2 if args.grid <= 255 else 1  # one rep at 511^3 (each ~3 min)
-    for _ in range(reps):  # first call compiles; min over reps
+    reps = 2  # first call compiles; min over reps (device-resident passes
+    # are cheap enough that two reps fit the 511^3 budget too)
+    for _ in range(reps):
         t0 = time.perf_counter()
         rres = refined_solve(
             system.A, system.b, tol=1e-8, norm="rel_l2", grid=g,
             inner_tol=1e-5, device_dtype=np.float32, hierarchy=h,
+            device_residual=not args.host_residual,
         )
         best = min(best, time.perf_counter() - t0)
 
@@ -69,6 +74,7 @@ def main():
     true_rel = float(np.linalg.norm(r) / np.linalg.norm(system.b))
     out = {
         "experiment": "rung4_refined_1e-8",
+        "outer_loop": "host_fp64" if args.host_residual else "device_dd",
         "grid": list(g),
         "n": system.n,
         "tol": 1e-8,

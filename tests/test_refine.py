@@ -183,6 +183,28 @@ def test_device_residual_pallas_cm_inner():
     assert np.linalg.norm(r) < 1e-8
 
 
+def test_device_residual_redisc_const_hierarchy():
+    # the big-3D fp64-contract configuration (VERDICT r4 #3): device-resident
+    # dd outer loop over a REDISCRETIZED const-stencil hierarchy — the
+    # scripts/rung4_refined_onchip.py path, pinned here at toy scale
+    from conjugategradient_tpu.core.generators import poisson_coarse_operator
+    from conjugategradient_tpu.precond import build_hierarchy
+
+    g = (31, 31, 31)
+    sys_ = poisson_system(g)
+    h = build_hierarchy(
+        sys_.A, g, smoother="chebyshev", pre=2, post=2, dtype=np.float32,
+        coarse_operator=poisson_coarse_operator(np.float32),
+    )
+    res = refined_solve(
+        sys_.A, sys_.b, tol=1e-10, norm="rel_l2", grid=g, hierarchy=h,
+        device_residual=True,
+    )
+    assert res.converged
+    r = sys_.b - oracle.spmv(sys_.A, res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(sys_.b) < 1e-10
+
+
 def test_device_residual_reaches_dd_floor_rel():
     # rel_l2 1e-12 is far below fp32 but above the dd floor (~4e-15)
     grid = (31, 31)
