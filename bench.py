@@ -683,10 +683,14 @@ def main() -> None:
             aux = o[1]
         per = max((times[22] - times[2]) / 20, 1e-9)
         assert bool(np.asarray(aux[2]).all()), "AMG-CG failed"
+        lvl0 = h_amg.levels[0]
         record["amg_cg_511sq"] = {
             "ms": round(per * 1e3, 3),
             "its": int(np.asarray(aux[0])[-1]),
-            "aggregation": "blocked" if h_amg.levels[0].blk else "greedy",
+            "aggregation": (
+                "nd_cubes_stencil" if lvl0.blk_nd is not None
+                else "blocked" if lvl0.blk else "greedy"
+            ),
         }
 
     @section("flagship_refined", floor_s=180.0 if on_tpu else 1e9)

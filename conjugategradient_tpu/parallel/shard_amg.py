@@ -195,7 +195,8 @@ def build_sharded_amg(
             (
                 to_scipy(lvl.A).tocsr(),
                 to_scipy(lvl.P).tocsr(),
-                np.asarray(lvl.inv_diag),
+                # stencil-relayouted ND levels store inv_diag grid-shaped
+                np.asarray(lvl.inv_diag).reshape(-1),
                 lvl.cheb_bounds,
             )
         )

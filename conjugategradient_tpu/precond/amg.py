@@ -89,6 +89,14 @@ class AmgLevel:
     # (r4 on-chip profile of the 511^2 Poisson-as-CSR cycle): the level-0
     # segment_sum+gather transfer round trip alone cost 3.99 ms of the
     # 9.2 ms V-cycle — TPU scatters/gathers, not SpMVs, are the AMG cycle.
+    blk_nd: Optional[tuple] = None  # ((grid), (block)): N-D CONTIGUOUS
+    # aggregation over a grid INFERRED from the banded offset structure
+    # (r5, _infer_grid).  Same zero-gather reshape-sum/broadcast transfers
+    # as ``blk``, but with cube-shaped aggregates: edge-3 blocks keep the
+    # Galerkin stencil INVARIANT down the hierarchy (measured at 511^2:
+    # ndiags 5 -> 9 -> 9 -> 9 vs the 1-D strips' 5 -> 17 -> 53 -> 161 ->
+    # 325 explosion) and match greedy's iteration counts (7 vs 6) where
+    # strips cost 10.  Takes precedence over ``blk`` when set.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,7 +124,7 @@ class AmgHierarchy:
 jax.tree_util.register_dataclass(
     AmgLevel,
     data_fields=["A", "P", "R", "inv_diag", "agg", "w"],
-    meta_fields=["cheb_bounds", "nc", "sa_c", "blk"],
+    meta_fields=["cheb_bounds", "nc", "sa_c", "blk", "blk_nd"],
 )
 jax.tree_util.register_dataclass(
     AmgHierarchy,
@@ -144,6 +152,58 @@ def _strength_graph(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
     return sp.csr_matrix(
         (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=A.shape
     )
+
+
+def _infer_grid(
+    n: int, offsets, max_extent: int = 3, min_pitch: int = 8, max_dims: int = 3
+) -> Optional[Tuple[int, ...]]:
+    """Recover a tensor-grid shape from a banded offset set, or ``None``.
+
+    A matrix discretized on an (n_d, ..., n_1) grid in row-major order has
+    offsets of the form ``sum_k d_k * pitch_k`` with ``pitch_1 = 1``,
+    ``pitch_2 = n_1``, ``pitch_3 = n_1 n_2`` and small per-axis reaches
+    ``|d_k| <= max_extent``.  The pitch of axis 2 is recovered as the first
+    "jump" offset (up to ±max_extent slack for cross-diagonal legs, e.g. the
+    9-point stencil's nx-1); every offset must decompose and the pitch must
+    divide n.  ``min_pitch`` rejects narrow false positives (a flat band of
+    width ~2p decomposes over any p; a genuine grid stencil has pitch >= its
+    axis length).  Returns the grid row-major (outermost first).
+    """
+    pos = sorted(int(o) for o in offsets if int(o) > 0)
+    if not pos or n <= 1:
+        return None
+    jumps = [o for o in pos if o > max_extent]
+    if not jumps:
+        return (n,)  # pure 1-D stencil
+    cands = sorted(
+        {jumps[0] + d for d in range(-max_extent, max_extent + 1)}
+        - set(range(min_pitch))
+    )
+    for p in cands:
+        if n % p:
+            continue
+        rest = set()
+        ok = True
+        for o in pos:
+            dx = ((o + max_extent) % p) - max_extent
+            if abs(dx) > max_extent:
+                ok = False
+                break
+            r = (o - dx) // p
+            if r:
+                rest.add(r)
+        if not ok:
+            continue
+        if not rest or max(rest) <= max_extent:
+            return (n // p, p)  # 2-D: all row-jumps within reach
+        if max_dims <= 2:
+            continue
+        sub = _infer_grid(
+            n // p, sorted(rest), max_extent, min_pitch, max_dims - 1
+        )
+        if sub is not None and len(sub) <= max_dims - 1:
+            return sub + (p,)
+    return None
 
 
 def _aggregate(S: sp.csr_matrix) -> Tuple[np.ndarray, int]:
@@ -226,9 +286,21 @@ def _to_device_csr(S: sp.csr_matrix, dtype) -> CsrMatrix:
     return from_scipy(S.tocsr()).device_put(dtype=dtype)
 
 
-def _to_device_level_op(S: sp.csr_matrix, dtype, layout: str, max_blowup: float):
+def _to_device_level_op(
+    S: sp.csr_matrix, dtype, layout: str, max_blowup: float, grid=None
+):
     """Square level operator -> device container, DIA when the diagonal
     storage blowup allows (``load_matrix_market``'s auto rule).
+
+    ``grid`` (r5, set for ND-blocked levels): relayout onto the STENCIL
+    fast path — grid-shaped coefficients, grid-shaped vectors level-wide.
+    Measured motivation on chip at 511^2: flat-DIA level SpMVs run at
+    ~120 GB/s (1-D vector layouts starve the VPU) and every flat<->grid
+    transfer boundary pays a relayout, leaving the ND cycle at 786 us where
+    its per-level arithmetic totals ~90 us; the stencil path is the
+    measured 850-950 GB/s roofline format, and Poisson-like levels
+    const-detect to ZERO matrix bytes.  Falls back to DIA/CSR when the
+    offsets don't decompose onto the grid.
 
     MEASURED MOTIVATION (artifacts/r3s2_onchip.json): gather-form CSR
     segment-sum SpMVs cost the 511^2 Poisson-as-CSR AMG solve 1311 ms on
@@ -253,6 +325,18 @@ def _to_device_level_op(S: sp.csr_matrix, dtype, layout: str, max_blowup: float)
             dia = csr_to_dia(
                 from_scipy(csr_host), offsets=tuple(int(o) for o in diags)
             )
+            if grid is not None:
+                from conjugategradient_tpu.core.formats import (
+                    dia_to_stencil,
+                    stencil_to_const,
+                )
+
+                try:
+                    st = dia_to_stencil(dia, tuple(grid))
+                except ValueError:
+                    st = None  # offsets don't decompose / seam wraps nonzero
+                if st is not None:
+                    return (stencil_to_const(st) or st).device_put(dtype=dtype)
             return dia.device_put(dtype=dtype)
     return _to_device_csr(S, dtype)
 
@@ -268,13 +352,14 @@ def build_amg_hierarchy(
     max_coarse: int = 200,
     max_levels: int = 12,
     min_coarsen: float = 0.9,
-    smooth_prolongator: bool = True,
+    smooth_prolongator="auto",
     dtype=None,
     layout: str = "auto",
     max_blowup: float = 3.0,
     use_pallas="auto",
     aggregation: str = "auto",
     blk: int = 4,
+    infer_grid: bool = True,
 ) -> AmgHierarchy:
     """Set up a smoothed-aggregation hierarchy from ANY sparse container.
 
@@ -287,13 +372,14 @@ def build_amg_hierarchy(
     matrix aggregates into singletons and multigrid adds nothing).
 
     ``smooth_prolongator``: Jacobi-smooth the tentative P (true SA — the SPD
-    default; cuts Poisson iteration counts ~2x vs plain aggregation).  Set
-    ``False`` for NONSYMMETRIC operators: a piecewise-constant P keeps the
-    Galerkin coarse operator an M-matrix whenever A is one (row sums and
-    signs are preserved under aggregation), where the smoothed P's signed
-    entries destroy upwind stability — measured on 255x255/511x511 upwind
-    convection-diffusion (eps=0.05): smoothed-P BiCGStab DIVERGES, plain-P
-    converges in 41/25 iterations.
+    choice; cuts Poisson iteration counts ~2x vs plain aggregation).  For
+    NONSYMMETRIC operators a piecewise-constant P keeps the Galerkin coarse
+    operator an M-matrix whenever A is one (row sums and signs are preserved
+    under aggregation), where the smoothed P's signed entries destroy upwind
+    stability — measured on 255x255/511x511 upwind convection-diffusion
+    (eps=0.05): smoothed-P BiCGStab DIVERGES, plain-P converges in 41/25
+    iterations.  Default ``"auto"`` (r5): smooth iff the FINE operator is
+    symmetric — previously the cure required a kwarg no caller plumbed.
     """
     from conjugategradient_tpu.core.io import to_scipy
 
@@ -317,6 +403,19 @@ def build_amg_hierarchy(
         return off.size > 0 and np.abs(off).max() > 1e-12 * np.abs(S.data).max(initial=1.0)
 
     levels = []
+    def _sym_of(S):
+        d_asym = (S - S.T).tocoo()
+        return bool(
+            np.abs(d_asym.data).max(initial=0.0)
+            <= 1e-12 * np.abs(S.data).max(initial=0.0)
+        )
+
+    if smooth_prolongator == "auto":
+        smooth_prolongator = _sym_of(A_h)
+    smooth_prolongator = bool(smooth_prolongator)
+
+    grid_nd = None  # inferred tensor grid, tracked down the ND-blocked levels
+    nd_checked = False
     while A_h.shape[0] > max_coarse and len(levels) < max_levels - 1:
         diag = A_h.diagonal()
         if np.any(diag <= 0):
@@ -326,11 +425,7 @@ def build_amg_hierarchy(
                 "different preconditioner)"
             )
         n_lvl = A_h.shape[0]
-        d_asym = (A_h - A_h.T).tocoo()
-        sym = (
-            np.abs(d_asym.data).max(initial=0.0)
-            <= 1e-12 * np.abs(A_h.data).max(initial=0.0)
-        )
+        sym = _sym_of(A_h)
         # contiguous (blocked) aggregation whenever the level is a banded
         # SYMMETRIC operator with real off-diagonal structure: transfers
         # lower to reshape-sum/broadcast (no gathers — the measured
@@ -342,14 +437,55 @@ def build_amg_hierarchy(
         # convection direction — measured 143 vs 12 BiCGStab its), as do
         # strength-degenerate (diagonal-dominated) matrices where greedy's
         # stagnation guard must still disable multigrid entirely.
-        blocked = aggregation == "blocked" or (
+        # blocked-eligible: symmetric smoothed-SA levels (the r4 gate) OR
+        # any unsmoothed level (composition transfers are exact with
+        # sa_c=0 regardless of symmetry — this is how NONSYMMETRIC inputs
+        # reach the zero-gather cycle, r5 / VERDICT r4 #4)
+        want_blocked = aggregation == "blocked" or (
             aggregation == "auto"
-            and sym
-            and smooth_prolongator
+            and ((sym and smooth_prolongator) or not smooth_prolongator)
             and _bandable(A_h)
             and _has_offdiag(A_h)
         )
-        if blocked:
+        # N-D upgrade (r5): when the banded offsets reveal a tensor grid,
+        # use CUBE blocks (edge 3) instead of 1-D strips — same zero-gather
+        # reshape transfers, but the Galerkin stencil stays invariant down
+        # the hierarchy and iteration counts match greedy (see AmgLevel.
+        # blk_nd).  Inference runs once, on the finest blockable level;
+        # coarse grids follow by division.
+        blk_nd_lvl = None
+        if want_blocked and infer_grid and not nd_checked:
+            nd_checked = True
+            coo0 = A_h.tocoo()
+            g_found = _infer_grid(
+                n_lvl, np.unique(coo0.col.astype(np.int64) - coo0.row)
+            )
+            if g_found is not None and len(g_found) >= 2:
+                grid_nd = g_found
+        # 1-D strips stay gated to symmetric smoothed levels (measured: on
+        # convection they ignore the flow direction, 143-vs-12 its) unless
+        # explicitly requested; cube blocks are isotropic like greedy's
+        # aggregates and carry nonsymmetric levels too (measured below).
+        blocked = want_blocked and (
+            grid_nd is not None
+            or (sym and smooth_prolongator)
+            or aggregation == "blocked"
+        )
+        if blocked and grid_nd is not None:
+            blks = tuple(3 if g >= 3 else 1 for g in grid_nd)
+            cgrid = tuple(-(-g // b) for g, b in zip(grid_nd, blks))
+            coords = []
+            rem = np.arange(n_lvl, dtype=np.int64)
+            for g in reversed(grid_nd):
+                coords.append(rem % g)
+                rem //= g
+            coords = coords[::-1]
+            agg = np.zeros(n_lvl, dtype=np.int64)
+            for c, b_ax, cg in zip(coords, blks, cgrid):
+                agg = agg * cg + c // b_ax
+            n_agg = int(np.prod(cgrid))
+            blk_nd_lvl = (tuple(grid_nd), blks)
+        elif blocked:
             agg = np.arange(n_lvl, dtype=np.int64) // int(blk)
             n_agg = int(-(-n_lvl // int(blk)))
         else:
@@ -366,20 +502,36 @@ def build_amg_hierarchy(
         # composition-form transfers (exactness gate: see AmgLevel)
         sym = not smooth_prolongator or sym
         w_tent = np.asarray(P0[np.arange(A_h.shape[0]), agg]).ravel()
+        A_dev_lvl = _to_device_level_op(
+            A_h, dt, layout, max_blowup,
+            grid=blk_nd_lvl[0] if (blk_nd_lvl is not None and sym) else None,
+        )
+        from conjugategradient_tpu.core.formats import (
+            ConstStencilMatrix as _CSt,
+            StencilMatrix as _St,
+        )
+
+        # stencil-relayouted levels run the cycle GRID-SHAPED: store the
+        # elementwise carriers grid-shaped too (one host reshape here
+        # replaces a per-transfer device relayout)
+        lvl_shape = A_dev_lvl.grid if isinstance(A_dev_lvl, (_St, _CSt)) else (-1,)
         levels.append(
             AmgLevel(
-                A=_to_device_level_op(A_h, dt, layout, max_blowup),
+                A=A_dev_lvl,
                 P=_to_device_csr(P, dt),
                 R=_to_device_csr(P.T, dt),
-                inv_diag=jnp.asarray((1.0 / diag).astype(dt)),
+                inv_diag=jnp.asarray((1.0 / diag).astype(dt).reshape(lvl_shape)),
                 cheb_bounds=(0.25 * lam_max, lam_max),
                 agg=jnp.asarray(agg, jnp.int32) if sym else None,
-                w=jnp.asarray(w_tent.astype(dt)) if sym else None,
+                w=jnp.asarray(w_tent.astype(dt).reshape(lvl_shape)) if sym else None,
                 nc=int(n_agg),
                 sa_c=float(_SA_W / lam_max) if smooth_prolongator else 0.0,
-                blk=int(blk) if (blocked and sym) else 0,
+                blk=int(blk) if (blocked and sym and blk_nd_lvl is None) else 0,
+                blk_nd=blk_nd_lvl if sym else None,
             )
         )
+        if blk_nd_lvl is not None:
+            grid_nd = cgrid  # next level's inferred grid
         # Galerkin coarse operator and the candidate's coarse image
         # (P0^T z = the per-aggregate norms — the exact vector the next
         # level's tentative prolongator must reproduce).  Measured (r5):
@@ -412,27 +564,46 @@ def build_amg_hierarchy(
 # ---------------------------------------------------------------------------
 
 
-def _smooth(h: AmgHierarchy, lvl: AmgLevel, op, b, x, sweeps: int):
+def _smooth(h: AmgHierarchy, lvl: AmgLevel, op, b, x, sweeps: int, invd=None):
+    invd = lvl.inv_diag if invd is None else invd
     if sweeps <= 0:
         return x
     if h.smoother == "chebyshev":
         lo, hi = lvl.cheb_bounds
-        return chebyshev_smooth(op, lvl.inv_diag, b, x, sweeps, hi, lo)
-    return jacobi_smooth(op, lvl.inv_diag, b, x, sweeps, h.omega)
+        return chebyshev_smooth(op, invd, b, x, sweeps, hi, lo)
+    return jacobi_smooth(op, invd, b, x, sweeps, h.omega)
 
 
 def amg_vcycle(
     h: AmgHierarchy, b: jnp.ndarray, level: int = 0, gamma: int = 1
 ) -> jnp.ndarray:
     """One V- (``gamma=1``) or W- (``gamma=2``) cycle for ``A_level e = b``
-    with zero initial guess; flat ``(n,)`` vectors throughout.  Static
-    recursion — fully unrolled at trace time, like ``multigrid.v_cycle``."""
+    with zero initial guess.  Inter-level vectors are flat ``(n,)``; inside
+    a stencil-relayouted ND level (see ``_to_device_level_op``) the whole
+    level runs GRID-SHAPED — one reshape at level entry/exit instead of a
+    layout conversion per transfer, and the operator applications ride the
+    stencil roofline path.  Static recursion — fully unrolled at trace
+    time, like ``multigrid.v_cycle``."""
     if level == len(h.levels):
         return jnp.dot(h.coarse_inv, b, preferred_element_type=b.dtype)
     lvl = h.levels[level]
-    from conjugategradient_tpu.core.formats import DiaMatrix as _Dia
+    from conjugategradient_tpu.core.formats import (
+        ConstStencilMatrix as _CSt,
+        DiaMatrix as _Dia,
+        StencilMatrix as _St,
+    )
 
-    if h.use_pallas and isinstance(lvl.A, _Dia) and lvl.A.n >= 2048:
+    is_st = isinstance(lvl.A, (_St, _CSt))
+    grid_mode = is_st and lvl.blk_nd is not None
+    if is_st:
+        op_g = partial(spmv, lvl.A)
+        if grid_mode:
+            op = op_g
+        else:
+            # stencil operator driven with flat vectors (e.g. a hierarchy
+            # whose blk_nd was stripped to force the generic path)
+            op = lambda v: op_g(v.reshape(lvl.A.grid)).reshape(-1)
+    elif h.use_pallas and isinstance(lvl.A, _Dia) and lvl.A.n >= 2048:
         # flat-band Pallas CM kernel (measured 10-20x over XLA DIA on chip);
         # small levels stay on the XLA path (kernel launch overhead wins)
         from conjugategradient_tpu.ops.pallas_spmv import spmv_dia_pallas
@@ -440,7 +611,44 @@ def amg_vcycle(
         op = partial(spmv_dia_pallas, lvl.A)
     else:
         op = partial(spmv, lvl.A)
-    if lvl.blk:
+    # elementwise carriers in this level's cycle-vector shape (stored
+    # grid-shaped for stencil levels; reshape is a no-op when it matches)
+    tgt = lvl.A.grid if grid_mode else (-1,)
+    invd = lvl.inv_diag.reshape(tgt)
+    w = None if lvl.w is None else lvl.w.reshape(tgt)
+    if lvl.blk_nd is not None:
+        # N-D cube blocks: restrict = pad + interleaved reshape-sum over the
+        # block axes, prolong = per-axis repeat + crop — zero gathers (see
+        # AmgLevel.blk_nd).  Composition smoothing as in the 1-D form.
+        grid_l, blks = lvl.blk_nd
+        cgrid = tuple(-(-g // b_) for g, b_ in zip(grid_l, blks))
+        pads = [(0, c * b_ - g) for c, b_, g in zip(cgrid, blks, grid_l)]
+        inter = tuple(x for c, b_ in zip(cgrid, blks) for x in (c, b_))
+        blk_axes = tuple(range(1, 2 * len(cgrid), 2))
+        crop = tuple(slice(0, g) for g in grid_l)
+
+        def restrict(v):  # grid-shaped in (grid_mode) -> flat coarse out
+            if lvl.sa_c:
+                v = v - lvl.sa_c * op(invd * v)
+            t = w * v
+            t = jnp.pad(t if grid_mode else t.reshape(grid_l), pads)
+            return t.reshape(inter).sum(axis=blk_axes).reshape(-1)
+
+        def prolong(e):  # flat coarse in -> grid-shaped out (grid_mode)
+            # per-axis jnp.repeat, NOT broadcast_to+reshape: the interleaved
+            # broadcast lowering measured 54 us at 511^2 on chip vs repeat's
+            # 5.6 us (10x, artifacts/amg_nd_r05.json)
+            t = e.reshape(cgrid)
+            for ax, b_ in enumerate(blks):
+                if b_ > 1:
+                    t = jnp.repeat(t, b_, axis=ax)
+            t = t[crop]
+            t = (t if grid_mode else t.reshape(-1)) * w
+            if lvl.sa_c:
+                t = t - lvl.sa_c * (invd * op(t))
+            return t
+
+    elif lvl.blk:
         # contiguous blocks: restrict = reshape-sum, prolong = broadcast-
         # reshape — no gathers/scatters anywhere (the measured TPU win; see
         # AmgLevel.blk).  Same composition form otherwise.
@@ -449,15 +657,15 @@ def amg_vcycle(
 
         def restrict(v):
             if lvl.sa_c:
-                v = v - lvl.sa_c * op(lvl.inv_diag * v)
-            t = jnp.pad(lvl.w * v, (0, pad))
+                v = v - lvl.sa_c * op(invd * v)
+            t = jnp.pad(w * v, (0, pad))
             return t.reshape(lvl.nc, lvl.blk).sum(axis=1)
 
         def prolong(e):
             t = jnp.broadcast_to(e[:, None], (lvl.nc, lvl.blk)).reshape(-1)
-            t = t[:n_lvl] * lvl.w
+            t = t[:n_lvl] * w
             if lvl.sa_c:
-                t = t - lvl.sa_c * (lvl.inv_diag * op(t))
+                t = t - lvl.sa_c * (invd * op(t))
             return t
 
     elif lvl.agg is not None:
@@ -466,25 +674,27 @@ def amg_vcycle(
         # (relayouted) level operator instead of gather-heavy CSR transfers
         def restrict(v):
             if lvl.sa_c:
-                v = v - lvl.sa_c * op(lvl.inv_diag * v)
-            return jax.ops.segment_sum(lvl.w * v, lvl.agg, num_segments=lvl.nc)
+                v = v - lvl.sa_c * op(invd * v)
+            return jax.ops.segment_sum(w * v, lvl.agg, num_segments=lvl.nc)
 
         def prolong(e):
-            t = lvl.w * e[lvl.agg]
+            t = w * e[lvl.agg]
             if lvl.sa_c:
-                t = t - lvl.sa_c * (lvl.inv_diag * op(t))
+                t = t - lvl.sa_c * (invd * op(t))
             return t
 
     else:
         restrict = partial(spmv_csr, lvl.R)
         prolong = partial(spmv_csr, lvl.P)
-    x = _smooth(h, lvl, op, b, jnp.zeros_like(b), h.pre)
+    bl = b.reshape(lvl.A.grid) if grid_mode else b
+    x = _smooth(h, lvl, op, bl, jnp.zeros_like(bl), h.pre, invd)
     reps = gamma if level > 0 else 1
     for _ in range(reps):
-        rc = restrict(b - op(x))
+        rc = restrict(bl - op(x))
         ec = amg_vcycle(h, rc, level + 1, gamma)
         x = x + prolong(ec)
-    return _smooth(h, lvl, op, b, x, h.post)
+    x = _smooth(h, lvl, op, bl, x, h.post, invd)
+    return x.reshape(-1) if grid_mode else x
 
 
 def amg_preconditioner(

@@ -96,10 +96,12 @@ def test_amg_bicgstab_convection_diffusion():
     sys_ = convection_diffusion_system(grid, eps=0.1)
     A_csr = dia_to_csr(sys_.A)
     plain = solve(A_csr, sys_.b, method="bicgstab", tol=1e-8, norm="rel_l2")
-    res = solve(A_csr, sys_.b, method="amg_bicgstab", tol=1e-8, norm="rel_l2")
+    # tol 1e-9: with the r5 auto-UNSMOOTHED nonsym P (the 255^2+ divergence
+    # cure) the preconditioner is weaker, so the kappa*tol error bound needs
+    # one more decade to keep the spsolve comparison at rtol 1e-4
+    res = solve(A_csr, sys_.b, method="amg_bicgstab", tol=1e-9, norm="rel_l2")
     assert bool(res.converged)
     assert int(res.iterations) * 10 < int(plain.iterations)
-    # rel_l2 residual 1e-8 bounds the error by kappa * 1e-8, not 1e-8
     x_ref = sp.linalg.spsolve(to_scipy(sys_.A).tocsc(), np.asarray(sys_.b))
     np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-4, atol=1e-6)
 
@@ -180,7 +182,7 @@ def test_amg_fgmres_gets_jacobi_smoother():
     sys_ = convection_diffusion_system(grid, eps=0.1)
     A_csr = dia_to_csr(sys_.A)
     res = solve(
-        A_csr, sys_.b, method="amg_fgmres", tol=1e-8, norm="rel_l2",
+        A_csr, sys_.b, method="amg_fgmres", tol=1e-9, norm="rel_l2",
         restart=20,
     )
     assert bool(res.converged)
@@ -195,13 +197,27 @@ def test_amg_level_operator_relayout():
     import scipy.sparse as sp
 
     from conjugategradient_tpu.core.formats import CsrMatrix, DiaMatrix
-    from conjugategradient_tpu.core.generators import poisson_system
+    from conjugategradient_tpu.core.generators import banded_sin_matrix, poisson_system
     from conjugategradient_tpu.core.io import from_scipy, to_scipy
+
+    def generators_banded_sin(n, band):
+        return from_scipy(to_scipy(banded_sin_matrix(n, band)).tocsr())
 
     sys_ = poisson_system((31, 31))
     A_csr = from_scipy(to_scipy(sys_.A).tocsr())
     h = build_amg_hierarchy(A_csr, dtype=np.float64)
-    assert isinstance(h.levels[0].A, DiaMatrix)
+    # r5: grid-inferred levels relayout all the way onto the STENCIL fast
+    # path (const-detected here — the Poisson coefficients are constant)
+    from conjugategradient_tpu.core.formats import (
+        ConstStencilMatrix,
+        StencilMatrix,
+    )
+
+    assert isinstance(h.levels[0].A, (ConstStencilMatrix, StencilMatrix))
+    # flat banded input (no inferable grid) still lands in DIA
+    bs = generators_banded_sin(4096, 16)
+    h_dia = build_amg_hierarchy(bs, dtype=np.float64)
+    assert isinstance(h_dia.levels[0].A, DiaMatrix)
     h_csr = build_amg_hierarchy(A_csr, dtype=np.float64, layout="csr")
     assert all(isinstance(l.A, CsrMatrix) for l in h_csr.levels)
     # identical trajectories either way (same arithmetic, different layout)
@@ -227,8 +243,12 @@ def test_amg_pallas_level_ops_match_xla_path():
     from conjugategradient_tpu.core.io import from_scipy, to_scipy
     from conjugategradient_tpu.precond.amg import amg_cg_solve, build_amg_hierarchy
 
-    sys_ = generators.poisson_system((48, 48))
-    csr = from_scipy(to_scipy(sys_.A).tocsr())
+    # a FLAT banded workload: grid-inferable inputs now relayout to the
+    # stencil path (r5), so the DIA+Pallas route is exercised by the
+    # no-grid band family it actually serves
+    A_band = generators.banded_sin_matrix(4096, 16)
+    csr = from_scipy(to_scipy(A_band).tocsr())
+    b_band = np.ones(4096)
     h_x = build_amg_hierarchy(csr, use_pallas=False)
     h_p = build_amg_hierarchy(csr, use_pallas=True)
     assert h_p.use_pallas and not h_x.use_pallas
@@ -239,25 +259,25 @@ def test_amg_pallas_level_ops_match_xla_path():
     from conjugategradient_tpu.solvers.policy import ConvergencePolicy
 
     pol = ConvergencePolicy(tol=1e-9, norm="rel_l2", max_iteration=200)
-    res_x, _ = amg_cg_solve(csr, sys_.b, policy=pol, hierarchy=h_x)
-    res_p, _ = amg_cg_solve(csr, sys_.b, policy=pol, hierarchy=h_p)
+    res_x, _ = amg_cg_solve(csr, b_band, policy=pol, hierarchy=h_x)
+    res_p, _ = amg_cg_solve(csr, b_band, policy=pol, hierarchy=h_p)
     assert bool(res_x.converged) and bool(res_p.converged)
     assert abs(int(res_x.iterations) - int(res_p.iterations)) <= 1
-    x_true = oracle.direct_solve(sys_.A, sys_.b)
-    import numpy as np
-
+    x_true = oracle.direct_solve(A_band, b_band)
     for res in (res_x, res_p):
         rel = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
         assert rel < 1e-7
 
 
 def test_blocked_aggregation_gather_free_and_auto_gates():
-    """Round-4: contiguous (blocked) aggregation — restrict is a reshape-sum,
-    prolong a broadcast (no gathers), every Galerkin level stays DIA (no CSR
-    tail).  Measured on chip (artifacts/amg_blocked_r04.json): 71.8 ->
-    4.08 ms/solve at 511^2.  Auto-gates: symmetric banded -> blocked;
-    nonsymmetric (convection) -> greedy (strip aggregates ignore the flow
-    direction); the diagonal stagnation guard keeps working (its own test)."""
+    """Round-4/5: contiguous (blocked) aggregation — restrict is a
+    reshape-sum, prolong a broadcast (no gathers), every Galerkin level
+    stays DIA (no CSR tail).  Round-5 upgrade: grid-like offset structure
+    is detected (``_infer_grid``) and gets N-D CUBE blocks (edge 3) — the
+    Galerkin stencil stays invariant down the hierarchy (measured 511^2:
+    ndiags 5->9->9 vs the 1-D strips' 5->17->53->161->325) and NONSYMMETRIC
+    operators ride the same zero-gather cycle (cubes are isotropic; the
+    measured-bad strips stay gated to symmetric smoothed levels)."""
     import numpy as np
 
     from conjugategradient_tpu.core import generators, oracle
@@ -267,9 +287,18 @@ def test_blocked_aggregation_gather_free_and_auto_gates():
 
     sys_ = generators.poisson_system((63, 63))
     csr = from_scipy(to_scipy(sys_.A).tocsr())
-    h = build_amg_hierarchy(csr)  # auto -> blocked
-    assert all(l.blk > 0 for l in h.levels)
-    assert all(isinstance(l.A, DiaMatrix) for l in h.levels)
+    h = build_amg_hierarchy(csr)  # auto -> ND-blocked (grid inferred)
+    assert all(l.blk_nd is not None for l in h.levels)
+    assert h.levels[0].blk_nd == ((63, 63), (3, 3))
+    # ND levels relayout onto the stencil fast path (const-detected for
+    # the constant-coefficient Poisson levels)
+    from conjugategradient_tpu.core.formats import (
+        ConstStencilMatrix as _CSt,
+        StencilMatrix as _St,
+    )
+
+    assert all(isinstance(l.A, (_St, _CSt, DiaMatrix)) for l in h.levels)
+    assert isinstance(h.levels[0].A, (_St, _CSt))
     pol = ConvergencePolicy(tol=1e-9, norm="rel_l2", max_iteration=200)
     res, _ = amg_cg_solve(csr, sys_.b, policy=pol, hierarchy=h)
     assert bool(res.converged)
@@ -277,13 +306,81 @@ def test_blocked_aggregation_gather_free_and_auto_gates():
     rel = np.linalg.norm(np.asarray(res.x) - x_true) / np.linalg.norm(x_true)
     assert rel < 1e-7
 
-    # nonsymmetric auto keeps greedy
+    # nonsymmetric grid-structured auto now gets ND blocks too (r5: the
+    # auto-unsmoothed P makes the composition transfers exact without
+    # symmetry); a flat NONSYM band (no grid) falls back to greedy
     cd = generators.convection_diffusion_matrix((31, 31), eps=0.1)
     h_cd = build_amg_hierarchy(dia_to_csr(cd), smoother="jacobi")
-    assert all(l.blk == 0 for l in h_cd.levels)
+    assert all(l.blk_nd is not None for l in h_cd.levels)
+    assert h_cd.levels[0].sa_c == 0.0  # auto-unsmoothed on nonsym
+    nb = generators.nonsymmetric_banded_matrix(512, 8)
+    h_nb = build_amg_hierarchy(dia_to_csr(nb), smoother="jacobi")
+    assert all(l.blk == 0 and l.blk_nd is None for l in h_nb.levels)
 
-    # explicit blocked on request, any blk
-    h6 = build_amg_hierarchy(csr, aggregation="blocked", blk=6)
+    # explicit 1-D blocked on request, any blk (flat-band form: use a
+    # workload with no inferable grid so the strips actually engage)
+    bs = generators.banded_sin_matrix(4096, 16)
+    bs_csr = from_scipy(to_scipy(bs).tocsr())
+    h6 = build_amg_hierarchy(bs_csr, aggregation="blocked", blk=6)
     assert all(l.blk == 6 for l in h6.levels)
-    res6, _ = amg_cg_solve(csr, sys_.b, policy=pol, hierarchy=h6)
+    bvec = np.ones(4096)
+    res6, _ = amg_cg_solve(bs_csr, bvec, policy=pol, hierarchy=h6)
     assert bool(res6.converged)
+
+
+def test_nd_blocked_matches_generic_composition_cycle():
+    """The blk_nd reshape-sum/broadcast transfers must compute EXACTLY what
+    the generic agg/w composition path computes (same algebra, different
+    lowering) — strip blk_nd from the levels and compare one V-cycle."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conjugategradient_tpu.core import generators
+    from conjugategradient_tpu.core.io import from_scipy, to_scipy
+    from conjugategradient_tpu.precond.amg import amg_vcycle
+
+    for grid in [(31, 31), (13, 13, 13)]:
+        sys_ = generators.poisson_system(grid)
+        csr = from_scipy(to_scipy(sys_.A).tocsr())
+        h = build_amg_hierarchy(csr, max_coarse=50)
+        assert h.levels and all(l.blk_nd is not None for l in h.levels)
+        h_generic = dataclasses.replace(
+            h,
+            levels=tuple(
+                dataclasses.replace(l, blk_nd=None) for l in h.levels
+            ),
+        )
+        b = jnp.asarray(np.asarray(sys_.b))
+        y_nd = np.asarray(amg_vcycle(h, b))
+        y_gen = np.asarray(amg_vcycle(h_generic, b))
+        np.testing.assert_allclose(y_nd, y_gen, rtol=1e-12, atol=1e-13)
+
+
+def test_nd_blocked_nonsym_beats_greedy_iterations():
+    """Measured r5 (255^2/511^2 convection eps=0.05: ND 67/52 its vs greedy
+    110/144): cube aggregates with unsmoothed P converge at least as fast
+    as greedy on convection — pinned here at CI scale."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conjugategradient_tpu.core.generators import convection_diffusion_system
+    from conjugategradient_tpu.core.io import from_scipy, to_scipy
+    from conjugategradient_tpu.precond.amg import amg_preconditioner
+    from conjugategradient_tpu.solvers.bicgstab import bicgstab_solve
+    from conjugategradient_tpu.solvers.policy import ConvergencePolicy
+
+    sys_ = convection_diffusion_system((63, 63), eps=0.05)
+    A_csr = from_scipy(to_scipy(sys_.A).tocsr())
+    b = jnp.asarray(np.asarray(sys_.b))
+    pol = ConvergencePolicy(tol=1e-8, norm="rel_l2", max_iteration=2000)
+    its = {}
+    for aggname in ("greedy", "auto"):
+        h = build_amg_hierarchy(
+            A_csr, smoother="jacobi", use_pallas=False, aggregation=aggname
+        )
+        res = bicgstab_solve(h.levels[0].A, b, policy=pol, M=amg_preconditioner(h))
+        assert bool(res.converged)
+        its[aggname] = int(res.iterations)
+    assert its["auto"] <= 1.5 * its["greedy"]
