@@ -633,6 +633,23 @@ def main() -> None:
         assert pallas_multi_err < 1e-5, f"multi-RHS Pallas diverges: {pallas_multi_err}"
         record["pallas_compiled_vs_interpret_relerr"] = pallas_err
         record["pallas_multi_compiled_vs_interpret_relerr"] = pallas_multi_err
+        # and the big-const-stencil slab kernel (r5: the 3-D ladder's fine
+        # levels route through it) — compiled vs the XLA pad+slice path
+        from conjugategradient_tpu.core.formats import dia_to_stencil, stencil_to_const
+        from conjugategradient_tpu.ops.pallas_stencil import spmv_const_stencil_pallas
+        from conjugategradient_tpu.ops.stencil import spmv_const_stencil as _st_xla
+
+        gs = (33, 31, 29)
+        ssys = generators.poisson_system(gs, dtype=np.float32)
+        Ast = stencil_to_const(dia_to_stencil(ssys.A, gs))
+        xs = jnp.asarray(
+            np.random.default_rng(2).standard_normal(gs).astype(np.float32)
+        )
+        y_k = np.asarray(spmv_const_stencil_pallas(Ast, xs))
+        y_x = np.asarray(_st_xla(Ast, xs))
+        st_err = float(np.abs(y_k - y_x).max() / max(np.abs(y_x).max(), 1e-30))
+        assert st_err < 1e-5, f"const-stencil Pallas diverges: {st_err}"
+        record["pallas_stencil_vs_xla_relerr"] = st_err
 
     @section("amg_cg_511sq", floor_s=240.0 if on_tpu else 1e9)
     def _amg():

@@ -7,18 +7,24 @@ are not reused through VMEM, so a 7-point SpMV moves ~9-10 full passes
 instead of two.  On chip at 16.6M rows: 735 us (implied 180 GB/s against
 the 745 GB/s canary) in 3-D and 621 us (216 GB/s) for the same-n 2-D grid
 — while every sub-VMEM size measures at "roofline" only because the whole
-working set is VMEM-resident.  The r4 255^3 V-cycle decomposition traced
+working set is VMEM-resident.  The r5 255^3 V-cycle decomposition traced
 8.9 ms/iteration almost entirely to this: level-0 cheb(2,2) smoothing alone
-was 3.75 ms (`artifacts/vcycle3d_profile_r05.json`).
+was 3.75 ms (``artifacts/vcycle3d_profile_r05.json``).
 
-Design (the Pallas playbook: aligned slab loads + static in-register
-shifts): the grid runs over the LEADING axis in ``bz``-plane slabs; each
-program DMAs its ``bz + 2`` halo-inclusive planes from HBM into a VMEM
-scratch (per-plane copies, boundary planes zeroed — uniform ragged-tail
-handling), computes every leg as a static slice of the scratch with
-edge-masked in-plane shifts (concat-with-zeros, no pad materialisation),
-and writes its ``bz`` output planes once.  Total HBM traffic: read x once
-(+ one halo plane per slab boundary), write y once — the 2-pass minimum.
+Design: the grid runs over the LEADING axis in ``bz``-plane slabs.  Each
+program receives its slab THREE ways — the ``bz``-plane center block plus
+two single-plane halo blocks (block shape ``(1, ...)``, whose block index
+IS the plane index, mapped to ``z0 - 1`` / ``z0 + bz`` with clamping) — so
+the per-step fetch traffic is ``(bz + 2)/bz`` of the slab, not 3x.  A
+z-iota mask zeroes out-of-range planes (this one mask handles the global
+z boundaries AND the ragged tail, where Pallas pads reads with garbage).
+Every leg is then a static in-register slice of the ``(bz+2, ...)`` stack
+with concat-with-zeros in-plane shifts — no pad materialisation, no
+gathers.  Total HBM traffic: ~1.06 reads of x + 1 write of y.
+
+Manual per-plane DMA was tried first and REJECTED by Mosaic: HBM memref
+slices must cover whole (8, 128) tiles in the trailing dims, which 2^k-1
+grids never do; blocked specs handle the unaligned trailing dims for us.
 
 Scope: ``ConstStencilMatrix`` with per-axis shifts in {-1, 0, 1} (every
 fw/hyb discretization here), 2-D/3-D grids, fp32.  Used by
@@ -52,7 +58,7 @@ def _supported(A: ConstStencilMatrix) -> bool:
 
 
 def _plane_shift(t, shift_rest):
-    """Static in-plane shift with zero fill: t[..., i + s, ...] semantics
+    """Static in-plane shift with zero fill: neighbour ``i + s`` semantics
     (matching the pad+slice formulation's zero boundary)."""
     for ax_rel, s in enumerate(shift_rest):
         ax = 1 + ax_rel  # axis 0 is the slab axis
@@ -70,31 +76,24 @@ def _plane_shift(t, shift_rest):
     return t
 
 
-def _kernel(x_hbm, y_ref, s_ref, sem, *, bz, L, coeffs, shifts):
+def _kernel(xu_ref, xc_ref, xd_ref, y_ref, *, bz, L, coeffs, shifts):
     i = pl.program_id(0)
-    z0 = i * bz
-    # halo-inclusive slab load: per-plane guarded DMAs (uniform boundary +
-    # ragged-tail handling; ~bz+2 copies of one (rest...) plane each)
-    for j in range(bz + 2):
-        zj = z0 - 1 + j
-        valid = (zj >= 0) & (zj < L)
-
-        @pl.when(valid)
-        def _(j=j, zj=zj):
-            cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(zj, 1)], s_ref.at[pl.ds(j, 1)], sem
-            )
-            cp.start()
-            cp.wait()
-
-        @pl.when(jnp.logical_not(valid))
-        def _(j=j):
-            s_ref[pl.ds(j, 1)] = jnp.zeros_like(s_ref[pl.ds(j, 1)])
-
+    if xu_ref.shape[0] == 1:  # 3-D: one-plane halo blocks
+        up, dn = xu_ref[...], xd_ref[...]
+    else:  # 2-D: 8-row halo blocks (sublane-divisibility) — the needed row
+        # is the block's last (up) / first (down) one
+        up = xu_ref[7:8]
+        dn = xd_ref[0:1]
+    stack = jnp.concatenate([up, xc_ref[...], dn], axis=0)
+    # one mask kills the global z boundaries (plane -1 / plane L reads were
+    # index-clamped) AND the ragged-tail garbage planes beyond L
+    z_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (bz + 2,) + (1,) * (stack.ndim - 1), 0
+    ) + (i * bz - 1)
+    stack = jnp.where((z_ids >= 0) & (z_ids < L), stack, jnp.float32(0.0))
     acc = None
     for c, shift in zip(coeffs, shifts):
-        sz = shift[0]
-        t = s_ref[pl.ds(1 + sz, bz)]
+        t = jax.lax.slice_in_dim(stack, 1 + shift[0], 1 + shift[0] + bz, axis=0)
         t = _plane_shift(t, shift[1:])
         term = jnp.float32(c) * t
         acc = term if acc is None else acc + term
@@ -106,22 +105,50 @@ def _build(grid: Tuple[int, ...], coeffs: Tuple[float, ...],
            shifts: Tuple[Tuple[int, ...], ...], bz: int, interpret: bool):
     L, rest = grid[0], grid[1:]
     nprog = pl.cdiv(L, bz)
+    zeros_rest = (0,) * len(rest)
     kern = functools.partial(
         _kernel, bz=bz, L=L, coeffs=coeffs, shifts=shifts
     )
+    if len(rest) == 2:
+        # 3-D: one-plane halo blocks — block shape (1, ny, nx) makes the
+        # block index the PLANE index (last two dims are full, so the
+        # sublane/lane divisibility rule is satisfied); clamp keeps it
+        # legal, the kernel's z-mask keeps it correct
+        halo = (1,) + rest
+        up_map = lambda i: (jnp.maximum(i * bz - 1, 0),) + zeros_rest
+        dn_map = lambda i: (jnp.minimum(i * bz + bz, L - 1),) + zeros_rest
+    else:
+        # 2-D: rows are the sublane dim, so halo blocks must be 8 rows;
+        # block index is in 8-row units and the kernel picks the edge row
+        assert bz % 8 == 0, "2-D slab size must be sublane-divisible"
+        nb8 = pl.cdiv(L, 8)
+        halo = (8,) + rest
+        up_map = lambda i: (jnp.maximum(i * (bz // 8) - 1, 0),) + zeros_rest
+        dn_map = lambda i: (
+            jnp.minimum(i * (bz // 8) + bz // 8, nb8 - 1),
+        ) + zeros_rest
     return pl.pallas_call(
         kern,
         grid=(nprog,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(halo, up_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bz,) + rest, lambda i: (i,) + zeros_rest,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(halo, dn_map, memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(
-            (bz,) + rest, lambda i: (i,) + (0,) * len(rest),
+            (bz,) + rest, lambda i: (i,) + zeros_rest,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(grid, jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((bz + 2,) + rest, jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        # the default 16 MB scoped-VMEM budget is Mosaic's conservative
+        # floor; v5e has 128 MB — double-buffered center/out blocks plus
+        # the (bz+2)-plane stack want ~5x the block size
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )
 
@@ -138,11 +165,14 @@ def spmv_const_stencil_pallas(
             f"per-axis shifts in {{-1,0,1}}; got grid={A.grid}"
         )
     if bz <= 0:
-        # slab sizing: big enough to amortise halo planes (2/bz redundant
-        # reads) and per-program overhead, small enough that the scratch
-        # (bz+2 planes) stays comfortably inside VMEM
+        # slab sizing: big enough to amortise the 2 halo planes and
+        # per-program overhead, small enough that the center + halo + out
+        # blocks (double-buffered) stay comfortably inside VMEM
         plane = int(np.prod(A.grid[1:])) * 4
-        bz = int(min(max(4 * 1024 * 1024 // max(plane, 1), 4), 64, A.grid[0]))
+        cap = 64 if len(A.grid) == 3 else 512
+        bz = int(min(max(4 * 1024 * 1024 // max(plane, 1), 4), cap, A.grid[0]))
+    if len(A.grid) == 2:
+        bz = max(8 * (bz // 8), 8)  # sublane-divisible rows
     fn = _build(
         tuple(A.grid),
         tuple(float(c) for c in A.coeffs),
@@ -150,4 +180,4 @@ def spmv_const_stencil_pallas(
         int(bz),
         bool(interpret),
     )
-    return fn(x.astype(jnp.float32))
+    return fn(x.astype(jnp.float32), x.astype(jnp.float32), x.astype(jnp.float32))

@@ -81,12 +81,39 @@ def spmv_stencil_roll(A: StencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
     return back(y)
 
 
+#: HBM-residency threshold for the Pallas slab kernel: below it the XLA
+#: pad+slice loop keeps the whole working set VMEM-resident and measures at
+#: roofline; above it the seven shifted-window reads stop being reused and
+#: XLA moves ~9-10 passes per SpMV (measured 180-216 GB/s implied at 16.6M
+#: rows vs the kernel's ~2-pass minimum — see ops/pallas_stencil.py).
+_PALLAS_MIN_N = 8_000_000
+
+
+def _pallas_const_ok(A: ConstStencilMatrix, x) -> bool:
+    if A.n < _PALLAS_MIN_N or x.dtype != jnp.float32:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from conjugategradient_tpu.ops.pallas_stencil import _supported
+
+    return _supported(A)
+
+
 def spmv_const_stencil(A: ConstStencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """y = A x with zero matrix traffic: per-leg SCALAR coefficients times
     statically shifted windows (boundary behaviour = the zero padding).
     2n bytes per SpMV vs (nlegs + 2) n for the variable-coefficient form —
-    the fine-level Laplacian runs ~3x faster on chip."""
+    the fine-level Laplacian runs ~3x faster on chip.  HBM-resident sizes
+    on TPU route through the Pallas slab kernel (one pass over x; the XLA
+    window reads stop being VMEM-reused past ~8M rows — measured 2.7x on
+    the op at 255^3)."""
     x, back = _as_grid(x, A.grid)
+    if x.ndim == len(A.grid) and _pallas_const_ok(A, x):
+        from conjugategradient_tpu.ops.pallas_stencil import (
+            spmv_const_stencil_pallas,
+        )
+
+        return back(spmv_const_stencil_pallas(A, x))
     halo = A.halo
     xp = jnp.pad(x, [(h, h) for h in halo])
     y = None
