@@ -153,6 +153,202 @@ def _build(grid: Tuple[int, ...], coeffs: Tuple[float, ...],
     )
 
 
+# ---------------------------------------------------------------------------
+# fused Chebyshev smoothing (3-D const levels)
+# ---------------------------------------------------------------------------
+
+
+def _apply_slab(t, coeffs, shifts):
+    """A t on a FULL slab: z-shifts as concat-zero plane shifts (the slab's
+    edge planes go stale by one per application — the halo budget), in-plane
+    shifts as the usual masked static slices."""
+    acc = None
+    for c, shift in zip(coeffs, shifts):
+        # z-shift via concat-zero along axis 0, then the in-plane shifts
+        u = t
+        sz = shift[0]
+        if sz:
+            zshape = (1,) + t.shape[1:]
+            z = jnp.zeros(zshape, t.dtype)
+            if sz == 1:
+                u = jax.lax.concatenate(
+                    [jax.lax.slice_in_dim(t, 1, t.shape[0], axis=0), z], 0
+                )
+            else:
+                u = jax.lax.concatenate(
+                    [z, jax.lax.slice_in_dim(t, 0, t.shape[0] - 1, axis=0)], 0
+                )
+        u = _plane_shift(u, shift[1:])
+        term = jnp.float32(c) * u
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _cheb_kernel(invd_ref, *refs, bz, h, L, coeffs, shifts, degree,
+                 lam_max, lam_min, zero_x, want_resid):
+    """Whole degree-``degree`` Chebyshev smoothing sweep on one slab.
+
+    Inputs (per slab, after the scalar ref): b halo/center/halo
+    [, x halo/center/halo].  Outputs: x [, r = D^{-1}(b - A x)].  The slab
+    carries ``h = degree`` halo planes per side; every stencil application
+    goes one plane stale at the slab edges, and the recurrence performs
+    exactly ``degree`` applications on the deepest-consumed path, so the
+    central ``bz`` output planes stay exact.
+    """
+    i = pl.program_id(0)
+    invd = invd_ref[0, 0]
+    nin = 3 if zero_x else 6
+    ins, outs = refs[:nin], refs[nin:]
+
+    z_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (bz + 2 * h, 1, 1), 0
+    ) + (i * bz - h)
+    dom = (z_ids >= 0) & (z_ids < L)
+
+    def stack_of(up_ref, c_ref, dn_ref):
+        s = jnp.concatenate([up_ref[...], c_ref[...], dn_ref[...]], axis=0)
+        return jnp.where(dom, s, jnp.float32(0.0))
+
+    def apply_dom(t):
+        # Dirichlet semantics at EVERY application: the operator input must
+        # be zero outside the global domain (only the first application is
+        # covered by the input mask; later ones see recurrence state)
+        return _apply_slab(jnp.where(dom, t, jnp.float32(0.0)), coeffs, shifts)
+
+    b = stack_of(*ins[:3])
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    if zero_x:
+        x = jnp.zeros_like(b)
+        r = invd * b
+    else:
+        x = stack_of(*ins[3:6])
+        r = invd * (b - apply_dom(x))
+    d = r / jnp.float32(theta)
+    for k in range(degree):
+        x = x + d
+        last = k == degree - 1
+        if not (last and not want_resid):
+            r = r - invd * apply_dom(d)
+        if not last:
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = jnp.float32(rho_new * rho) * d + jnp.float32(
+                2.0 * rho_new / delta
+            ) * r
+            rho = rho_new
+    outs[0][...] = jax.lax.slice_in_dim(x, h, h + bz, axis=0)
+    if want_resid:
+        outs[1][...] = jax.lax.slice_in_dim(r, h, h + bz, axis=0)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_cheb(grid, coeffs, shifts, bz, degree, lam_max, lam_min,
+                zero_x, want_resid, interpret):
+    L, rest = grid[0], grid[1:]
+    h = degree
+    assert bz % h == 0, "slab size must be a multiple of the halo depth"
+    nprog = pl.cdiv(L, bz)
+    zeros_rest = (0,) * len(rest)
+    nbh = pl.cdiv(L, h)
+    kern = functools.partial(
+        _cheb_kernel, bz=bz, h=h, L=L, coeffs=coeffs, shifts=shifts,
+        degree=degree, lam_max=lam_max, lam_min=lam_min, zero_x=zero_x,
+        want_resid=want_resid,
+    )
+
+    def specs_for_one():
+        # h-plane halo blocks in h-plane units (bz % h == 0 keeps the
+        # center aligned to them); clamped, kernel z-mask corrects
+        return [
+            pl.BlockSpec(
+                (h,) + rest,
+                lambda i: (jnp.maximum(i * (bz // h) - 1, 0),) + zeros_rest,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bz,) + rest, lambda i: (i,) + zeros_rest,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (h,) + rest,
+                lambda i: (
+                    jnp.minimum(i * (bz // h) + bz // h, nbh - 1),
+                ) + zeros_rest,
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+
+    in_specs = [pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)] + specs_for_one()
+    if not zero_x:
+        in_specs += specs_for_one()
+    out_spec = pl.BlockSpec(
+        (bz,) + rest, lambda i: (i,) + zeros_rest, memory_space=pltpu.VMEM
+    )
+    n_out = 2 if want_resid else 1
+    return pl.pallas_call(
+        kern,
+        grid=(nprog,),
+        in_specs=in_specs,
+        out_specs=[out_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct(grid, jnp.float32)] * n_out,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+
+def cheb_smooth_const_pallas(
+    A: ConstStencilMatrix,
+    b: jnp.ndarray,
+    x: "jnp.ndarray | None",
+    degree: int,
+    lam_max: float,
+    lam_min: float,
+    inv_diag,
+    want_resid: bool = False,
+    bz: int = 0,
+    interpret: bool = False,
+):
+    """One FUSED degree-``degree`` Chebyshev smoothing application for a big
+    3-D const stencil: the whole three-term recurrence (``precond.smoothers.
+    chebyshev_smooth``, bitwise-same schedule) runs slab-resident in VMEM —
+    HBM traffic is read b [+ read x] + write x [+ write r], vs the unfused
+    form's ~10 passes per degree step.  ``x=None`` = zero initial guess (the
+    V-cycle's pre-smoothing: no A x0 application, no x read).
+    ``want_resid=True`` also emits ``r = D^{-1}(b - A x_out)`` — the
+    pre-smooth + residual of a V-cycle level in ONE kernel.
+
+    ``inv_diag``: scalar (const-stencil levels have a constant diagonal).
+    Returns ``x_out`` or ``(x_out, r_scaled)``.
+    """
+    if not _supported(A) or len(A.grid) != 3:
+        raise ValueError("cheb_smooth_const_pallas: 3-D const stencil only")
+    if degree < 1:
+        raise ValueError("degree must be >= 1")
+    if bz <= 0:
+        plane = int(np.prod(A.grid[1:])) * 4
+        bz = int(min(max(4 * 1024 * 1024 // max(plane, 1), 8), 32))
+        bz = max(degree * (bz // degree), degree)  # halo-depth divisible
+    fn = _build_cheb(
+        tuple(A.grid),
+        tuple(float(c) for c in A.coeffs),
+        tuple(tuple(int(s) for s in sh) for sh in A.shifts),
+        int(bz), int(degree), float(lam_max), float(lam_min),
+        x is None, bool(want_resid), bool(interpret),
+    )
+    invd = jnp.asarray(inv_diag, jnp.float32).reshape(1, 1)
+    b = b.astype(jnp.float32)
+    args = [invd, b, b, b]
+    if x is not None:
+        x = x.astype(jnp.float32)
+        args += [x, x, x]
+    out = fn(*args)
+    return (out[0], out[1]) if want_resid else out[0]
+
+
 def spmv_const_stencil_pallas(
     A: ConstStencilMatrix, x: jnp.ndarray, bz: int = 0, interpret: bool = False
 ) -> jnp.ndarray:

@@ -576,11 +576,41 @@ def build_hierarchy(
     )
 
 
-def _smooth(h: MgHierarchy, lvl: MgLevel, op, b, x, sweeps: int, post: bool = False):
+def _fused_cheb_ok(lvl: MgLevel, b, roll: bool) -> bool:
+    """Gate for the fused slab Chebyshev kernel (``ops.pallas_stencil.
+    cheb_smooth_const_pallas``): big 3-D const-stencil levels on TPU with a
+    scalar diagonal.  ``roll=True`` (the GSPMD cyclic-roll path) is excluded
+    — a pallas_call on the full array would fight the partitioner."""
+    import jax as _jax
+
+    from conjugategradient_tpu.ops.stencil import _PALLAS_MIN_N
+
+    return (
+        not roll
+        and isinstance(lvl.A, ConstStencilMatrix)
+        and len(lvl.grid) == 3
+        and lvl.A.n >= _PALLAS_MIN_N
+        and jnp.ndim(lvl.inv_diag) == 0
+        and b.dtype == jnp.float32
+        and _jax.default_backend() == "tpu"
+        and all(all(abs(s) <= 1 for s in sh) for sh in lvl.A.shifts)
+    )
+
+
+def _smooth(h: MgHierarchy, lvl: MgLevel, op, b, x, sweeps: int,
+            post: bool = False, x_zero: bool = False, fused: bool = False):
     if sweeps <= 0:
         return x
     if h.smoother == "chebyshev":
         lo, hi = lvl.cheb_bounds
+        if fused:
+            from conjugategradient_tpu.ops.pallas_stencil import (
+                cheb_smooth_const_pallas,
+            )
+
+            return cheb_smooth_const_pallas(
+                lvl.A, b, None if x_zero else x, sweeps, hi, lo, lvl.inv_diag
+            )
         return chebyshev_smooth(op, lvl.inv_diag, b, x, sweeps, hi, lo)
     if h.smoother == "rbgs":
         fn = redblack_gs_smooth_reversed if post else redblack_gs_smooth
@@ -690,13 +720,30 @@ def v_cycle(
         # flat caller with a stencil hierarchy: run grid-shaped, return flat
         x0g = None if x0 is None else x0.reshape(lvl.grid)
         return v_cycle(h, b.reshape(lvl.grid), level, use_pallas, roll, gamma, x0g).reshape(-1)
+    fused = h.smoother == "chebyshev" and _fused_cheb_ok(lvl, b, roll)
     x = jnp.zeros_like(b) if x0 is None else x0
-    x = _smooth(h, lvl, op, b, x, h.pre)
+    r_pre = None
+    if fused and h.pre > 0 and x0 is None:
+        # fused pre-smooth + residual: ONE kernel emits the smoothed x and
+        # r_s = D^{-1}(b - A x) — the level's dominant HBM traffic (smoothing
+        # sweeps + the correction residual) collapses to read-b + two writes
+        from conjugategradient_tpu.ops.pallas_stencil import (
+            cheb_smooth_const_pallas,
+        )
+
+        lo, hi = lvl.cheb_bounds
+        x, r_s = cheb_smooth_const_pallas(
+            lvl.A, b, None, h.pre, hi, lo, lvl.inv_diag, want_resid=True
+        )
+        r_pre = r_s / lvl.inv_diag
+    else:
+        x = _smooth(h, lvl, op, b, x, h.pre, x_zero=x0 is None, fused=fused)
 
     rg, pg = _level_transfers(lvl, op)
 
-    def correct(x):
-        r = b - op(x)
+    def correct(x, r=None):
+        if r is None:
+            r = b - op(x)
         if grid_native:
             rc = rg(r)
             ec = v_cycle(h, rc, level + 1, use_pallas, roll, gamma)
@@ -707,9 +754,9 @@ def v_cycle(
         return x + pg(ec.reshape(cg_shape), lvl.grid).reshape(-1)
 
     reps = gamma if level > 0 else 1  # cycle index applies below the top
-    for _ in range(reps):
-        x = correct(x)
-    x = _smooth(h, lvl, op, b, x, h.post, post=True)
+    for j in range(reps):
+        x = correct(x, r_pre if j == 0 else None)
+    x = _smooth(h, lvl, op, b, x, h.post, post=True, fused=fused)
     return x
 
 
