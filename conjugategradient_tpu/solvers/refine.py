@@ -44,6 +44,12 @@ class RefineResult:
     converged: bool
     history: list  # fp64 residual after each outer pass
     stalled: bool = False  # progress hit the fp64 evaluation noise floor
+    timings: Optional[dict] = None  # device-resident path only: input_s
+    # (b/x dd pairs to device), exec_s (the refinement loop incl. scalar
+    # readbacks), output_s (solution dd pair to host) — the reference's own
+    # input/exec/output phase convention (MgcgMain.cs:165-167); through the
+    # serving tunnel the bulk phases dominate and vary run to run, so the
+    # honest record needs the split, not one wall number
 
 
 
@@ -583,15 +589,29 @@ def _refined_solve_device(
         update = _jit_dd_update("plain", inner, float(inner_tol), max_it, (), 0)
         update_args = lambda: (A_dev, deflation)
 
-    b_dd = dd.dd_from_f64(b64.reshape(shape))
-    x_dd = dd.dd_from_f64(x64.reshape(shape))
+    import time as _time
 
-    return run_device_refinement(
+    t0 = _time.perf_counter()
+    b_dd = dd.dd_from_f64(b64.reshape(shape))
+    # zero initial guess: build the dd pair ON DEVICE — dd_from_f64 of the
+    # host zeros ships 2 full fp32 arrays of zeros through the (slow) tunnel
+    # (132 MB at 255^3, measured as a visible slice of the refined wall)
+    x_dd = (
+        dd.dd_zeros(shape, dtype=np.float32)
+        if x0 is None
+        else dd.dd_from_f64(x64.reshape(shape))
+    )
+    jax.block_until_ready((b_dd, x_dd))
+    input_s = _time.perf_counter() - t0
+
+    res = run_device_refinement(
         lambda b_, x_: resid(ddm, b_, x_),
         lambda x_, r32, s: update(*update_args(), x_, r32, s),
         b_dd, x_dd, tol=tol, norm=norm, max_outer=max_outer,
         raise_on_divergence=raise_on_divergence,
     )
+    res.timings = dict(res.timings or {}, input_s=round(input_s, 3))
+    return res
 
 
 def run_device_refinement(
@@ -629,14 +649,23 @@ def run_device_refinement(
             return float(np.sqrt(max(rr, 0.0) / (rr0 if rr0 > 0 else 1.0)))
         raise ValueError(f"unknown norm {norm!r}")
 
+    import time as _time
+
+    t_loop0 = _time.perf_counter()
+
     def finish(x_dd, outer, inner_total, res, converged, history, stalled=False):
+        exec_s = _time.perf_counter() - t_loop0
+        t0 = _time.perf_counter()
         x = dd.dd_to_f64(x_dd).reshape(-1)
+        output_s = _time.perf_counter() - t0
         if raise_on_divergence and not converged:
             raise NotConvergedError(
                 f"iterative refinement: {outer} outer passes, residual {res:.3e}"
             )
         return RefineResult(x, outer, inner_total, res, converged, history,
-                            stalled=stalled)
+                            stalled=stalled,
+                            timings={"exec_s": round(exec_s, 3),
+                                     "output_s": round(output_s, 3)})
 
     history: list = []
     inner_total = 0

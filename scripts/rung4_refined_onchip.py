@@ -58,6 +58,7 @@ def main():
 
     best = float("inf")
     rres = None
+    best_t = None
     reps = 2  # first call compiles; min over reps (device-resident passes
     # are cheap enough that two reps fit the 511^3 budget too)
     for _ in range(reps):
@@ -67,11 +68,19 @@ def main():
             inner_tol=1e-5, device_dtype=np.float32, hierarchy=h,
             device_residual=not args.host_residual,
         )
-        best = min(best, time.perf_counter() - t0)
+        w = time.perf_counter() - t0
+        if w < best:
+            best, best_t = w, rres.timings
 
     x = np.asarray(rres.x, np.float64)
     r = system.b - oracle.spmv(system.A, x)
     true_rel = float(np.linalg.norm(r) / np.linalg.norm(system.b))
+
+    # tunnel-I/O phase estimate (the reference's input/output phases,
+    # MgcgMain.cs:165-167): the device-resident contract still ships b in
+    # (2 fp32 arrays as a dd pair) and the solution out (2 fp32 arrays) —
+    # on this serving tunnel that bulk I/O dominates wall; on a
+    # host-attached chip it is PCIe-speed noise.  Measure it directly.
     out = {
         "experiment": "rung4_refined_1e-8",
         "outer_loop": "host_fp64" if args.host_residual else "device_dd",
@@ -80,6 +89,12 @@ def main():
         "tol": 1e-8,
         "norm": "rel_l2",
         "wall_s": round(best, 2),
+        # the reference's input/exec/output phase convention, measured
+        # inside the device-resident loop: input/output = the dd pairs'
+        # bulk tunnel I/O (PCIe-speed noise on attached hardware; seconds
+        # and highly variable through the serving tunnel), exec = the
+        # refinement loop itself (inner solves + 3 scalar readbacks/pass)
+        "phases": best_t,
         "setup_s": round(setup_s, 1),
         "outer_iterations": int(rres.outer_iterations),
         "inner_iterations": int(rres.inner_iterations),
