@@ -329,12 +329,12 @@ def cheb_smooth_const_pallas(
     if degree < 1:
         raise ValueError("degree must be >= 1")
     if bz <= 0:
-        # slab sizing by PLANE bytes: the kernel keeps ~8 slab-sized arrays
-        # live (b, x, r, d + apply temporaries), so target ~10 MB of slab
-        # to stay inside the scoped-VMEM budget at 511^2 planes (the 4 MB
-        # block target of the SpMV kernel OOM'd here at 511^3: 104 > 100 MB)
+        # slab sizing by PLANE bytes: Mosaic's measured liveness is ~11
+        # slab-sized arrays for the nonzero-x variant (b and x stacks, r, d,
+        # apply temporaries — 351^3's level-1 OOM'd at a 9.9 MB slab:
+        # 106.6 > 100 MB), so target ~7 MB of slab
         plane = int(np.prod(A.grid[1:])) * 4
-        bz = 10 * 1024 * 1024 // max(plane, 1) - 2 * degree
+        bz = 7 * 1024 * 1024 // max(plane, 1) - 2 * degree
         bz = int(min(max(bz, degree), 32))
         bz = max(degree * (bz // degree), degree)  # halo-depth divisible
     fn = _build_cheb(

@@ -3,7 +3,7 @@
 The const-stencil hierarchy ships ZERO matrix bytes, so the only HBM cost
 is the vector working set (~10 fp32 vectors) — 639^3 = 260.9M rows runs in
 996 ms/solve and 703^3 = 347.4M in 1.44 s/solve (5 its to 1e-6 rel, true
-fp64 residuals checked; artifacts/rung_{639,703}cubed_r04.json), 2.6-3.5x
+fp64 residuals checked; artifacts/rung_{639,703}cubed_r05.json), 2.6-3.5x
 past the BASELINE ladder's "100M rows" scale on ONE chip.  Grid axes must
 form an all-odd coarsening chain (639 -> 319 -> ... -> 19; 703 -> 351 ->
 ... -> 21 -> 10^3 dense tail).  703^3 also exercised the int32
@@ -87,5 +87,5 @@ out = {"experiment": f"rung_{args.n}cubed_one_chip", "grid": list(g3), "n": sys3
        "tol": 1e-6, "true_fp64_rel_residual": rel}
 print(json.dumps(out))
 with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "artifacts", f"rung_{args.n}cubed_r04.json"), "w") as f:
+                       "artifacts", f"rung_{args.n}cubed_r05.json"), "w") as f:
     json.dump(out, f, indent=1)
