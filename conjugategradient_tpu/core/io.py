@@ -47,7 +47,14 @@ def from_scipy(m) -> CsrMatrix:
         if not m.has_canonical_format:
             m = m.copy()
             m.sum_duplicates()
-        return csr_from_parts(m.data, m.indices, m.indptr, tuple(m.shape))
+        # copy the buffers: the container must not alias the caller's scipy
+        # matrix (in-place edits there would mutate it underneath us); the
+        # O(nnz) memcpy is still ~10x cheaper than the COO lexsort this
+        # fast path replaces
+        return csr_from_parts(
+            np.array(m.data), np.array(m.indices), np.array(m.indptr),
+            tuple(m.shape),
+        )
     coo = m.tocoo()
     return coo_to_csr(
         CooMatrix(

@@ -243,11 +243,20 @@ def _cheb_kernel(invd_ref, *refs, bz, h, L, coeffs, shifts, degree,
         outs[1][...] = jax.lax.slice_in_dim(r, h, h + bz, axis=0)
 
 
+def _cheb_halo(degree: int, zero_x: bool, want_resid: bool) -> int:
+    """Deepest operator-application chain the outputs consume: the zero-x
+    recurrence costs ``degree`` applications; with a NONZERO x0 the init
+    ``A x0`` adds one to the residual path (the x path still erodes only
+    ``degree`` deep) — under-budgeting it corrupted slab-edge residual
+    planes by ~1e-2 (caught in review, pinned by test)."""
+    return degree + (1 if (want_resid and not zero_x) else 0)
+
+
 @functools.lru_cache(maxsize=32)
 def _build_cheb(grid, coeffs, shifts, bz, degree, lam_max, lam_min,
                 zero_x, want_resid, interpret):
     L, rest = grid[0], grid[1:]
-    h = degree
+    h = _cheb_halo(degree, zero_x, want_resid)
     assert bz % h == 0, "slab size must be a multiple of the halo depth"
     nprog = pl.cdiv(L, bz)
     zeros_rest = (0,) * len(rest)
@@ -334,9 +343,10 @@ def cheb_smooth_const_pallas(
         # apply temporaries — 351^3's level-1 OOM'd at a 9.9 MB slab:
         # 106.6 > 100 MB), so target ~7 MB of slab
         plane = int(np.prod(A.grid[1:])) * 4
-        bz = 7 * 1024 * 1024 // max(plane, 1) - 2 * degree
-        bz = int(min(max(bz, degree), 32))
-        bz = max(degree * (bz // degree), degree)  # halo-depth divisible
+        h_need = _cheb_halo(degree, x is None, want_resid)
+        bz = 7 * 1024 * 1024 // max(plane, 1) - 2 * h_need
+        bz = int(min(max(bz, h_need), 32))
+        bz = max(h_need * (bz // h_need), h_need)  # halo-depth divisible
     fn = _build_cheb(
         tuple(A.grid),
         tuple(float(c) for c in A.coeffs),

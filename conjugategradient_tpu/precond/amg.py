@@ -175,35 +175,48 @@ def _infer_grid(
     jumps = [o for o in pos if o > max_extent]
     if not jumps:
         return (n,)  # pure 1-D stencil
+    # EVERY divisible candidate is scored and the minimum-total-|dx| pitch
+    # wins: the true pitch makes cross-diagonal legs decompose with dx in
+    # {-1, 0, 1}, while an off-by-d pitch shifts every jump offset by d.
+    # First-accept ordering mis-inferred (9, 12) as (12, 9) and (10, 12)
+    # as (12, 10) whenever the wrong pitch also divides n (review finding,
+    # pinned by test).
     cands = sorted(
         {jumps[0] + d for d in range(-max_extent, max_extent + 1)}
         - set(range(min_pitch))
     )
+    best = None  # (score, grid)
     for p in cands:
         if n % p:
             continue
         rest = set()
         ok = True
+        score = 0
         for o in pos:
             dx = ((o + max_extent) % p) - max_extent
             if abs(dx) > max_extent:
                 ok = False
                 break
+            score += abs(dx)
             r = (o - dx) // p
             if r:
                 rest.add(r)
         if not ok:
             continue
         if not rest or max(rest) <= max_extent:
-            return (n // p, p)  # 2-D: all row-jumps within reach
-        if max_dims <= 2:
+            grid = (n // p, p)  # 2-D: all row-jumps within reach
+        elif max_dims > 2:
+            sub = _infer_grid(
+                n // p, sorted(rest), max_extent, min_pitch, max_dims - 1
+            )
+            if sub is None or len(sub) > max_dims - 1:
+                continue
+            grid = sub + (p,)
+        else:
             continue
-        sub = _infer_grid(
-            n // p, sorted(rest), max_extent, min_pitch, max_dims - 1
-        )
-        if sub is not None and len(sub) <= max_dims - 1:
-            return sub + (p,)
-    return None
+        if best is None or score < best[0]:
+            best = (score, grid)
+    return best[1] if best is not None else None
 
 
 def _aggregate(S: sp.csr_matrix) -> Tuple[np.ndarray, int]:
@@ -371,6 +384,13 @@ def build_amg_hierarchy(
     to shrink below ``min_coarsen * n`` (stagnation guard: a diagonal-ish
     matrix aggregates into singletons and multigrid adds nothing).
 
+    ``aggregation`` precedence: ``"auto"`` picks greedy / 1-D strips / N-D
+    cubes by structure — cube (edge-3, grid-inferred, stencil-relayouted)
+    whenever ``_infer_grid`` finds a tensor grid AND the operator passes the
+    row-seam validation; explicit ``"blocked"`` always means the 1-D strips
+    with the caller's ``blk`` (no inference — the pre-r5 contract);
+    ``infer_grid=False`` disables inference under ``"auto"`` too.
+
     ``smooth_prolongator``: Jacobi-smooth the tentative P (true SA — the SPD
     choice; cuts Poisson iteration counts ~2x vs plain aggregation).  For
     NONSYMMETRIC operators a piecewise-constant P keeps the Galerkin coarse
@@ -454,14 +474,36 @@ def build_amg_hierarchy(
         # blk_nd).  Inference runs once, on the finest blockable level;
         # coarse grids follow by division.
         blk_nd_lvl = None
-        if want_blocked and infer_grid and not nd_checked:
+        if (want_blocked and infer_grid and not nd_checked
+                and aggregation != "blocked"):
+            # explicit aggregation="blocked" is a request for the 1-D
+            # strips with the caller's blk — only "auto" upgrades to cubes
             nd_checked = True
             coo0 = A_h.tocoo()
-            g_found = _infer_grid(
-                n_lvl, np.unique(coo0.col.astype(np.int64) - coo0.row)
-            )
+            diags0 = np.unique(coo0.col.astype(np.int64) - coo0.row)
+            g_found = _infer_grid(n_lvl, diags0)
             if g_found is not None and len(g_found) >= 2:
-                grid_nd = g_found
+                # validate the inference against the operator itself: a
+                # genuine grid stencil has exact zeros at every row seam
+                # (dia_to_stencil's O(boundary) check) — a divisible-but-
+                # wrong pitch (e.g. a flat {1,2,5} band with 8 | n) fails
+                # here and falls back to strips/greedy instead of silently
+                # aggregating across physical grid rows
+                from conjugategradient_tpu.core.formats import (
+                    csr_to_dia,
+                    dia_to_stencil,
+                )
+                from conjugategradient_tpu.core.io import from_scipy
+
+                try:
+                    dia0 = csr_to_dia(
+                        from_scipy(A_h.tocsr()),
+                        offsets=tuple(int(o) for o in diags0),
+                    )
+                    dia_to_stencil(dia0, tuple(g_found), copy=False)
+                    grid_nd = g_found
+                except ValueError:
+                    pass
         # 1-D strips stay gated to symmetric smoothed levels (measured: on
         # convection they ignore the flow direction, 143-vs-12 its) unless
         # explicitly requested; cube blocks are isotropic like greedy's

@@ -538,7 +538,11 @@ def arnoldi_eigs(
         cols = jnp.asarray(
             np.concatenate([X.real.T, X.imag.T], axis=0), dtype
         )  # (2k', n)
-        AX = np.asarray(jax.device_get(jax.vmap(op_plain)(cols)), np.float64)
+        # lax.map, not vmap: user-supplied callables built on primitives
+        # without batching rules (pure_callback host matvecs) are legal
+        # operators here, and a scan-based map applies them per column
+        # while still costing ONE device round trip for the whole block
+        AX = np.asarray(jax.device_get(jax.lax.map(op_plain, cols)), np.float64)
         Ax_c = AX[:kw_n].astype(np.complex128) + 1j * AX[kw_n:]
         resid = np.linalg.norm(
             Ax_c - vals[:, None] * X.T, axis=1

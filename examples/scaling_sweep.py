@@ -127,6 +127,7 @@ def main() -> int:
 
     failures = 0
     base_nnz_per_s = None
+    base_phase = None
     rows = []
     for s in sizes:
         n = args.base_n * (s if args.weak else 1)
@@ -181,7 +182,10 @@ def main() -> int:
         t_iter = dt / it
         comm = ph["halo"] + 2.0 * ph["allreduce"] if s > 1 else 0.0
         comm_frac = min(comm / t_iter, 1.0)
-        if s == 1:
+        if s == 1 or base_phase is None:
+            # first measured size is the contention baseline (identical to
+            # the s=1 baseline when the sweep starts at 1; for partial
+            # --devices lists the model is relative to the smallest mesh)
             base_phase = {"spmv": ph["spmv"], "t_iter": t_iter}
         contention = ph["spmv"] / base_phase["spmv"]
         # reconciliation model: t_iter(s) ~ contention * t_iter(1) + comm(s)

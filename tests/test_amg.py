@@ -384,3 +384,36 @@ def test_nd_blocked_nonsym_beats_greedy_iterations():
         assert bool(res.converged)
         its[aggname] = int(res.iterations)
     assert its["auto"] <= 1.5 * its["greedy"]
+
+
+def test_infer_grid_prefers_exact_pitch_and_seam_validation():
+    """Review findings: (a) candidate order must prefer the axis-aligned
+    jump offset — plain sorted() mis-inferred (9, 12) as (12, 9) whenever
+    pitch-3 divides n; (b) a divisible-but-wrong pitch (flat {1,2,5} band
+    with 8 | n) must be rejected by the operator's row-seam validation, and
+    (c) explicit aggregation='blocked' keeps the caller's 1-D strips even
+    on grid inputs."""
+    import scipy.sparse as sp
+
+    from conjugategradient_tpu.core.generators import poisson_system
+    from conjugategradient_tpu.core.io import from_scipy, to_scipy
+    from conjugategradient_tpu.precond.amg import _infer_grid
+
+    assert _infer_grid(9 * 12, [1, 12]) == (9, 12)
+    assert _infer_grid(10 * 12, [1, 11, 12, 13]) == (10, 12)
+
+    # (b): a flat band whose fake pitch divides n — seam validation refuses
+    n = 512
+    diags_ = {0: 4.0, 1: -1.0, -1: -1.0, 2: -0.5, -2: -0.5, 5: -0.25, -5: -0.25}
+    Ab = sp.diags(
+        [np.full(n - abs(o), v) for o, v in diags_.items()],
+        list(diags_.keys()),
+    ).tocsr()
+    h_b = build_amg_hierarchy(from_scipy(Ab), dtype=np.float64)
+    assert all(l.blk_nd is None for l in h_b.levels)
+
+    # (c): explicit strips honoured on a grid input
+    sys_ = poisson_system((31, 31))
+    csr = from_scipy(to_scipy(sys_.A).tocsr())
+    h_s = build_amg_hierarchy(csr, aggregation="blocked", blk=6)
+    assert all(l.blk == 6 and l.blk_nd is None for l in h_s.levels)

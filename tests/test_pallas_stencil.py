@@ -80,3 +80,48 @@ def test_dispatch_gate_cpu_keeps_xla():
     A = _const_of((33, 31, 29))
     x = jnp.zeros((33, 31, 29), jnp.float32)
     assert not _pallas_const_ok(A, x)
+
+
+def test_cheb_fused_matches_reference_all_variants():
+    """The fused Chebyshev kernel vs ``chebyshev_smooth``: zero/nonzero x0,
+    with/without residual (the nonzero-x0 + want_resid combination needs a
+    degree+1 halo — under-budgeting it corrupted slab-edge residual planes
+    by ~1e-2, caught in review)."""
+    import jax.numpy as jnp
+    from functools import partial
+
+    from conjugategradient_tpu.ops.pallas_stencil import cheb_smooth_const_pallas
+    from conjugategradient_tpu.precond.smoothers import chebyshev_smooth
+
+    g = (24, 9, 12)
+    A = _const_of(g)
+    invd = 1.0 / A.coeffs[list(A.shifts).index((0, 0, 0))]
+    op = partial(spmv_const_stencil, A)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(g).astype(np.float32))
+    x0 = jnp.asarray(rng.standard_normal(g).astype(np.float32))
+    hi, lo = 1.9, 0.45
+    for deg in (1, 2):
+        for xin in (None, x0):
+            x_ref = chebyshev_smooth(
+                op, jnp.float32(invd), b,
+                jnp.zeros_like(b) if xin is None else xin, deg, hi, lo,
+            )
+            r_ref = invd * (b - op(x_ref))
+            for bz in (0, 6, 12):
+                xk, rk = cheb_smooth_const_pallas(
+                    A, b, xin, deg, hi, lo, invd, want_resid=True, bz=bz,
+                    interpret=True,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(xk), np.asarray(x_ref), rtol=2e-5, atol=2e-5
+                )
+                np.testing.assert_allclose(
+                    np.asarray(rk), np.asarray(r_ref), rtol=2e-5, atol=2e-5
+                )
+            xk2 = cheb_smooth_const_pallas(
+                A, b, xin, deg, hi, lo, invd, interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(xk2), np.asarray(x_ref), rtol=2e-5, atol=2e-5
+            )
