@@ -154,6 +154,118 @@ def _build(grid: Tuple[int, ...], coeffs: Tuple[float, ...],
 
 
 # ---------------------------------------------------------------------------
+# variable-coefficient slab SpMV
+# ---------------------------------------------------------------------------
+
+
+def _kernel_var(xu_ref, xc_ref, xd_ref, legs_ref, y_ref, *, bz, L, shifts):
+    """Variable-coefficient twin of ``_kernel``: legs stream in output-slab
+    blocks (no halo — a leg is read only at its own row, and boundary legs
+    hold exact zeros where the neighbour exits the grid, so no masking is
+    needed anywhere: garbage halo/tail planes are annihilated by the zero
+    legs or clipped by the write mask)."""
+    i = pl.program_id(0)
+    if xu_ref.shape[0] == 1:  # 3-D one-plane halos
+        up, dn = xu_ref[...], xd_ref[...]
+    else:  # 2-D 8-row halos
+        up = xu_ref[7:8]
+        dn = xd_ref[0:1]
+    stack = jnp.concatenate([up, xc_ref[...], dn], axis=0)
+    # boundary legs are exact zeros, so the mask exists only to keep
+    # NON-FINITE padding garbage (ragged tails / clamped halos) out of the
+    # 0 * garbage products — NaN survives a zero leg
+    z_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (bz + 2,) + (1,) * (stack.ndim - 1), 0
+    ) + (i * bz - 1)
+    stack = jnp.where((z_ids >= 0) & (z_ids < L), stack, jnp.float32(0.0))
+    acc = None
+    for k, shift in enumerate(shifts):
+        t = jax.lax.slice_in_dim(stack, 1 + shift[0], 1 + shift[0] + bz, axis=0)
+        t = _plane_shift(t, shift[1:])
+        leg = legs_ref[k].astype(jnp.float32)  # bf16 legs upcast in-register
+        term = leg * t
+        acc = term if acc is None else acc + term
+    y_ref[...] = acc
+
+
+@functools.lru_cache(maxsize=32)
+def _build_var(grid: Tuple[int, ...], shifts: Tuple[Tuple[int, ...], ...],
+               nlegs: int, leg_dtype: str, bz: int, interpret: bool):
+    L, rest = grid[0], grid[1:]
+    nprog = pl.cdiv(L, bz)
+    zeros_rest = (0,) * len(rest)
+    kern = functools.partial(_kernel_var, bz=bz, L=L, shifts=shifts)
+    if len(rest) == 2:
+        halo = (1,) + rest
+        up_map = lambda i: (jnp.maximum(i * bz - 1, 0),) + zeros_rest
+        dn_map = lambda i: (jnp.minimum(i * bz + bz, L - 1),) + zeros_rest
+    else:
+        assert bz % 8 == 0
+        nb8 = pl.cdiv(L, 8)
+        halo = (8,) + rest
+        up_map = lambda i: (jnp.maximum(i * (bz // 8) - 1, 0),) + zeros_rest
+        dn_map = lambda i: (
+            jnp.minimum(i * (bz // 8) + bz // 8, nb8 - 1),
+        ) + zeros_rest
+    return pl.pallas_call(
+        kern,
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec(halo, up_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bz,) + rest, lambda i: (i,) + zeros_rest,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(halo, dn_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (nlegs, bz) + rest, lambda i: (0, i) + zeros_rest,
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bz,) + rest, lambda i: (i,) + zeros_rest,
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(grid, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+
+def spmv_stencil_pallas(A, x: jnp.ndarray, bz: int = 0,
+                        interpret: bool = False) -> jnp.ndarray:
+    """y = A x for a big VARIABLE-coefficient stencil (``StencilMatrix``):
+    x streams once with slab halos, the leg arrays stream once in output
+    blocks (fp32 or bf16 storage — bf16 legs upcast in-register, halving
+    the dominant matrix traffic).  Same scope rules as the const kernel."""
+    from conjugategradient_tpu.core.formats import StencilMatrix
+
+    if not isinstance(A, StencilMatrix) or len(A.grid) not in (2, 3):
+        raise ValueError("spmv_stencil_pallas: 2-D/3-D StencilMatrix only")
+    if not all(all(abs(s) <= 1 for s in shift) for shift in A.shifts):
+        raise ValueError("spmv_stencil_pallas: per-axis shifts must be <= 1")
+    nlegs = A.nlegs
+    if bz <= 0:
+        # legs dominate VMEM: (nlegs + ~4) slab-sized arrays live
+        plane = int(np.prod(A.grid[1:])) * 4
+        bz = 24 * 1024 * 1024 // max((nlegs + 4) * plane, 1)
+        bz = int(min(max(bz, 4), 64, A.grid[0]))
+    if len(A.grid) == 2:
+        bz = max(8 * (bz // 8), 8)
+    fn = _build_var(
+        tuple(A.grid),
+        tuple(tuple(int(s) for s in sh) for sh in A.shifts),
+        int(nlegs), str(jnp.dtype(A.data.dtype)), int(bz), bool(interpret),
+    )
+    return fn(
+        x.astype(jnp.float32), x.astype(jnp.float32), x.astype(jnp.float32),
+        A.data,
+    )
+
+
+# ---------------------------------------------------------------------------
 # fused Chebyshev smoothing (3-D const levels)
 # ---------------------------------------------------------------------------
 

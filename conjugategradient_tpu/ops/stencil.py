@@ -49,10 +49,35 @@ def _as_grid(x: jnp.ndarray, grid):
     raise ValueError(f"array of shape {x.shape} is not compatible with grid {grid}")
 
 
+def _pallas_var_ok(A: StencilMatrix, x) -> bool:
+    """Measured dispatch (255^3 jump diffusion on chip): with VARIABLE legs
+    the leg arrays dominate traffic and XLA already streams them once, so
+    the slab kernel only wins where the wire format matters — bf16-stored
+    legs (906 vs 1055 us); for fp32 legs XLA is 5% FASTER (1379 vs 1455)
+    and keeps the dispatch.  Contrast the const-stencil case, where the
+    x-window re-reads ARE the traffic and the kernel is 2.7x."""
+    if A.n < _PALLAS_MIN_N or x.dtype != jnp.float32:
+        return False
+    if A.data.dtype != jnp.bfloat16:
+        return False
+    if len(A.grid) not in (2, 3):
+        return False
+    if not all(all(abs(s) <= 1 for s in shift) for shift in A.shifts):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def spmv_stencil(A: StencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
     """y = A x on grid-shaped ``x`` via zero-pad + static slices.
-    Flat (n,) input is reshaped in/out for free (``_as_grid``)."""
+    Flat (n,) input is reshaped in/out for free (``_as_grid``).
+    HBM-resident sizes on TPU route through the variable-coefficient
+    Pallas slab kernel (legs stream once, halo-free; bf16 legs stay bf16
+    on the wire) — see ``spmv_const_stencil``'s gate rationale."""
     x, back = _as_grid(x, A.grid)
+    if x.ndim == len(A.grid) and _pallas_var_ok(A, x):
+        from conjugategradient_tpu.ops.pallas_stencil import spmv_stencil_pallas
+
+        return back(spmv_stencil_pallas(A, x))
     halo = A.halo
     xp = jnp.pad(x, [(h, h) for h in halo])
     y = None

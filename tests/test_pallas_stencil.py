@@ -125,3 +125,30 @@ def test_cheb_fused_matches_reference_all_variants():
             np.testing.assert_allclose(
                 np.asarray(xk2), np.asarray(x_ref), rtol=2e-5, atol=2e-5
             )
+
+
+def test_variable_stencil_kernel_matches_xla():
+    """Variable-coefficient slab kernel vs the XLA pad+slice path, fp32 and
+    bf16 leg storage, ragged slabs (NaN-padding regression: interpret mode
+    pads out-of-range blocks with NaN and 0 * NaN = NaN — the z-mask must
+    zero garbage even though boundary legs are exact zeros)."""
+    import jax.numpy as jnp
+
+    from conjugategradient_tpu.core.formats import dia_to_stencil
+    from conjugategradient_tpu.ops.pallas_stencil import spmv_stencil_pallas
+    from conjugategradient_tpu.ops.stencil import spmv_stencil
+
+    rng = np.random.default_rng(0)
+    for g in [(17, 13, 11), (25, 19)]:
+        sys_ = generators.diffusion_system(g, kind="jump", dtype=np.float32)
+        A = dia_to_stencil(sys_.A, g)
+        x = jnp.asarray(rng.standard_normal(g).astype(np.float32))
+        y_ref = np.asarray(spmv_stencil(A, x))
+        scale = np.abs(y_ref).max()
+        for bz in (0, 8):
+            y_p = np.asarray(spmv_stencil_pallas(A, x, bz=bz, interpret=True))
+            assert np.abs(y_ref - y_p).max() / scale < 2e-6
+        Ab = A.astype(jnp.bfloat16)
+        y_b = np.asarray(spmv_stencil_pallas(Ab, x, interpret=True))
+        y_br = np.asarray(spmv_stencil(Ab, x), np.float32)
+        assert np.abs(y_b - y_br).max() / scale < 1e-6
