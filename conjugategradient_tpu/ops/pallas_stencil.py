@@ -76,21 +76,54 @@ def _plane_shift(t, shift_rest):
     return t
 
 
-def _kernel(xu_ref, xc_ref, xd_ref, y_ref, *, bz, L, coeffs, shifts):
+def _domain_mask(ndim: int, bz: int, hw: int, L: int):
+    """(bz + 2*hw, 1, ...) boolean mask of globally valid z planes for the
+    current program's slab — kills clamped-halo reads, global boundaries,
+    and ragged-tail padding garbage in one place."""
     i = pl.program_id(0)
-    if xu_ref.shape[0] == 1:  # 3-D: one-plane halo blocks
-        up, dn = xu_ref[...], xd_ref[...]
-    else:  # 2-D: 8-row halo blocks (sublane-divisibility) — the needed row
-        # is the block's last (up) / first (down) one
-        up = xu_ref[7:8]
-        dn = xd_ref[0:1]
-    stack = jnp.concatenate([up, xc_ref[...], dn], axis=0)
-    # one mask kills the global z boundaries (plane -1 / plane L reads were
-    # index-clamped) AND the ragged-tail garbage planes beyond L
     z_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (bz + 2,) + (1,) * (stack.ndim - 1), 0
-    ) + (i * bz - 1)
-    stack = jnp.where((z_ids >= 0) & (z_ids < L), stack, jnp.float32(0.0))
+        jnp.int32, (bz + 2 * hw,) + (1,) * (ndim - 1), 0
+    ) + (i * bz - hw)
+    return (z_ids >= 0) & (z_ids < L)
+
+
+def _stack_masked(up_ref, c_ref, dn_ref, bz: int, hw: int, L: int):
+    """Concat [halo, center, halo] and zero out-of-domain planes.  ``hw`` is
+    the halo width the kernel consumes per side; the halo BLOCKS may be
+    larger (2-D uses 8-row sublane-divisible blocks) — the edge rows are
+    sliced out here."""
+    hb = up_ref.shape[0]
+    up = up_ref[...] if hb == hw else up_ref[hb - hw:]
+    dn = dn_ref[...] if hb == hw else dn_ref[:hw]
+    s = jnp.concatenate([up, c_ref[...], dn], axis=0)
+    return jnp.where(_domain_mask(s.ndim, bz, hw, L), s, jnp.float32(0.0))
+
+
+def _halo_specs(rest, bz: int, hb: int, L: int):
+    """(halo_shape, up_map, dn_map) for halo blocks of ``hb`` planes in
+    hb-plane block units (requires hb | bz): up holds plane z0-1 as its
+    LAST row, down holds plane z0+bz as its FIRST; index clamping keeps the
+    maps legal, the kernel's domain mask keeps them correct.  For 2-D
+    grids ``hb`` must be sublane-divisible (8)."""
+    zeros_rest = (0,) * len(rest)
+    nb = pl.cdiv(L, hb)
+    halo = (hb,) + rest
+    up_map = lambda i: (jnp.maximum(i * (bz // hb) - 1, 0),) + zeros_rest
+    dn_map = lambda i: (
+        jnp.minimum(i * (bz // hb) + bz // hb, nb - 1),
+    ) + zeros_rest
+    return halo, up_map, dn_map
+
+
+def _center_spec(rest, bz: int):
+    zeros_rest = (0,) * len(rest)
+    return pl.BlockSpec(
+        (bz,) + rest, lambda i: (i,) + zeros_rest, memory_space=pltpu.VMEM
+    )
+
+
+def _kernel(xu_ref, xc_ref, xd_ref, y_ref, *, bz, L, coeffs, shifts):
+    stack = _stack_masked(xu_ref, xc_ref, xd_ref, bz, 1, L)
     acc = None
     for c, shift in zip(coeffs, shifts):
         t = jax.lax.slice_in_dim(stack, 1 + shift[0], 1 + shift[0] + bz, axis=0)
@@ -104,44 +137,24 @@ def _kernel(xu_ref, xc_ref, xd_ref, y_ref, *, bz, L, coeffs, shifts):
 def _build(grid: Tuple[int, ...], coeffs: Tuple[float, ...],
            shifts: Tuple[Tuple[int, ...], ...], bz: int, interpret: bool):
     L, rest = grid[0], grid[1:]
-    nprog = pl.cdiv(L, bz)
-    zeros_rest = (0,) * len(rest)
     kern = functools.partial(
         _kernel, bz=bz, L=L, coeffs=coeffs, shifts=shifts
     )
-    if len(rest) == 2:
-        # 3-D: one-plane halo blocks — block shape (1, ny, nx) makes the
-        # block index the PLANE index (last two dims are full, so the
-        # sublane/lane divisibility rule is satisfied); clamp keeps it
-        # legal, the kernel's z-mask keeps it correct
-        halo = (1,) + rest
-        up_map = lambda i: (jnp.maximum(i * bz - 1, 0),) + zeros_rest
-        dn_map = lambda i: (jnp.minimum(i * bz + bz, L - 1),) + zeros_rest
-    else:
-        # 2-D: rows are the sublane dim, so halo blocks must be 8 rows;
-        # block index is in 8-row units and the kernel picks the edge row
+    # 3-D: one-plane halo blocks (the full trailing dims satisfy the
+    # sublane/lane divisibility rule); 2-D: 8-row sublane-divisible blocks
+    hb = 1 if len(rest) == 2 else 8
+    if hb == 8:
         assert bz % 8 == 0, "2-D slab size must be sublane-divisible"
-        nb8 = pl.cdiv(L, 8)
-        halo = (8,) + rest
-        up_map = lambda i: (jnp.maximum(i * (bz // 8) - 1, 0),) + zeros_rest
-        dn_map = lambda i: (
-            jnp.minimum(i * (bz // 8) + bz // 8, nb8 - 1),
-        ) + zeros_rest
+    halo, up_map, dn_map = _halo_specs(rest, bz, hb, L)
     return pl.pallas_call(
         kern,
-        grid=(nprog,),
+        grid=(pl.cdiv(L, bz),),
         in_specs=[
             pl.BlockSpec(halo, up_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (bz,) + rest, lambda i: (i,) + zeros_rest,
-                memory_space=pltpu.VMEM,
-            ),
+            _center_spec(rest, bz),
             pl.BlockSpec(halo, dn_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (bz,) + rest, lambda i: (i,) + zeros_rest,
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=_center_spec(rest, bz),
         out_shape=jax.ShapeDtypeStruct(grid, jnp.float32),
         # the default 16 MB scoped-VMEM budget is Mosaic's conservative
         # floor; v5e has 128 MB — double-buffered center/out blocks plus
@@ -160,24 +173,11 @@ def _build(grid: Tuple[int, ...], coeffs: Tuple[float, ...],
 
 def _kernel_var(xu_ref, xc_ref, xd_ref, legs_ref, y_ref, *, bz, L, shifts):
     """Variable-coefficient twin of ``_kernel``: legs stream in output-slab
-    blocks (no halo — a leg is read only at its own row, and boundary legs
-    hold exact zeros where the neighbour exits the grid, so no masking is
-    needed anywhere: garbage halo/tail planes are annihilated by the zero
-    legs or clipped by the write mask)."""
-    i = pl.program_id(0)
-    if xu_ref.shape[0] == 1:  # 3-D one-plane halos
-        up, dn = xu_ref[...], xd_ref[...]
-    else:  # 2-D 8-row halos
-        up = xu_ref[7:8]
-        dn = xd_ref[0:1]
-    stack = jnp.concatenate([up, xc_ref[...], dn], axis=0)
-    # boundary legs are exact zeros, so the mask exists only to keep
-    # NON-FINITE padding garbage (ragged tails / clamped halos) out of the
-    # 0 * garbage products — NaN survives a zero leg
-    z_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (bz + 2,) + (1,) * (stack.ndim - 1), 0
-    ) + (i * bz - 1)
-    stack = jnp.where((z_ids >= 0) & (z_ids < L), stack, jnp.float32(0.0))
+    blocks (no leg halo — a leg is read only at its own row, and boundary
+    legs hold exact zeros where the neighbour exits the grid).  The domain
+    mask still applies to x: NON-FINITE padding garbage survives a zero leg
+    (0 * NaN = NaN)."""
+    stack = _stack_masked(xu_ref, xc_ref, xd_ref, bz, 1, L)
     acc = None
     for k, shift in enumerate(shifts):
         t = jax.lax.slice_in_dim(stack, 1 + shift[0], 1 + shift[0] + bz, axis=0)
@@ -192,40 +192,25 @@ def _kernel_var(xu_ref, xc_ref, xd_ref, legs_ref, y_ref, *, bz, L, shifts):
 def _build_var(grid: Tuple[int, ...], shifts: Tuple[Tuple[int, ...], ...],
                nlegs: int, leg_dtype: str, bz: int, interpret: bool):
     L, rest = grid[0], grid[1:]
-    nprog = pl.cdiv(L, bz)
     zeros_rest = (0,) * len(rest)
     kern = functools.partial(_kernel_var, bz=bz, L=L, shifts=shifts)
-    if len(rest) == 2:
-        halo = (1,) + rest
-        up_map = lambda i: (jnp.maximum(i * bz - 1, 0),) + zeros_rest
-        dn_map = lambda i: (jnp.minimum(i * bz + bz, L - 1),) + zeros_rest
-    else:
+    hb = 1 if len(rest) == 2 else 8
+    if hb == 8:
         assert bz % 8 == 0
-        nb8 = pl.cdiv(L, 8)
-        halo = (8,) + rest
-        up_map = lambda i: (jnp.maximum(i * (bz // 8) - 1, 0),) + zeros_rest
-        dn_map = lambda i: (
-            jnp.minimum(i * (bz // 8) + bz // 8, nb8 - 1),
-        ) + zeros_rest
+    halo, up_map, dn_map = _halo_specs(rest, bz, hb, L)
     return pl.pallas_call(
         kern,
-        grid=(nprog,),
+        grid=(pl.cdiv(L, bz),),
         in_specs=[
             pl.BlockSpec(halo, up_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (bz,) + rest, lambda i: (i,) + zeros_rest,
-                memory_space=pltpu.VMEM,
-            ),
+            _center_spec(rest, bz),
             pl.BlockSpec(halo, dn_map, memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (nlegs, bz) + rest, lambda i: (0, i) + zeros_rest,
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (bz,) + rest, lambda i: (i,) + zeros_rest,
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=_center_spec(rest, bz),
         out_shape=jax.ShapeDtypeStruct(grid, jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -307,19 +292,14 @@ def _cheb_kernel(invd_ref, *refs, bz, h, L, coeffs, shifts, degree,
     exactly ``degree`` applications on the deepest-consumed path, so the
     central ``bz`` output planes stay exact.
     """
-    i = pl.program_id(0)
     invd = invd_ref[0, 0]
     nin = 3 if zero_x else 6
     ins, outs = refs[:nin], refs[nin:]
 
-    z_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (bz + 2 * h, 1, 1), 0
-    ) + (i * bz - h)
-    dom = (z_ids >= 0) & (z_ids < L)
+    dom = _domain_mask(3, bz, h, L)
 
     def stack_of(up_ref, c_ref, dn_ref):
-        s = jnp.concatenate([up_ref[...], c_ref[...], dn_ref[...]], axis=0)
-        return jnp.where(dom, s, jnp.float32(0.0))
+        return _stack_masked(up_ref, c_ref, dn_ref, bz, h, L)
 
     def apply_dom(t):
         # Dirichlet semantics at EVERY application: the operator input must
@@ -370,47 +350,28 @@ def _build_cheb(grid, coeffs, shifts, bz, degree, lam_max, lam_min,
     L, rest = grid[0], grid[1:]
     h = _cheb_halo(degree, zero_x, want_resid)
     assert bz % h == 0, "slab size must be a multiple of the halo depth"
-    nprog = pl.cdiv(L, bz)
-    zeros_rest = (0,) * len(rest)
-    nbh = pl.cdiv(L, h)
     kern = functools.partial(
         _cheb_kernel, bz=bz, h=h, L=L, coeffs=coeffs, shifts=shifts,
         degree=degree, lam_max=lam_max, lam_min=lam_min, zero_x=zero_x,
         want_resid=want_resid,
     )
+    halo, up_map, dn_map = _halo_specs(rest, bz, h, L)
 
     def specs_for_one():
-        # h-plane halo blocks in h-plane units (bz % h == 0 keeps the
-        # center aligned to them); clamped, kernel z-mask corrects
         return [
-            pl.BlockSpec(
-                (h,) + rest,
-                lambda i: (jnp.maximum(i * (bz // h) - 1, 0),) + zeros_rest,
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (bz,) + rest, lambda i: (i,) + zeros_rest,
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (h,) + rest,
-                lambda i: (
-                    jnp.minimum(i * (bz // h) + bz // h, nbh - 1),
-                ) + zeros_rest,
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(halo, up_map, memory_space=pltpu.VMEM),
+            _center_spec(rest, bz),
+            pl.BlockSpec(halo, dn_map, memory_space=pltpu.VMEM),
         ]
 
     in_specs = [pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)] + specs_for_one()
     if not zero_x:
         in_specs += specs_for_one()
-    out_spec = pl.BlockSpec(
-        (bz,) + rest, lambda i: (i,) + zeros_rest, memory_space=pltpu.VMEM
-    )
+    out_spec = _center_spec(rest, bz)
     n_out = 2 if want_resid else 1
     return pl.pallas_call(
         kern,
-        grid=(nprog,),
+        grid=(pl.cdiv(L, bz),),
         in_specs=in_specs,
         out_specs=[out_spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct(grid, jnp.float32)] * n_out,

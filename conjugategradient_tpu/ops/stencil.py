@@ -56,13 +56,13 @@ def _pallas_var_ok(A: StencilMatrix, x) -> bool:
     legs (906 vs 1055 us); for fp32 legs XLA is 5% FASTER (1379 vs 1455)
     and keeps the dispatch.  Contrast the const-stencil case, where the
     x-window re-reads ARE the traffic and the kernel is 2.7x."""
-    if A.n < _PALLAS_MIN_N or x.dtype != jnp.float32:
+    if A.n < PALLAS_MIN_N or x.dtype != jnp.float32:
         return False
     if A.data.dtype != jnp.bfloat16:
         return False
-    if len(A.grid) not in (2, 3):
-        return False
-    if not all(all(abs(s) <= 1 for s in shift) for shift in A.shifts):
+    from conjugategradient_tpu.ops.pallas_stencil import _supported
+
+    if not _supported(A):  # shared scope predicate: 2/3-D, |shift| <= 1
         return False
     return jax.default_backend() == "tpu"
 
@@ -111,7 +111,8 @@ def spmv_stencil_roll(A: StencilMatrix, x: jnp.ndarray) -> jnp.ndarray:
 #: roofline; above it the seven shifted-window reads stop being reused and
 #: XLA moves ~9-10 passes per SpMV (measured 180-216 GB/s implied at 16.6M
 #: rows vs the kernel's ~2-pass minimum — see ops/pallas_stencil.py).
-_PALLAS_MIN_N = 8_000_000
+PALLAS_MIN_N = 8_000_000
+_PALLAS_MIN_N = PALLAS_MIN_N  # back-compat alias
 
 
 def _pallas_const_ok(A: ConstStencilMatrix, x) -> bool:

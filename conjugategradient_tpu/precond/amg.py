@@ -430,12 +430,14 @@ def build_amg_hierarchy(
             <= 1e-12 * np.abs(S.data).max(initial=0.0)
         )
 
+    sym_fine = _sym_of(A_h)  # computed once; reused by auto + first level
     if smooth_prolongator == "auto":
-        smooth_prolongator = _sym_of(A_h)
+        smooth_prolongator = sym_fine
     smooth_prolongator = bool(smooth_prolongator)
 
     grid_nd = None  # inferred tensor grid, tracked down the ND-blocked levels
     nd_checked = False
+    prebuilt_st = None  # level-0 stencil validated during grid inference
     while A_h.shape[0] > max_coarse and len(levels) < max_levels - 1:
         diag = A_h.diagonal()
         if np.any(diag <= 0):
@@ -445,7 +447,8 @@ def build_amg_hierarchy(
                 "different preconditioner)"
             )
         n_lvl = A_h.shape[0]
-        sym = _sym_of(A_h)
+        # fine level reuses the up-front symmetry check (O(nnz log nnz))
+        sym = sym_fine if not levels else _sym_of(A_h)
         # contiguous (blocked) aggregation whenever the level is a banded
         # SYMMETRIC operator with real off-diagonal structure: transfers
         # lower to reshape-sum/broadcast (no gathers — the measured
@@ -500,8 +503,18 @@ def build_amg_hierarchy(
                         from_scipy(A_h.tocsr()),
                         offsets=tuple(int(o) for o in diags0),
                     )
-                    dia_to_stencil(dia0, tuple(g_found), copy=False)
+                    st0 = dia_to_stencil(dia0, tuple(g_found), copy=False)
                     grid_nd = g_found
+                    # reuse the validated relayout for level 0 instead of
+                    # re-materialising the (ndiags, n) band inside
+                    # _to_device_level_op (~1 GB twice at 16M rows)
+                    from conjugategradient_tpu.core.formats import (
+                        stencil_to_const,
+                    )
+
+                    prebuilt_st = (stencil_to_const(st0) or st0).device_put(
+                        dtype=dt
+                    )
                 except ValueError:
                     pass
         # 1-D strips stay gated to symmetric smoothed levels (measured: on
@@ -544,10 +557,15 @@ def build_amg_hierarchy(
         # composition-form transfers (exactness gate: see AmgLevel)
         sym = not smooth_prolongator or sym
         w_tent = np.asarray(P0[np.arange(A_h.shape[0]), agg]).ravel()
-        A_dev_lvl = _to_device_level_op(
-            A_h, dt, layout, max_blowup,
-            grid=blk_nd_lvl[0] if (blk_nd_lvl is not None and sym) else None,
-        )
+        if (prebuilt_st is not None and sym and blk_nd_lvl is not None
+                and layout == "auto"):
+            A_dev_lvl = prebuilt_st  # level 0, validated during inference
+        else:
+            A_dev_lvl = _to_device_level_op(
+                A_h, dt, layout, max_blowup,
+                grid=blk_nd_lvl[0] if (blk_nd_lvl is not None and sym) else None,
+            )
+        prebuilt_st = None
         from conjugategradient_tpu.core.formats import (
             ConstStencilMatrix as _CSt,
             StencilMatrix as _St,
@@ -572,8 +590,11 @@ def build_amg_hierarchy(
                 blk_nd=blk_nd_lvl if sym else None,
             )
         )
-        if blk_nd_lvl is not None:
-            grid_nd = cgrid  # next level's inferred grid
+        # track (or drop) the inferred grid for the next level: a level
+        # that did NOT aggregate in cubes breaks the grid lineage — a later
+        # re-qualifying level must not reuse a stale shape whose product no
+        # longer matches its n (review finding)
+        grid_nd = cgrid if blk_nd_lvl is not None else None
         # Galerkin coarse operator and the candidate's coarse image
         # (P0^T z = the per-aggregate norms — the exact vector the next
         # level's tentative prolongator must reproduce).  Measured (r5):

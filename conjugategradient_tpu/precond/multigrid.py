@@ -581,18 +581,18 @@ def _fused_cheb_ok(lvl: MgLevel, b, roll: bool) -> bool:
     cheb_smooth_const_pallas``): big 3-D const-stencil levels on TPU with a
     scalar diagonal.  ``roll=True`` (the GSPMD cyclic-roll path) is excluded
     — a pallas_call on the full array would fight the partitioner."""
-    import jax as _jax
+    import jax
 
-    from conjugategradient_tpu.ops.stencil import _PALLAS_MIN_N
+    from conjugategradient_tpu.ops.stencil import PALLAS_MIN_N
 
     return (
         not roll
         and isinstance(lvl.A, ConstStencilMatrix)
         and len(lvl.grid) == 3
-        and lvl.A.n >= _PALLAS_MIN_N
+        and lvl.A.n >= PALLAS_MIN_N
         and jnp.ndim(lvl.inv_diag) == 0
         and b.dtype == jnp.float32
-        and _jax.default_backend() == "tpu"
+        and jax.default_backend() == "tpu"
         and all(all(abs(s) <= 1 for s in sh) for sh in lvl.A.shifts)
     )
 
