@@ -87,16 +87,18 @@ def _domain_mask(ndim: int, bz: int, hw: int, L: int):
     return (z_ids >= 0) & (z_ids < L)
 
 
-def _stack_masked(up_ref, c_ref, dn_ref, bz: int, hw: int, L: int):
-    """Concat [halo, center, halo] and zero out-of-domain planes.  ``hw`` is
-    the halo width the kernel consumes per side; the halo BLOCKS may be
-    larger (2-D uses 8-row sublane-divisible blocks) — the edge rows are
-    sliced out here."""
+def _stack_masked(up_ref, c_ref, dn_ref, bz: int, L: int):
+    """Concat [halo, center, halo] IN FULL and zero out-of-domain planes.
+    The halo blocks may be wider than the stencil needs (2-D uses 8-row
+    sublane-divisible blocks): they are concatenated whole — Mosaic cannot
+    concat a sublane-OFFSET slice ("result/input offset mismatch on
+    non-concat dimension", measured on the compiled 2-D path) — and the
+    kernels slice their leg windows at base offset ``hb`` instead.  The
+    extra halo rows are masked like any other out-of-window plane would
+    be: the domain mask spans [z0 - hb, z0 + bz + hb)."""
     hb = up_ref.shape[0]
-    up = up_ref[...] if hb == hw else up_ref[hb - hw:]
-    dn = dn_ref[...] if hb == hw else dn_ref[:hw]
-    s = jnp.concatenate([up, c_ref[...], dn], axis=0)
-    return jnp.where(_domain_mask(s.ndim, bz, hw, L), s, jnp.float32(0.0))
+    s = jnp.concatenate([up_ref[...], c_ref[...], dn_ref[...]], axis=0)
+    return jnp.where(_domain_mask(s.ndim, bz, hb, L), s, jnp.float32(0.0))
 
 
 def _halo_specs(rest, bz: int, hb: int, L: int):
@@ -123,10 +125,11 @@ def _center_spec(rest, bz: int):
 
 
 def _kernel(xu_ref, xc_ref, xd_ref, y_ref, *, bz, L, coeffs, shifts):
-    stack = _stack_masked(xu_ref, xc_ref, xd_ref, bz, 1, L)
+    hb = xu_ref.shape[0]
+    stack = _stack_masked(xu_ref, xc_ref, xd_ref, bz, L)
     acc = None
     for c, shift in zip(coeffs, shifts):
-        t = jax.lax.slice_in_dim(stack, 1 + shift[0], 1 + shift[0] + bz, axis=0)
+        t = jax.lax.slice_in_dim(stack, hb + shift[0], hb + shift[0] + bz, axis=0)
         t = _plane_shift(t, shift[1:])
         term = jnp.float32(c) * t
         acc = term if acc is None else acc + term
@@ -177,10 +180,11 @@ def _kernel_var(xu_ref, xc_ref, xd_ref, legs_ref, y_ref, *, bz, L, shifts):
     legs hold exact zeros where the neighbour exits the grid).  The domain
     mask still applies to x: NON-FINITE padding garbage survives a zero leg
     (0 * NaN = NaN)."""
-    stack = _stack_masked(xu_ref, xc_ref, xd_ref, bz, 1, L)
+    hb = xu_ref.shape[0]
+    stack = _stack_masked(xu_ref, xc_ref, xd_ref, bz, L)
     acc = None
     for k, shift in enumerate(shifts):
-        t = jax.lax.slice_in_dim(stack, 1 + shift[0], 1 + shift[0] + bz, axis=0)
+        t = jax.lax.slice_in_dim(stack, hb + shift[0], hb + shift[0] + bz, axis=0)
         t = _plane_shift(t, shift[1:])
         leg = legs_ref[k].astype(jnp.float32)  # bf16 legs upcast in-register
         term = leg * t
@@ -299,7 +303,7 @@ def _cheb_kernel(invd_ref, *refs, bz, h, L, coeffs, shifts, degree,
     dom = _domain_mask(3, bz, h, L)
 
     def stack_of(up_ref, c_ref, dn_ref):
-        return _stack_masked(up_ref, c_ref, dn_ref, bz, h, L)
+        return _stack_masked(up_ref, c_ref, dn_ref, bz, L)
 
     def apply_dom(t):
         # Dirichlet semantics at EVERY application: the operator input must
